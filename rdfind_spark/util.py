@@ -1,0 +1,78 @@
+"""Small pure-Python utilities: longest-prefix string trie (URL
+shortening) and null-sensitive ordering.
+
+Semantics pinned by the reference's unit tests (reimplemented, not
+copied): ``rdfind-util`` StringTrie$Test.scala:12-103 and
+NullSensitiveOrdered$Test.scala:12-23.
+"""
+
+from __future__ import annotations
+
+
+class StringTrie:
+    """Maps string prefixes to values; lookup returns the value of the
+    longest registered prefix of the query (or None).
+
+    Used for URL → prefix shortening (reference
+    ``operators/ShortenUrls.scala:16-59`` + ``util/StringTrie.scala``).
+    The prefix table is tiny, so the trie lives driver-side and is
+    shipped to executors inside a broadcast for the shortening UDF.
+    """
+
+    __slots__ = ("children", "value")
+
+    def __init__(self) -> None:
+        self.children: dict[str, StringTrie] = {}
+        self.value = None
+
+    def put(self, key: str, value) -> None:
+        node = self
+        for ch in key:
+            node = node.children.setdefault(ch, StringTrie())
+        node.value = value
+
+    def get(self, key: str):
+        """Exact-match lookup."""
+        node = self
+        for ch in key:
+            node = node.children.get(ch)
+            if node is None:
+                return None
+        return node.value
+
+    def longest_prefix(self, query: str) -> tuple[str | None, object]:
+        """Return (longest registered prefix of query, its value)."""
+        node = self
+        best_key, best_val = None, None
+        if node.value is not None:
+            best_key, best_val = "", node.value
+        for i, ch in enumerate(query):
+            node = node.children.get(ch)
+            if node is None:
+                break
+            if node.value is not None:
+                best_key, best_val = query[: i + 1], node.value
+        return best_key, best_val
+
+    def to_pairs(self) -> list[tuple[str, object]]:
+        out = []
+
+        def walk(node: StringTrie, prefix: str) -> None:
+            if node.value is not None:
+                out.append((prefix, node.value))
+            for ch, child in node.children.items():
+                walk(child, prefix + ch)
+
+        walk(self, "")
+        return out
+
+
+def null_sensitive_cmp(a, b) -> int:
+    """Total order with None first: None < any value; None == None."""
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return -1
+    if b is None:
+        return 1
+    return (a > b) - (a < b)

@@ -1,0 +1,59 @@
+"""Trie + null-ordering semantics pins (FIXTURES.md §1; reference
+StringTrie$Test.scala:15-42, NullSensitiveOrdered$Test.scala:12-22)."""
+
+from __future__ import annotations
+
+from rdfind_spark.util import StringTrie, null_sensitive_cmp
+
+PREFIXES = {
+    "http://dbpedia.org/resource/": "dbpr",
+    "http://dbpedia.org/resource/Category:": "dbpc",
+    "http://xmlns.com/foaf/0.1/": "foaf",
+    "urn:yahoo:maps": "y",
+}
+
+
+def make_trie() -> StringTrie:
+    t = StringTrie()
+    for k, v in PREFIXES.items():
+        t.put(k, v)
+    return t
+
+
+def test_longest_prefix_match():
+    t = make_trie()
+    key, val = t.longest_prefix("http://dbpedia.org/resource/Berlin")
+    assert (key, val) == ("http://dbpedia.org/resource/", "dbpr")
+    key, val = t.longest_prefix("http://dbpedia.org/resource/Category:Cities")
+    assert (key, val) == ("http://dbpedia.org/resource/Category:", "dbpc")
+    key, val = t.longest_prefix("http://xmlns.com/foaf/0.1/knows")
+    assert (key, val) == ("http://xmlns.com/foaf/0.1/", "foaf")
+
+
+def test_miss_and_exact():
+    t = make_trie()
+    assert t.longest_prefix("https://example.org/x") == (None, None)
+    assert t.longest_prefix("urn:yahoo:maps") == ("urn:yahoo:maps", "y")
+    assert t.get("urn:yahoo:maps") == "y"
+    assert t.get("urn:yahoo:map") is None
+
+
+def test_empty_key_root():
+    t = make_trie()
+    t.put("", "root")
+    key, val = t.longest_prefix("zzz")
+    assert (key, val) == ("", "root")
+
+
+def test_to_pairs_roundtrip():
+    t = make_trie()
+    assert dict(t.to_pairs()) == PREFIXES
+
+
+def test_null_ordering():
+    assert null_sensitive_cmp(None, "a") == -1
+    assert null_sensitive_cmp("a", None) == 1
+    assert null_sensitive_cmp(None, None) == 0
+    assert null_sensitive_cmp("a", "b") == -1
+    assert null_sensitive_cmp("b", "a") == 1
+    assert null_sensitive_cmp("a", "a") == 0
