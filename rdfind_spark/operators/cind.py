@@ -1,0 +1,521 @@
+"""The relational CIND core (SURVEY.md §3.3).
+
+Replaces the reference's join-line machinery (``UnionJoinCandidates`` →
+``CreateAllCindCandidates`` → ``IntersectCindCandidates``, see SURVEY §2.3
+J1 / §2.5 G1 / §2.4 A5) with pure equi-joins + hash aggregates that
+Catalyst plans natively:
+
+    dcap     — distinct (join_value, capture)
+    supports — per-capture distinct-value count (= CIND support)
+    frequent — supports ≥ min_support  (lossless pruning: any CIND side
+               must have support ≥ dep support ≥ min_support)
+    overlaps — unordered co-occurrence counts via self-join on join_value
+    cinds    — overlap == dep support  ⇒  dep ⊆ ref  (both directions)
+
+Scale notes (100 TB posture): the only shuffles are the distinct, the
+per-capture count, and the join_value self-join; frequency pruning runs
+*before* the quadratic pair stage, which is what bounds group sizes (the
+reference fights the same blow-up with Bloom filters + custom
+rebalancing, ``programs/RDFind.scala:404-444``).  AQE skew-join handles
+residual hub values; `salt` splitting is available for extreme hubs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdfind_spark import condition_codes as cc
+from rdfind_spark.operators.captures import capture_candidates
+
+CAPTURE_KEY = ["code", "v1", "v2"]
+
+# Salting parameters for the pair self-join: join lines with more than
+# HOT_LINE_K frequent captures are split into N_SALT hash buckets (see
+# capture_overlaps).  A line of HOT_LINE_K captures yields ≤ HOT_LINE_K²
+# ≈ 260k pairs from one key — roughly the point where one task's share
+# of the product outweighs the replication cost of salting.
+HOT_LINE_K = 512
+N_SALT = 32
+
+
+def _pair_parallelism(df: DataFrame) -> int:
+    """Partition count for the pair-explosion stages: a multiple of the
+    session's shuffle parallelism, since join output is 10-100× its
+    input."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")) * 4
+
+
+def distinct_captures(candidates: DataFrame) -> DataFrame:
+    return candidates.distinct()
+
+
+def capture_supports(dcap: DataFrame) -> DataFrame:
+    """support = number of distinct join values of the capture."""
+    return dcap.groupBy(*CAPTURE_KEY).agg(F.count("*").alias("support"))
+
+
+def frequent_captures(supports: DataFrame, min_support: int) -> DataFrame:
+    return supports.filter(F.col("support") >= min_support)
+
+
+def _with_capture_hash(df: DataFrame) -> DataFrame:
+    """Attach a 96-bit capture id (h1: xxhash64, h2: murmur3) — the
+    relational form of the reference's dictionary compression
+    (``operators/ConditionCompressor.scala:13-35``): the quadratic pair
+    stage runs on fixed-width integer keys instead of long URI strings.
+    96 bits make a silent collision negligible (~n²/2⁹⁷); see the
+    collision census in tests."""
+    return df.select(
+        "*",
+        F.xxhash64("code", "v1", "v2").alias("h1"),
+        F.hash("code", "v1", "v2").alias("h2"),
+    )
+
+
+def pruned_captures(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
+    """Keep only capture instances whose capture is frequent, compacted
+    to ``(join_value, h1, h2, support)``.  The frequent side is
+    result-sized (bounded by #distinct-values / min_support), so this is
+    a broadcast-able big-to-small join: the bulk ``dcap`` side is never
+    shuffled here (the reference ships the same information as a
+    broadcast Bloom filter, ``programs/RDFind.scala:374-399``)."""
+    fh = _with_capture_hash(frequent).select(*CAPTURE_KEY, "support", "h1", "h2")
+    return dcap.join(F.broadcast(fh), on=CAPTURE_KEY).select(
+        "join_value", "h1", "h2", "support"
+    )
+
+
+def capture_overlaps(
+    capf: DataFrame, frequent: DataFrame, min_overlap: int = 1
+) -> DataFrame:
+    """Unordered pairwise overlap counts: for captures a < b (by key
+    order), the number of join values where both occur.  Overlap is
+    symmetric, so each unordered pair is counted once (the reference's
+    balanced pair emission, ``CreateUnaryUnaryOverlapCandidates``,
+    generalized to all arities).
+
+    The quadratic pair join + aggregate run entirely on the compact
+    hashed keys from ``pruned_captures`` — fixed-width UnsafeRows keep
+    the aggregation hash map small and make spill sort cheap (string
+    keys here previously caused sort-based-agg fallback and a >10×
+    slowdown).  Strings are restored afterwards from the result-sized
+    ``frequent`` table, and each pair is canonicalized to a < b by
+    capture key so output is independent of hash values.
+
+    ``min_overlap``: a CIND requires ``overlap == dep_support >=
+    min_support``, so pairs rarer than min_support can never produce one
+    — filtering them inside the aggregate drops the long tail (the vast
+    majority of pairs co-occur only a handful of times) before anything
+    downstream sees it.
+
+    Hub join lines (a value shared by k captures) produce k² pairs out
+    of ONE join key; a plain equi-join puts that entire product in a
+    single task (AQE skew-join can't help: the *input* bytes of the hub
+    key are tiny, the blow-up is in join output).  This is the problem
+    the reference's whole rebalancing subsystem exists for
+    (``operators/AssignJoinLineRebalancing.scala:15-65``).  Two
+    mitigations, chosen at runtime (this makes the function *eager*: it
+    runs a small census job over capf to find hot lines):
+
+    * ``min_overlap > #hot lines`` (the usual case): hot lines can
+      contribute at most #hot to any pair's overlap, so every
+      qualifying pair must co-occur in >= min_overlap - #hot cold
+      lines.  Pairs are counted over cold lines only, and each
+      surviving pair's exact hot-line contribution is added back from a
+      per-capture hot-line *bitmask* (broadcast; ``bit_count(a & b)``) —
+      the hub k² explosion is never materialized.  This is the
+      reference's two-round approximate-then-verify pattern
+      (``plan/LateBBTraversalStrategy``) made exact.
+    * otherwise: salted triangle self-join — every capture of a hot
+      line is hash-bucketed into N_SALT groups and the k² product is
+      spread over N_SALT(N_SALT+1)/2 independent join keys.
+    """
+    sizes = capf.groupBy("join_value").agg(F.count("*").alias("line_k"))
+    hot_values = [
+        r[0]
+        for r in sizes.filter(F.col("line_k") > HOT_LINE_K)
+        .select("join_value")
+        .collect()
+    ]
+    if hot_values and min_overlap > len(hot_values):
+        ov = _cold_pair_counts_with_hot_masks(capf, hot_values, min_overlap)
+    else:
+        ov = _salted_pair_counts(capf, hot_values, min_overlap)
+    return _restore_capture_keys(ov, frequent)
+
+
+def _cold_pair_counts_with_hot_masks(
+    capf: DataFrame, hot_values: list, min_overlap: int
+) -> DataFrame:
+    """Pair overlap counts = cold-line pair counts + per-pair hot-line
+    contribution from broadcast bitmasks (see capture_overlaps)."""
+    spark = capf.sparkSession
+    n_hot = len(hot_values)
+    n_chunks = (n_hot + 63) // 64
+    hot_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(hot_values)], "join_value string, idx int"
+    )
+    # per-capture membership bitmask over the hot lines, chunked into
+    # 64-bit words; capture-count-sized (sum of hot line widths)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
+    masks = (
+        capf.join(F.broadcast(hot_df), on="join_value")
+        .groupBy("h1", "h2")
+        .agg(
+            *[
+                F.bit_or(
+                    F.when(F.floor(F.col("idx") / 64) == c, bit).otherwise(F.lit(0))
+                ).alias(f"m{c}")
+                for c in range(n_chunks)
+            ]
+        )
+    )
+    cold = capf.join(F.broadcast(hot_df.select("join_value")), on="join_value", how="left_anti")
+    n_pair = _pair_parallelism(capf)
+    a = cold.select(
+        "join_value", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
+    ).repartition(n_pair, "join_value")
+    b = cold.select(
+        "join_value", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
+    ).repartition(n_pair, "join_value")
+    pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), on="join_value").filter(
+        F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2")
+    )
+    pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
+    ov_cold = (
+        pairs.select(*pkey)
+        .repartition(n_pair, *pkey)
+        .groupBy(*pkey)
+        .agg(F.count("*").alias("cold_overlap"))
+        .filter(F.col("cold_overlap") >= min_overlap - n_hot)
+    )
+    ma = masks.select(
+        F.col("h1").alias("a_h1"),
+        F.col("h2").alias("a_h2"),
+        *[F.col(f"m{c}").alias(f"a_m{c}") for c in range(n_chunks)],
+    )
+    mb = masks.select(
+        F.col("h1").alias("b_h1"),
+        F.col("h2").alias("b_h2"),
+        *[F.col(f"m{c}").alias(f"b_m{c}") for c in range(n_chunks)],
+    )
+    with_masks = ov_cold.join(F.broadcast(ma), on=["a_h1", "a_h2"], how="left").join(
+        F.broadcast(mb), on=["b_h1", "b_h2"], how="left"
+    )
+    hot_common = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(
+                F.coalesce(F.col(f"a_m{c}"), F.lit(0)).bitwiseAND(
+                    F.coalesce(F.col(f"b_m{c}"), F.lit(0))
+                )
+            )
+            for c in range(n_chunks)
+        ],
+    )
+    return with_masks.select(
+        "a_h1",
+        "a_h2",
+        "b_h1",
+        "b_h2",
+        (F.col("cold_overlap") + hot_common).alias("overlap"),
+    ).filter(F.col("overlap") >= min_overlap)
+
+
+def _salted_pair_counts(
+    capf: DataFrame, hot_values: list, min_overlap: int
+) -> DataFrame:
+    """Pair overlap counts via the salted triangle self-join (see
+    capture_overlaps)."""
+    spark = capf.sparkSession
+    if hot_values:
+        hot_df = spark.createDataFrame(
+            [(v,) for v in hot_values], "join_value string"
+        ).select("join_value", F.lit(True).alias("is_hot"))
+    else:
+        hot_df = spark.createDataFrame([], "join_value string").select(
+            "join_value", F.lit(True).alias("is_hot")
+        )
+    hot = hot_df
+    # Cell (i, j), i <= j, joins bucket-i captures (side A) with
+    # bucket-j captures (side B): side A is replicated to cells (b,
+    # b..N-1), side B to cells (0..b, b).  Off-diagonal cells produce
+    # each unordered pair in exactly one orientation by construction
+    # (bucket is a pure function of the capture hash, so the
+    # orientation of a given pair is globally consistent); only
+    # diagonal cells need the a < b hash filter.  This halves both the
+    # join output and the replication factor vs. full-square salting.
+    # tb — the capture's *intrinsic* bucket, a pure function of its
+    # hash, computed for every row (hot or not).  Pair orientation is
+    # globally (tb, h1, h2)-lexicographic, so a pair co-occurring in
+    # both a hot and a cold line groups under the same key: in hot
+    # cross-bucket cells the lower-tb capture is side A by
+    # construction, and the explicit filter below enforces the same
+    # order in diagonal and cold cells.
+    salted = (
+        capf.join(F.broadcast(hot), on="join_value", how="left")
+        .withColumn("tb", F.pmod(F.hash("h1", "h2"), F.lit(N_SALT)))
+        .withColumn(
+            "bucket", F.when(F.col("is_hot"), F.col("tb")).otherwise(F.lit(0))
+        )
+    )
+    # Explicit repartition on the salted join key: (a) pins the task
+    # count of the pair-generation stage — AQE would otherwise coalesce
+    # it by *input* bytes (a few hundred MB) to a handful of tasks,
+    # blind to the k-squared join *output* behind each key; (b) both
+    # sides end up hash-partitioned identically, so the join needs no
+    # further exchange (colocated).
+    n_pair = _pair_parallelism(capf)
+    skey = ["join_value", "ba", "bb"]
+    a = salted.select(
+        "join_value",
+        F.col("bucket").alias("ba"),
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.col("bucket"), F.lit(N_SALT - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("bb"),
+        F.col("tb").alias("a_tb"),
+        F.col("h1").alias("a_h1"),
+        F.col("h2").alias("a_h2"),
+    ).repartition(n_pair, *skey)
+    b = salted.select(
+        "join_value",
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.lit(0), F.col("bucket"))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("ba"),
+        F.col("bucket").alias("bb"),
+        F.col("tb").alias("b_tb"),
+        F.col("h1").alias("b_h1"),
+        F.col("h2").alias("b_h2"),
+    ).repartition(n_pair, *skey)
+    # shuffle_hash hint: Catalyst's size estimate for the exploded capf
+    # relation is far below reality, so without the hint it broadcasts
+    # the whole side (driver-side hashed-relation build of the *entire*
+    # capture table — unusable at scale).
+    pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), on=skey).filter(
+        F.struct("a_tb", "a_h1", "a_h2") < F.struct("b_tb", "b_h1", "b_h2")
+    )
+    # Pair counting WITHOUT map-side partial aggregation: pair keys are
+    # mostly unique (the long tail), so partial aggregation shuffles the
+    # same row count anyway but first burns a full hash-map build +
+    # spill-sort per task (measured: 700M partial rows, 13 GB spill).
+    # Repartitioning by the pair key first makes the child partitioning
+    # satisfy the aggregation's distribution requirement, so Catalyst
+    # plans a single complete-mode HashAggregate.  The 4-integer key
+    # (supports re-attached by the restore joins below) keeps shuffle
+    # rows fixed-width and 28 bytes.
+    pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
+    ov = (
+        pairs.select(*pkey)
+        .repartition(n_pair, *pkey)
+        .groupBy(*pkey)
+        .agg(F.count("*").alias("overlap"))
+    )
+    if min_overlap > 1:
+        ov = ov.filter(F.col("overlap") >= min_overlap)
+    return ov
+
+
+def _restore_capture_keys(ov: DataFrame, frequent: DataFrame) -> DataFrame:
+    """Replace hashed pair keys by the capture keys + supports
+    (result-sized broadcast joins), canonicalizing each pair to a < b by
+    capture key (hash order is internal)."""
+    fh = _with_capture_hash(frequent)
+    fa = fh.select(
+        F.col("h1").alias("a_h1"),
+        F.col("h2").alias("a_h2"),
+        F.col("code").alias("a_code"),
+        F.col("v1").alias("a_v1"),
+        F.col("v2").alias("a_v2"),
+        F.col("support").alias("a_support"),
+    )
+    fb = fh.select(
+        F.col("h1").alias("b_h1"),
+        F.col("h2").alias("b_h2"),
+        F.col("code").alias("b_code"),
+        F.col("v1").alias("b_v1"),
+        F.col("v2").alias("b_v2"),
+        F.col("support").alias("b_support"),
+    )
+    out = ov.join(F.broadcast(fa), on=["a_h1", "a_h2"]).join(
+        F.broadcast(fb), on=["b_h1", "b_h2"]
+    )
+    swap = F.struct("a_code", "a_v1", "a_v2") > F.struct("b_code", "b_v1", "b_v2")
+    sides = ("code", "v1", "v2", "support")
+    return out.select(
+        *[
+            F.when(swap, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
+            for c in sides
+        ],
+        *[
+            F.when(swap, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
+            for c in sides
+        ],
+        "overlap",
+    )
+
+
+def _side(cands: DataFrame, dep: str, ref: str) -> DataFrame:
+    return cands.filter(F.col("overlap") == F.col(f"{dep}_support")).select(
+        F.col(f"{dep}_code").alias("dep_code"),
+        F.col(f"{dep}_v1").alias("dep_v1"),
+        F.col(f"{dep}_v2").alias("dep_v2"),
+        F.col(f"{ref}_code").alias("ref_code"),
+        F.col(f"{ref}_v1").alias("ref_v1"),
+        F.col(f"{ref}_v2").alias("ref_v2"),
+        F.col(f"{dep}_support").alias("support"),
+    )
+
+
+def structural_implies() -> Column:
+    """Column predicate: dep ⊆ ref holds *structurally* (trivial CIND) —
+    ref equals dep or is one of its unary generalizations with the
+    matching value (reference trivial-CIND filter,
+    ``programs/RDFind.scala:497-504``)."""
+    same = (
+        (F.col("dep_code") == F.col("ref_code"))
+        & (F.col("dep_v1") == F.col("ref_v1"))
+        & (F.col("dep_v2") == F.col("ref_v2"))
+    )
+    conds = [same]
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            conds.append(
+                (F.col("dep_code") == F.lit(bcode))
+                & (F.col("ref_code") == F.lit(ucode))
+                & (F.col("ref_v1") == kept)
+            )
+    return reduce(lambda x, y: x | y, conds)
+
+
+def extract_cinds(cands: DataFrame) -> DataFrame:
+    """overlap == support ⇒ inclusion; emit both directions, drop
+    trivial (structurally implied) ones."""
+    cinds = _side(cands, "a", "b").unionByName(_side(cands, "b", "a"))
+    return cinds.filter(~structural_implies())
+
+
+def _dep_generalization_probe(cinds: DataFrame) -> DataFrame:
+    """For each binary-dep CIND, rows keyed by (unary generalization of
+    dep, same ref) — the keys a more-general CIND would occupy."""
+    probes = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            probes.append(
+                cinds.filter(F.col("dep_code") == bcode).select(
+                    "*",
+                    F.lit(ucode).alias("g_code"),
+                    kept.alias("g_v1"),
+                )
+            )
+    return reduce(lambda x, y: x.unionByName(y), probes)
+
+
+def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
+    """Minimality: drop CINDs implied by an emitted more-general CIND —
+    (a) broader dependent: a unary-dep CIND over a generalization of my
+    binary dep with the same ref; (b) narrower referenced: a CIND with
+    my dep and a binary ref refining my unary ref.  Mirrors the four
+    anti-joins of the reference (``plan/TraversalStrategy.scala:121-168``)
+    in two expansions, both against the full emitted set.
+
+    The input is persisted first: this function references ``cinds`` a
+    dozen times (probe + killer branches), and without materialization
+    each branch would recompute the entire upstream pair-join pipeline.
+    The CIND set is result-sized (orders of magnitude smaller than the
+    data), so this stays cheap at any scale."""
+    cinds = cinds.persist()
+    cinds.count()  # eager materialization before the many-branch reuse
+    all_cols = cinds.columns
+
+    # (a) binary dep implied by unary-dep CIND with same ref
+    killers_a = cinds.select(
+        F.col("dep_code").alias("g_code"),
+        F.col("dep_v1").alias("g_v1"),
+        "ref_code",
+        "ref_v1",
+        "ref_v2",
+    ).filter(F.col("g_code").isin(list(cc.VALID_UNARY_CODES)))
+    bad_a = (
+        _dep_generalization_probe(cinds)
+        .join(killers_a, on=["g_code", "g_v1", "ref_code", "ref_v1", "ref_v2"], how="left_semi")
+        .select(*all_cols)
+    )
+
+    # (b) unary ref implied by binary-ref CIND with same dep
+    killer_keys_b = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("ref_v1") if value_index == 1 else F.col("ref_v2")
+            killer_keys_b.append(
+                cinds.filter(F.col("ref_code") == bcode).select(
+                    F.col("dep_code").alias("k_dep_code"),
+                    F.col("dep_v1").alias("k_dep_v1"),
+                    F.col("dep_v2").alias("k_dep_v2"),
+                    F.lit(ucode).alias("k_ref_code"),
+                    kept.alias("k_ref_v1"),
+                )
+            )
+    killers_b = reduce(lambda x, y: x.unionByName(y), killer_keys_b)
+    bad_b = (
+        cinds.filter(F.col("ref_code").isin(list(cc.VALID_UNARY_CODES)))
+        .join(
+            killers_b,
+            on=[
+                F.col("dep_code") == F.col("k_dep_code"),
+                F.col("dep_v1") == F.col("k_dep_v1"),
+                F.col("dep_v2") == F.col("k_dep_v2"),
+                F.col("ref_code") == F.col("k_ref_code"),
+                F.col("ref_v1") == F.col("k_ref_v1"),
+            ],
+            how="left_semi",
+        )
+        .select(*all_cols)
+    )
+
+    bad = bad_a.unionByName(bad_b).distinct()
+    return cinds.join(bad, on=all_cols, how="left_anti")
+
+
+def discover_cinds(
+    triples: DataFrame, min_support: int = 10, minimal: bool = True
+) -> DataFrame:
+    """End-to-end CIND discovery: triples → pertinent (support ≥
+    min_support) CINDs, optionally minimal.  Output schema:
+    (dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2, support)."""
+    # dcap is consumed by several branches (support counts, the hot-line
+    # census, both self-join sides); persisting it turns 3-4 full
+    # scan+explode+distinct passes into one (MEMORY_AND_DISK: spills
+    # instead of failing when the capture table outgrows executor
+    # memory).
+    dcap = distinct_captures(capture_candidates(triples)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    supports = capture_supports(dcap)
+    # frequent is result-sized but feeds many broadcast builds (the
+    # pruning join, both restore joins); persisting stops the support
+    # aggregation from re-running for each.
+    frequent = frequent_captures(supports, min_support).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    capf = pruned_captures(dcap, frequent)
+    cands = capture_overlaps(capf, frequent, min_overlap=min_support)
+    # The dep/ref extraction references the overlap table twice (one
+    # branch per direction); materializing the result-sized table first
+    # stops the whole pair pipeline from running twice.
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    dcap.unpersist()
+    cinds = extract_cinds(cands)
+    if minimal:
+        cinds = remove_implied_cinds(cinds)
+    return cinds

@@ -1,0 +1,186 @@
+"""Triple sources.
+
+Two ways into the engine's core ``triples(subj, pred, obj)`` table:
+
+1. ``triple_view`` — deterministic melt of the driver's TPC-H-ish star
+   schema into triples (FIXTURES.md §3).  The SAME spec also renders to
+   ANSI SQL (``triple_view_sql``) so the DuckDB oracle sees an
+   identical input — one source of truth, two renderings.
+2. ``read_ntriples`` — N-Triples/N-Quads text files (reference behavior:
+   ``programs/RDFind.scala:204-237`` — comment filter, .gz transparent,
+   glob paths; here all native to ``spark.read.text``).
+
+Foreign-key edges give known-true CINDs by construction (e.g. every
+``o[p=byCustomer]`` value appears in ``s[p=inNation]``'s value set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# One melt rule: (table, subject_pieces, predicate, object_pieces).
+# A piece starting with '$' is a column (cast to string); otherwise a
+# string literal. Rendered identically into Spark and SQL.
+TRIPLE_SPEC: list[tuple[str, tuple[str, ...], str, tuple[str, ...]]] = [
+    ("region", ("region:", "$r_regionkey"), "hasName", ("$r_name",)),
+    ("nation", ("nation:", "$n_nationkey"), "hasName", ("$n_name",)),
+    ("nation", ("nation:", "$n_nationkey"), "inRegion", ("region:", "$n_regionkey")),
+    ("customer", ("cust:", "$c_custkey"), "inNation", ("nation:", "$c_nationkey")),
+    ("customer", ("cust:", "$c_custkey"), "inSegment", ("$c_mktsegment",)),
+    ("supplier", ("supp:", "$s_suppkey"), "inNation", ("nation:", "$s_nationkey")),
+    ("part", ("part:", "$p_partkey"), "hasBrand", ("$p_brand",)),
+    ("part", ("part:", "$p_partkey"), "hasType", ("$p_type",)),
+    ("orders", ("order:", "$o_orderkey"), "hasStatus", ("$o_orderstatus",)),
+    ("orders", ("order:", "$o_orderkey"), "hasPriority", ("$o_orderpriority",)),
+    ("orders", ("order:", "$o_orderkey"), "byCustomer", ("cust:", "$o_custkey")),
+    (
+        "lineitem",
+        ("li:", "$l_orderkey", ":", "$l_linenumber"),
+        "ofOrder",
+        ("order:", "$l_orderkey"),
+    ),
+    (
+        "lineitem",
+        ("li:", "$l_orderkey", ":", "$l_linenumber"),
+        "ofPart",
+        ("part:", "$l_partkey"),
+    ),
+    (
+        "lineitem",
+        ("li:", "$l_orderkey", ":", "$l_linenumber"),
+        "bySupplier",
+        ("supp:", "$l_suppkey"),
+    ),
+    (
+        "lineitem",
+        ("li:", "$l_orderkey", ":", "$l_linenumber"),
+        "returnFlag",
+        ("$l_returnflag",),
+    ),
+    (
+        "lineitem",
+        ("li:", "$l_orderkey", ":", "$l_linenumber"),
+        "lineStatus",
+        ("$l_linestatus",),
+    ),
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def _pieces_to_col(pieces: tuple[str, ...]):
+    cols = [
+        F.col(p[1:]).cast("string") if p.startswith("$") else F.lit(p) for p in pieces
+    ]
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+
+def _pieces_to_sql(pieces: tuple[str, ...]) -> str:
+    parts = [
+        f"CAST({p[1:]} AS VARCHAR)" if p.startswith("$") else f"'{p}'" for p in pieces
+    ]
+    return parts[0] if len(parts) == 1 else " || ".join(parts)
+
+
+def triple_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the star schema at ``sf_dir`` into ``(subj, pred, obj)``."""
+    tables: dict[str, DataFrame] = {}
+    out: DataFrame | None = None
+    for table, subj, pred, obj in TRIPLE_SPEC:
+        if table not in tables:
+            tables[table] = load_table(spark, sf_dir, table)
+        part = tables[table].select(
+            _pieces_to_col(subj).alias("subj"),
+            F.lit(pred).alias("pred"),
+            _pieces_to_col(obj).alias("obj"),
+        )
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    return out
+
+
+def triple_view_sql() -> str:
+    """The same melt as ANSI SQL over tables named like TABLES
+    (DuckDB-compatible; used as the oracle's ``triples`` CTE body)."""
+    selects = [
+        f"SELECT {_pieces_to_sql(subj)} AS subj, '{pred}' AS pred, "
+        f"{_pieces_to_sql(obj)} AS obj FROM {table}"
+        for table, subj, pred, obj in TRIPLE_SPEC
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
+# --- N-Triples text path (reference S1-S6) -------------------------------
+
+_NT_PATTERN = (
+    r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
+    r"(?:<([^>]*)>|(_:\S+)|(\".*\"(?:\^\^<[^>]*>|@[\w-]+)?))\s*\.\s*$"
+)
+
+
+def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read N-Triples text file(s) into ``(subj, pred, obj)``.
+
+    Comment lines (``#``) are dropped (reference
+    ``programs/RDFind.scala:211-213``); ``.gz`` decompresses natively;
+    glob patterns in ``paths`` are expanded by Spark.  Literal objects
+    keep their quoted lexical form minus datatype/lang suffix, matching
+    the reference's use of plain string values.
+    """
+    lines = spark.read.text(paths)
+    parsed = (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.coalesce(
+                F.regexp_extract("value", _NT_PATTERN, 1),
+                F.regexp_extract("value", _NT_PATTERN, 2),
+            ).alias("subj"),
+            F.regexp_extract("value", _NT_PATTERN, 3).alias("pred"),
+            F.coalesce(
+                F.nullif(F.regexp_extract("value", _NT_PATTERN, 4), F.lit("")),
+                F.nullif(F.regexp_extract("value", _NT_PATTERN, 5), F.lit("")),
+                F.regexp_replace(
+                    F.regexp_extract("value", _NT_PATTERN, 6),
+                    r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$',
+                    r"$1",
+                ),
+            ).alias("obj"),
+        )
+        .filter((F.col("subj") != "") & (F.col("pred") != ""))
+    )
+    return parsed
+
+
+def parse_prefixes(spark: SparkSession, path: str) -> DataFrame:
+    """Parse ``@prefix p: <url> .`` lines into ``(prefix, url)``
+    (reference ``operators/ParseRdfPrefixes.scala:12-27``)."""
+    pat = r"^@prefix\s+([^:\s]*):\s*<([^>]*)>\s*\.\s*$"
+    return (
+        spark.read.text(path)
+        .select(
+            F.regexp_extract("value", pat, 1).alias("prefix"),
+            F.regexp_extract("value", pat, 2).alias("url"),
+        )
+        .filter(F.col("url") != "")
+    )

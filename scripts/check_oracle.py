@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Mimic the driver's t2 correctness gate: for every key in
+``__spark_entry__.queries()``, run the Spark DataFrame and the DuckDB
+oracle SQL on the same parquet dir and compare row count, schema width,
+and order-insensitive value multiset.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(rows, columns):
+    """Sort columns by name, round floats, stringify, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else f"{v:.9g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from rdfind_spark.sources.triples import TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        spark_rows = df.collect()
+        spark_cols = df.columns
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(spark_rows):8d} (no oracle, rows-only) "
+                  f"[{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        t_duck = time.time() - t0
+        ok_schema = sorted(spark_cols) == sorted(duck_cols)
+        a = normalize(spark_rows, spark_cols)
+        b = normalize(duck_rows, duck_cols)
+        ok = ok_schema and a == b
+        status = "OK " if ok else "FAIL"
+        print(
+            f"  {name:32s} {status} rows={len(a)}/{len(b)} "
+            f"schema={'ok' if ok_schema else f'{sorted(spark_cols)} vs {sorted(duck_cols)}'} "
+            f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]"
+        )
+        if not ok:
+            failures += 1
+            if a != b:
+                only_a = [r for r in a if r not in set(b)][:3]
+                only_b = [r for r in b if r not in set(a)][:3]
+                print(f"    spark-only: {only_a}")
+                print(f"    duck-only : {only_b}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

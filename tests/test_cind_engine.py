@@ -1,0 +1,249 @@
+"""CIND engine correctness against an independent brute-force oracle
+(pure Python set algebra, hand-spelled capture emission) and against the
+generated DuckDB oracle SQL on the sf0.001 star schema."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import duckdb
+import pytest
+
+from rdfind_spark import condition_codes as cc
+from rdfind_spark.operators.cind import discover_cinds
+from rdfind_spark.oracle import cind_sql
+from rdfind_spark.sources.triples import TABLES, triple_view
+
+# ---------------------------------------------------------------- oracle
+
+
+def brute_capture_sets(triples):
+    """capture -> set of projected (join) values; emission spelled out
+    by hand, independent of rdfind_spark.operators.captures."""
+    capsets: dict[tuple[int, str, str], set[str]] = {}
+
+    def add(code, v1, v2, jv):
+        capsets.setdefault((code, v1, v2), set()).add(jv)
+
+    for s, p, o in triples:
+        add(10, p, "", s)
+        add(12, o, "", s)
+        add(14, p, o, s)
+        add(17, s, "", p)
+        add(20, o, "", p)
+        add(21, s, o, p)
+        add(33, s, "", o)
+        add(34, p, "", o)
+        add(35, s, p, o)
+    return capsets
+
+
+def brute_cinds(triples, min_support, minimal=True):
+    capsets = brute_capture_sets(triples)
+    out = set()
+    for dep, dset in capsets.items():
+        if len(dset) < min_support:
+            continue
+        for ref, rset in capsets.items():
+            if dep == ref:
+                continue
+            if cc.capture_implies(*dep, *ref):
+                continue  # trivial
+            if dset <= rset:
+                out.add((*dep, *ref, len(dset)))
+    if minimal:
+        def killed(c):
+            dep, ref = c[0:3], c[3:6]
+            for k in out:
+                kdep, kref = k[0:3], k[3:6]
+                if k == c:
+                    continue
+                # broader dependent with same ref
+                if kref == ref and any(
+                    kdep == (g, (dep[1] if i == 1 else dep[2]), "")
+                    for g, i in cc.generalizations(dep[0])
+                ):
+                    return True
+                # narrower referenced with same dep
+                if kdep == dep and any(
+                    ref == (g, (kref[1] if i == 1 else kref[2]), "")
+                    for g, i in cc.generalizations(kref[0])
+                ):
+                    return True
+            return False
+
+        out = {c for c in out if not killed(c)}
+    return out
+
+
+def spark_cinds(spark, triples, min_support, minimal=True):
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    rows = discover_cinds(df, min_support=min_support, minimal=minimal).collect()
+    return {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in rows
+    }
+
+
+# --------------------------------------------------------------- fixtures
+
+# tiny-cind (FIXTURES.md §2): strict inclusion, equal sets, overlap-only,
+# binary case, below-min-support values.
+TINY = (
+    # p1 subjects {a1..a4} strictly inside p2 subjects {a1..a6}
+    [(f"a{i}", "p1", "x") for i in range(1, 5)]
+    + [(f"a{i}", "p2", "y") for i in range(1, 7)]
+    # p3/p4 equal subject sets {b1,b2,b3} -> CINDs both ways
+    + [(f"b{i}", "p3", "m") for i in range(1, 4)]
+    + [(f"b{i}", "p4", "n") for i in range(1, 4)]
+    # p5/p6 overlap but no inclusion
+    + [("c1", "p5", "u"), ("c2", "p5", "u"), ("c3", "p5", "u")]
+    + [("c2", "p6", "v"), ("c3", "p6", "v"), ("c4", "p6", "v")]
+    # binary: subjects with (p2, obj=y) = {a1..a6} ⊇ subjects of p1
+    # rare predicate below min support
+    + [("z1", "rare", "w")]
+)
+
+
+def test_tiny_fixture_minimal(spark):
+    expected = brute_cinds(TINY, min_support=2, minimal=True)
+    got = spark_cinds(spark, TINY, min_support=2, minimal=True)
+    assert got == expected
+    assert expected, "fixture must produce at least one CIND"
+    # known-true: subjects of p1 ⊆ subjects of p2; since all p2 triples
+    # share obj=y the minimal form is the refined ref s[p=p2,o=y]
+    # (the plain 10<10 form is correctly killed by "1/1 implied by 1/2")
+    assert (10, "p1", "", 14, "p2", "y", 4) in got
+    assert (10, "p1", "", 10, "p2", "", 4) not in got
+    # equal sets both ways (minimal = refined-ref forms)
+    assert (10, "p3", "", 14, "p4", "n", 3) in got
+    assert (10, "p4", "", 14, "p3", "m", 3) in got
+    # overlap-only pair must NOT be a CIND
+    assert not any(c[1] == "p5" and c[4] == "p6" for c in got)
+
+
+def test_tiny_fixture_nonminimal(spark):
+    expected = brute_cinds(TINY, min_support=2, minimal=False)
+    got = spark_cinds(spark, TINY, min_support=2, minimal=False)
+    assert got == expected
+    assert len(expected) >= len(brute_cinds(TINY, 2, True))
+
+
+@pytest.mark.parametrize("seed,n", [(1, 150), (2, 250), (3, 400)])
+def test_random_triples_match_brute_force(spark, seed, n):
+    rng = random.Random(seed)
+    triples = [
+        (
+            f"s{rng.randrange(10)}",
+            f"p{rng.randrange(4)}",
+            f"o{rng.randrange(6)}",
+        )
+        for _ in range(n)
+    ]
+    triples = list({t for t in triples})  # engine input need not be distinct,
+    # but dedup keeps the brute-force semantics identical
+    for minimal in (False, True):
+        expected = brute_cinds(triples, min_support=3, minimal=minimal)
+        got = spark_cinds(spark, triples, min_support=3, minimal=minimal)
+        assert got == expected, f"minimal={minimal}"
+
+
+def test_salted_pair_join_matches_brute_force(spark, monkeypatch):
+    """Force the hot-line salting path (HOT_LINE_K tiny) and check the
+    result is identical to the unsalted semantics."""
+    from rdfind_spark.operators import cind as cind_mod
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 2)
+    monkeypatch.setattr(cind_mod, "N_SALT", 4)
+    rng = random.Random(7)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(8)}",
+                f"p{rng.randrange(3)}",
+                f"o{rng.randrange(5)}",
+            )
+            for _ in range(300)
+        }
+    )
+    for minimal in (False, True):
+        expected = brute_cinds(triples, min_support=3, minimal=minimal)
+        got = spark_cinds(spark, triples, min_support=3, minimal=minimal)
+        assert got == expected, f"minimal={minimal}"
+
+
+def test_hot_line_mask_path_matches_brute_force(spark, monkeypatch):
+    """One hub value shared by many frequent captures + min_support >
+    #hot-lines exercises the cold-pairs + hot-bitmask path."""
+    from rdfind_spark.operators import cind as cind_mod
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 50)
+    # 40 subjects, each with the hub object + 12 private objects: the
+    # hub join line carries 81 frequent captures (hot); all other lines
+    # are small.  min_support=10 > 1 hot line -> mask path.
+    triples = []
+    for i in range(40):
+        triples.append((f"x{i}", "p", "hub"))
+        triples += [(f"x{i}", "p", f"o{i}_{j}") for j in range(12)]
+    expected = brute_cinds(triples, min_support=10, minimal=False)
+    got = spark_cinds(spark, triples, min_support=10, minimal=False)
+    assert got == expected
+    assert expected, "fixture must produce CINDs"
+    # sanity: the hub line really was hot (81 > 50) and unique
+    from rdfind_spark.operators.captures import capture_candidates
+    from rdfind_spark.operators.cind import (
+        capture_supports,
+        distinct_captures,
+        frequent_captures,
+        pruned_captures,
+    )
+
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    dcap = distinct_captures(capture_candidates(df))
+    freq = frequent_captures(capture_supports(dcap), 10)
+    capf = pruned_captures(dcap, freq)
+    import pyspark.sql.functions as F
+
+    hot = (
+        capf.groupBy("join_value")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 50)
+        .collect()
+    )
+    assert len(hot) == 1 and hot[0]["join_value"] == "hub"
+
+
+def test_duplicate_triples_do_not_change_result(spark):
+    dup = TINY + TINY[:7]
+    assert spark_cinds(spark, dup, 2) == brute_cinds(TINY, 2)
+
+
+# ----------------------------------------------- sf0.001 vs DuckDB oracle
+
+
+def _duckdb_with_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_cind_sql_matches_spark_on_sf0001(spark, sf_dir):
+    got = {
+        tuple(r)
+        for r in discover_cinds(
+            triple_view(spark, sf_dir), min_support=10, minimal=True
+        ).collect()
+    }
+    con = _duckdb_with_views(sf_dir)
+    expected = {tuple(r) for r in con.execute(cind_sql(10, True)).fetchall()}
+    assert got == expected
+    assert len(got) > 0
+    # FK inclusion by construction: every byCustomer object is an inNation subject
+    assert any(
+        c[0] == 33 and c[1] == "byCustomer" and c[3] == 10 and c[4] == "inNation"
+        for c in got
+    ) or any(c[1] == "byCustomer" for c in got)
