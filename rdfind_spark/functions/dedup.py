@@ -1,0 +1,386 @@
+"""Deduplication operators over the ``documents`` table: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (100 TB posture):
+
+* Exact dedup is a hash-groupBy — one shuffle of (hash, doc_id).
+* N-gram Jaccard uses the inverted-index self-join (shingle → doc);
+  like the CIND pair join, hot shingles blow up quadratically, so
+  shingles shared by more than ``MAX_SHINGLE_DOCS`` documents are
+  dropped (an uninformative shingle contributes almost nothing to
+  Jaccard but dominates the pair explosion — the same frequency-pruning
+  idea the CIND engine uses, in reverse).
+* MinHash+LSH replaces the all-pairs join with banded bucket joins:
+  only documents sharing a band key are candidate pairs, then exact
+  Jaccard verifies.  Candidate generation cost is linear in documents ×
+  bands.
+* SimHash pairs here use an all-pairs comparison (fine at test scale);
+  the documented scale path is banding the fingerprint bytes the same
+  way.
+* Embedding-cosine brute force is quadratic by definition; the scale
+  path is rdfind_spark.functions.similarity (IVF bucketing).
+
+All content hashing is md5 (bit-identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions.text import tokens_col
+
+NGRAM_K = 3  # tokens per dedup shingle
+MAX_SHINGLE_DOCS = 100  # inverted-index hot-shingle cap
+JACCARD_THRESHOLD = 0.18
+MINHASH_K = 12  # number of min-hashes
+LSH_BANDS = 4  # bands (rows per band = MINHASH_K / LSH_BANDS)
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 2
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def normalized_text() -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def exact_dedup_map(documents: DataFrame) -> DataFrame:
+    """doc_id → canonical doc_id (the smallest doc_id sharing the same
+    normalized-text md5).  Self-mapping rows included so the output is
+    total (and the oracle check non-vacuous even without duplicates)."""
+    hashed = documents.select(
+        "doc_id", F.md5(normalized_text()).alias("text_hash")
+    )
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return hashed.join(canon, on="text_hash").select(
+        "doc_id", "canonical_id", "text_hash"
+    )
+
+
+def exact_dedup_map_sql() -> str:
+    return """WITH h AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+c AS (SELECT text_hash, MIN(doc_id) AS canonical_id FROM h GROUP BY text_hash)
+SELECT doc_id, canonical_id, h.text_hash FROM h JOIN c USING (text_hash)"""
+
+
+def _shingles(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document."""
+    toks = tokens_col(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def _shingles_sql(k: int) -> str:
+    return f"""SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len(toks) - {k - 2}, 2)),
+         i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)"""
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard, computed with
+    an inverted-index self-join (shingle → docs), counting shared
+    shingles per doc pair, then |A∩B| / (|A| + |B| - |A∩B|)."""
+    sh = _shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_shingle_docs
+    )
+    cold = sh.join(F.broadcast(hot.select("shingle")), on="shingle", how="left_anti")
+    a = cold.select("shingle", F.col("doc_id").alias("a_id"))
+    b = cold.select("shingle", F.col("doc_id").alias("b_id"))
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jac = F.round(
+        F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 6
+    )
+    return (
+        common.join(F.broadcast(sa), on="a_id")
+        .join(F.broadcast(sb), on="b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> str:
+    return f"""WITH sh AS MATERIALIZED (
+{_shingles_sql(k)}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_shingle_docs}),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a_id = sa.doc_id
+JOIN sizes sb ON common.b_id = sb.doc_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash signature per document: min over shingles
+    of md5(i || ':' || shingle) for i in 0..k-1."""
+    toks = tokens_col(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (NGRAM_K - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_K)),
+        )
+    )
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return documents.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the k-wide signature into
+    ``bands`` groups, bucket-join on (band index, band key), then verify
+    candidates with exact shingle Jaccard.  Output = (a_id, b_id,
+    jaccard) — identical semantics to ngram_jaccard_pairs restricted to
+    LSH candidates."""
+    r = k // bands
+    sig = minhash_signatures(documents, k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{band * r + j}") for j in range(r)])).alias(
+            f"band{band}"
+        )
+        for band in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    keys = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"band{band}").alias("key")
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = keys.select("band", "key", F.col("doc_id").alias("a_id"))
+    b = keys.select("band", "key", F.col("doc_id").alias("b_id"))
+    cands = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, threshold=0.0, max_shingle_docs=10**9)
+    return exact.join(cands, on=["a_id", "b_id"], how="left_semi").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> str:
+    r = k // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(k)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{band * r + j}" for j in range(r))
+        + f") AS band{band}"
+        for band in range(bands)
+    )
+    band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, band{band} AS key FROM banded"
+        for band in range(bands)
+    )
+    return f"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+shl AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(toks) - {NGRAM_K - 2}, 2)),
+      i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))) AS sh
+  FROM docs
+),
+sig AS (SELECT doc_id, {mh_cols} FROM shl),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+keys AS ({band_union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common c
+JOIN cands USING (a_id, b_id)
+JOIN sizes sa ON c.a_id = sa.doc_id
+JOIN sizes sb ON c.b_id = sb.doc_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: bit j is the sign of the sum over tokens of
+    ±1 votes, where a token's vote for bit j is the parity of hex digit
+    j of its md5 (portable across engines, unlike native hash
+    functions).  Fingerprint packed into a BIGINT."""
+    toks = tokens_col(F.col("text"))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    bit_terms = []
+    for j in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.ascii(F.substring(h, j + 1, 1)) % 2 == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(
+            F.when(votes > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return documents.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_fingerprints_sql(bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        )
+    return f"""WITH t AS (
+  SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> md5(t)) AS hs
+  FROM documents
+)
+SELECT doc_id, {' + '.join(terms)} AS simhash FROM t"""
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  All-pairs at test
+    scale; band the fingerprint bytes (pigeonhole) for the cluster-scale
+    path."""
+    fp = simhash_fingerprints(documents)
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
+    ham = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    return f"""WITH fp AS MATERIALIZED (
+{simhash_fingerprints_sql()}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a, fp b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in double
+    precision (rounded to 6 decimals for cross-engine stability)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return F.round(dot / (na * nb), 6)
+
+
+COSINE_SQL = (
+    "round(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs: all pairs with cosine ≥ threshold.
+    Brute force (the correctness baseline); the IVF variant in
+    functions.similarity is the scale path."""
+    a = embeddings.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    cos = cosine_col(F.col("a_emb"), F.col("b_emb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_sql(threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}"""

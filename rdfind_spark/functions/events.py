@@ -1,0 +1,162 @@
+"""Event-stream analytics over the ``events`` table: tumbling-window
+aggregates, gap-based sessionization, per-day top-k — the window/time
+operators the reference lacks (Flink DataSet batch only, SURVEY §2.9)
+but any training-data/event pipeline needs.
+
+The same logic runs unchanged over a stream via
+``rdfind_spark.streaming`` (readStream + watermark); here it is
+expressed batch-first so the DuckDB oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+TOP_K_USERS = 5
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + value sum.
+    (Streaming form: groupBy(window(ts, '1 hour'), event_type) with a
+    watermark — see rdfind_spark.streaming.windows.)"""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+def hourly_event_counts_sql() -> str:
+    return """SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, round(SUM(value), 6) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: a user's events belong to one session
+    while consecutive gaps stay under ``gap_min`` minutes.  Classic
+    lag + cumulative-sum window pattern; one shuffle by user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_breaks = events.withColumn(
+        "is_break",
+        F.when(gap.isNull() | (gap > gap_min * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = with_breaks.withColumn(
+        "session_no", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def sessionize_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > {gap_min * 60}
+            THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2"""
+
+
+def top_purchasers_per_day(events: DataFrame, k: int = TOP_K_USERS) -> DataFrame:
+    """Per day: the k users with the highest summed purchase value
+    (rank ties broken by user_id)."""
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("purchase_value"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("purchase_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("day", "user_id", "purchase_value", "rank")
+    )
+
+
+def top_purchasers_per_day_sql(k: int = TOP_K_USERS) -> str:
+    return f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+         round(SUM(value), 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY purchase_value DESC, user_id ASC) AS rank
+  FROM daily
+)
+SELECT day, user_id, purchase_value, rank FROM ranked WHERE rank <= {k}"""
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel: did the user view → click → purchase (in that
+    temporal order)?  Outputs one row per funnel stage with the user
+    count that reached it — a conditional min-timestamp cascade, no
+    self-joins."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    staged = per_user.select(
+        F.col("t_view").isNotNull().alias("s1"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+        ).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.sum(F.col("s1").cast("long")).alias("n_viewed"),
+        F.sum(F.col("s2").cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+def event_funnel_sql() -> str:
+    return """WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view AND t_purchase IS NOT NULL
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+FROM per_user"""

@@ -1,0 +1,209 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (correctness baseline) and an IVF-bucketed variant (the scale
+path: probe only the nearest centroid buckets instead of scanning all
+vectors).
+
+Determinism: IVF "training" picks the first N_CENTROIDS vectors by
+vec_id as centroids, so both engines derive the identical index and
+results are exactly comparable.  Ordering ties are broken by vec_id.
+All scoring is double-precision cosine rounded to 6 decimals (see
+functions.dedup.cosine_col).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions.dedup import COSINE_SQL, cosine_col
+
+N_QUERIES = 5  # the first N vectors double as the query workload
+TOP_K = 10
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """For each query vector (vec_id < n_queries): the k nearest other
+    vectors by cosine.  Full scan per query — the exact baseline every
+    ANN variant is judged against."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_bruteforce_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (centroids = the
+    first n_centroids vectors).  This is the IVF index build: one
+    broadcast of the centroid table, one scan of the vectors — at
+    cluster scale the posting lists would be written bucketed/sorted by
+    centroid_id for bucket-pruned probing."""
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_col(F.col("embedding"), F.col("c_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_assignments_sql(n_centroids: int = N_CENTROIDS) -> str:
+    cos = COSINE_SQL.format(a="v.embedding", b="c.embedding")
+    return f"""WITH scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id, {cos} AS cosine
+  FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, centroid_id ASC) AS rnk
+  FROM scored
+)
+SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1"""
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF approximate k-NN: each query scores only vectors assigned to
+    its n_probe nearest centroids.  The candidate join is
+    (query → probed centroid) ⋈ (centroid → bucket members), so the
+    scan cost drops from |vectors| to the probed buckets' share."""
+    assign = ivf_assignments(embeddings, n_centroids)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_emb",
+        "centroid_id",
+        cosine_col(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    bucket = assign.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        ),
+        on=[assign.vec_id == F.col("neighbor_id")],
+    ).select("centroid_id", "neighbor_id", "n_emb")
+    scored = (
+        probes.join(bucket, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_ivf_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    cos_vc = COSINE_SQL.format(a="v.embedding", b="c.embedding")
+    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    cos_qn = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""WITH assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {n_queries} AND c.vec_id < {n_centroids}
+  ) WHERE rnk <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""

@@ -1,0 +1,187 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language identification, document
+fingerprinting.
+
+Design: everything is built-in column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs in the hot path.  Each query has
+a DuckDB-SQL rendering generated from the SAME constants (stopword and
+marker lists, shingle width), so the driver oracle checks the Spark
+plan, not a re-specification.
+
+Hash discipline: only ``md5`` is used for content hashing because it is
+bit-identical across Spark and DuckDB (``xxhash64``/``hash`` are
+engine-specific).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ constants
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+# language marker words for the n-gram/marker language-ID heuristic;
+# tie-break priority = tuple order.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "of", "fast", "slow")),
+    ("fr", ("le", "la", "et", "de", "est", "avec")),
+    ("de", ("der", "die", "und", "ist", "mit", "nicht")),
+    ("es", ("el", "la", "y", "de", "es", "con")),
+    ("zh", ("de5", "shi4", "he2", "zai4", "le5", "you3")),
+)
+
+SHINGLE_K = 5  # tokens per fingerprint shingle
+
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+# ------------------------------------------------------------- builders
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token census: whitespace tokens, BPE-ish regex
+    tokens (word pieces + punctuation singletons), character count."""
+    toks = tokens_col(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def token_stats_sql() -> str:
+    return """SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens
+FROM documents"""
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, punctuation ratio,
+    distinct-token ratio, mean token length — the standard cheap
+    filters of web-scale corpus cleaning.  Ratios are rounded to 6
+    decimals so threshold comparisons are stable across engines."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    return documents.select(
+        "doc_id",
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
+        F.round((F.length("text") - n + 1) / n, 6).alias("mean_token_len"),
+    )
+
+
+def quality_scores_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN ({stoplist}))) / len(toks), 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 6) AS punct_ratio,
+       round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+       round((length(text) - len(toks) + 1) / len(toks), 6) AS mean_token_len
+FROM t"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language identification: score each language by its
+    marker hits, pick the best (ties resolved by LANG_MARKERS order).
+    A real pipeline swaps the marker lists for character-n-gram
+    profiles; the operator shape (pure column expressions, no UDF) is
+    the point."""
+    toks = tokens_col(F.col("text"))
+    scores = []
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                f"s_{lang}"
+            )
+        )
+    scored = documents.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in LANG_MARKERS])
+    pick = None
+    for lang, _ in reversed(LANG_MARKERS):
+        cond = F.col(f"s_{lang}") == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else F.when(
+            cond, F.lit(lang)
+        ).otherwise(pick)
+    # reversed + overwrite order makes the FIRST list entry win ties
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pick.alias("detected_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def lang_id_sql() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    ) + " END"
+    return f"""WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM t)
+SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang,
+       {best} AS marker_hits
+FROM s"""
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Rolling-shingle document fingerprint: md5 of every SHINGLE_K-token
+    window, keep the minimum (a 1-hash MinHash) — the standard cheap
+    content fingerprint for fuzzy dedup.  Documents shorter than one
+    shingle fall back to the md5 of the whole normalized text."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_K))),
+    )
+    fp = F.when(n >= SHINGLE_K, F.array_min(win_hashes)).otherwise(
+        F.md5(F.concat_ws(" ", toks))
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprints_sql() -> str:
+    k = SHINGLE_K
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) >= {k}
+            THEN list_min(list_transform(range(1, len(toks) - {k - 2}),
+                          i -> md5(array_to_string(toks[i:i+{k - 1}], ' '))))
+            ELSE md5(array_to_string(toks, ' '))
+       END AS fingerprint
+FROM t"""

@@ -11,8 +11,10 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rdfind_spark import oracle
+from rdfind_spark.functions import dedup, events, multimodal, similarity, text
 from rdfind_spark.operators import census, rules
 from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
@@ -115,3 +117,133 @@ def join_line_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confidence-1.0 association rules (J2/J3 + AR mining)."""
     return rules.association_rules(triple_view(spark, sf_dir), MIN_SUPPORT, 1.0)
+
+
+# ----------------------------------------- training-data pipeline: text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    # reader rejects; read nanos as long and truncate to microseconds
+    # (exactly what DuckDB's implicit TIMESTAMP_NS → TIMESTAMP cast
+    # does, so the oracle sees identical instants).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register("text_token_stats", text.token_stats_sql())
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token census (whitespace + BPE-ish regex)."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+@register("text_quality_scores", text.quality_scores_sql())
+def text_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (stopword/punct/distinct ratios)."""
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+@register("text_lang_id", text.lang_id_sql())
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language identification."""
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", text.fingerprints_sql())
+def text_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle min-hash document fingerprints."""
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------- training-data pipeline: dedup
+
+
+@register("dedup_exact", dedup.exact_dedup_map_sql())
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup map: doc_id → canonical id by normalized-text md5."""
+    return dedup.exact_dedup_map(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs_sql())
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard (inverted-index join)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", dedup.minhash_lsh_pairs_sql())
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", dedup.simhash_pairs_sql())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_embedding_cosine", dedup.embedding_cosine_pairs_sql())
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold, brute force)."""
+    return dedup.embedding_cosine_pairs(_embs(spark, sf_dir))
+
+
+# ----------------------------------- training-data pipeline: similarity
+
+
+@register("knn_bruteforce", similarity.knn_bruteforce_sql())
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the query vectors."""
+    return similarity.knn_bruteforce(_embs(spark, sf_dir))
+
+
+@register("knn_ivf", similarity.knn_ivf_sql())
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (deterministic index)."""
+    return similarity.knn_ivf(_embs(spark, sf_dir))
+
+
+# --------------------------------------------------- event analytics
+
+
+@register("events_hourly_counts", events.hourly_event_counts_sql())
+def events_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts + value sums."""
+    return events.hourly_event_counts(_events(spark, sf_dir))
+
+
+@register("events_sessionize", events.sessionize_sql())
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap)."""
+    return events.sessionize(_events(spark, sf_dir))
+
+
+@register("events_top_purchasers", events.top_purchasers_per_day_sql())
+def events_top_purchasers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-k users by purchase value."""
+    return events.top_purchasers_per_day(_events(spark, sf_dir))
+
+
+@register("events_funnel", events.event_funnel_sql())
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel reach counts."""
+    return events.event_funnel(_events(spark, sf_dir))
+
+
+# ------------------------------------------------------- multimodal
+
+
+@register("multimodal_features", multimodal.multimodal_features_sql())
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing + Arrow-batched feature extraction
+    (mapInPandas), verified end-to-end against SQL."""
+    return multimodal.multimodal_features(_docs(spark, sf_dir))

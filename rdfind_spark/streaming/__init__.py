@@ -1,0 +1,12 @@
+"""Structured Streaming surfaces: the events analytics of
+``rdfind_spark.functions.events`` re-expressed over ``readStream`` with
+watermarks, plus a custom stateful sessionizer
+(``applyInPandasWithState``).  The reference has no streaming at all
+(SURVEY §2.9); this is part of the beyond-reference pipeline surface."""
+
+from rdfind_spark.streaming.windows import (  # noqa: F401
+    hourly_counts_stream,
+    run_available_now,
+    stream_events,
+    streaming_sessionize,
+)

@@ -1,0 +1,172 @@
+"""Streaming event analytics: file-source stream + watermarked windows
++ a custom stateful sessionizer.
+
+Batch/stream parity: ``hourly_counts_stream`` computes exactly
+``functions.events.hourly_event_counts`` (the batch form the DuckDB
+oracle verifies); the streaming test drives it with
+``Trigger.AvailableNow`` and asserts equality against the batch result.
+At scale the same query runs continuously: the watermark bounds state,
+and Spark's incremental hash aggregation keeps one row of state per
+(window, event_type).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see queries._events)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanosecond ts read
+    as long and truncated to microseconds, matching the batch path).
+    The file source requires a *directory*; a single events.parquet file
+    is staged into a temp dir via symlink."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        src = d
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming rendering of
+    ``hourly_event_counts`` (late rows beyond the watermark dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "value_sum")
+    )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_GAP_SEC = 30 * 60
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user session assembly: carry (start, end, count)
+    across micro-batches, emit a session when the event-time gap
+    exceeds the threshold, flush on timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start, end, n = state.get
+            yield pd.DataFrame(
+                [[user_id, pd.Timestamp(start, unit="us"), pd.Timestamp(end, unit="us"), n]],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            state.remove()
+        return
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    out = []
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = None
+        n = 0
+    for ts in rows["ts"]:
+        ts_us = int(ts.value // 1000)  # pandas ns → µs
+        if start_us is None:
+            start_us, end_us, n = ts_us, ts_us, 1
+        elif ts_us - end_us > _SESSION_GAP_SEC * 1_000_000:
+            out.append([user_id, pd.Timestamp(start_us, unit="us"),
+                        pd.Timestamp(end_us, unit="us"), n])
+            start_us, end_us, n = ts_us, ts_us, 1
+        else:
+            end_us, n = ts_us, n + 1
+    state.update((start_us, end_us, n))
+    try:
+        state.setTimeoutDuration(60_000)  # no-op unless timeouts enabled
+    except Exception:
+        pass  # NoTimeout mode: flush-on-idle disabled
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+
+def streaming_sessionize(events: DataFrame, flush_on_idle: bool = False) -> DataFrame:
+    """Custom stateful operator: gap-based sessions via
+    ``applyInPandasWithState`` (the Spark-native form of a Flink keyed
+    process function).  Sessions are emitted when closed by a gap; the
+    open session per user lives in state.  ``flush_on_idle`` adds a
+    processing-time timeout that also emits idle open sessions — leave
+    it off under Trigger.AvailableNow (pending timeouts keep scheduling
+    batches, so the query would never terminate)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_on_idle
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType="start LONG, end LONG, n LONG",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DataFrame to a memory sink with
+    Trigger.AvailableNow and block until done; returns the sink table
+    name (query results via ``spark.table(name)``)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

@@ -1,0 +1,175 @@
+"""Unit tests for the training-data-pipeline operators (text, dedup,
+similarity, events) on small hand-checkable inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions import dedup, events, similarity, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_token_stats_and_quality(spark):
+    df = _docs(spark, ["the cat sat on the mat.", "a a a a"])
+    stats = {r["doc_id"]: r for r in text.token_stats(df).collect()}
+    assert stats[0]["n_tokens"] == 6
+    assert stats[0]["n_bpe_tokens"] == 7  # 6 words + '.'
+    assert stats[1]["n_distinct_tokens"] == 1
+    q = {r["doc_id"]: r for r in text.quality_scores(df).collect()}
+    assert q[1]["distinct_ratio"] == 0.25
+    assert q[0]["stopword_ratio"] == 0.5  # the, on, the (of 6)
+    assert q[1]["punct_ratio"] == 0.0
+
+
+def test_lang_id_deterministic(spark):
+    df = _docs(spark, ["the fast table", "le la et chose", "xyzzy blub"])
+    got = {r["doc_id"]: r["detected_lang"] for r in text.lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "en"  # all-zero scores fall back to first language
+
+
+def test_fingerprint_matches_manual_minhash(spark):
+    toks = ["w%d" % i for i in range(8)]
+    txt = " ".join(toks)
+    expected = min(
+        hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+        for i in range(4)
+    )
+    got = text.fingerprints(_docs(spark, [txt])).collect()[0]["fingerprint"]
+    assert got == expected
+
+
+def test_exact_dedup_map_canonicalizes(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "other text"])
+    rows = {r["doc_id"]: r["canonical_id"] for r in dedup.exact_dedup_map(df).collect()}
+    assert rows == {0: 0, 1: 0, 2: 2}  # normalization merges 0 and 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    other = " ".join(f"x{i}" for i in range(30))
+    df = _docs(spark, [base, near, other])
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(p["a_id"], p["b_id"]) for p in pairs] == [(0, 1)]
+    # manual jaccard on 3-shingles
+    sh = lambda t: {
+        " ".join(t.split()[i : i + 3]) for i in range(len(t.split()) - 2)
+    }
+    a, b = sh(base), sh(near)
+    assert abs(pairs[0]["jaccard"] - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_minhash_lsh_agrees_with_exact_on_dups(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " tail"
+    df = _docs(spark, [base, near, " ".join(f"y{i}" for i in range(40))])
+    got = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(p["a_id"], p["b_id"]) for p in got] == [(0, 1)]
+
+
+def test_simhash_identical_and_disjoint(spark):
+    a = " ".join(f"w{i}" for i in range(20))
+    df = _docs(spark, [a, a])
+    fps = [r["simhash"] for r in dedup.simhash_fingerprints(df).collect()]
+    assert fps[0] == fps[1]
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p["a_id"], p["b_id"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+def test_cosine_pairs_and_knn(spark):
+    vecs = [[1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [0, 0, 1]]
+    df = _embs(spark, vecs)
+    pairs = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    knn = similarity.knn_bruteforce(df, n_queries=1, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(embs, n_queries=3, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_ivf(embs, n_queries=3, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m),
+                user_id=u,
+                event_type=et,
+                value=float(v),
+                props="{}",
+            )
+            for i, (m, u, et, v) in enumerate(rows)
+        ]
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    ev = _events_df(
+        spark,
+        [(0, 1, "view", 1), (10, 1, "click", 1), (60, 1, "view", 1), (65, 2, "view", 1)],
+    )
+    got = {
+        (r["user_id"], r["session_no"]): r["n_events"]
+        for r in events.sessionize(ev, gap_min=30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_funnel_ordering_matters(spark):
+    ev = _events_df(
+        spark,
+        [
+            (0, 1, "view", 1),
+            (5, 1, "click", 1),
+            (10, 1, "purchase", 9),
+            (0, 2, "click", 1),
+            (5, 2, "view", 1),  # click before view: not funnel-ordered
+            (0, 3, "view", 1),
+        ],
+    )
+    row = events.event_funnel(ev).collect()[0]
+    assert (row["n_viewed"], row["n_clicked_after_view"], row["n_purchased_after_click"]) == (3, 1, 1)
+
+
+def test_hourly_counts(spark):
+    ev = _events_df(spark, [(0, 1, "view", 2), (30, 1, "view", 3), (90, 2, "click", 5)])
+    got = {
+        (r["hour"].minute, r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in events.hourly_event_counts(ev).collect()
+    }
+    assert got[(0, "view")] == (2, 5.0)
+    assert got[(0, "click")] == (1, 5.0)

@@ -1,0 +1,76 @@
+"""Streaming parity and multimodal-plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfind_spark.functions import multimodal
+from rdfind_spark.functions.events import hourly_event_counts
+from rdfind_spark.queries import _events
+from rdfind_spark.streaming import (
+    hourly_counts_stream,
+    run_available_now,
+    stream_events,
+    streaming_sessionize,
+)
+
+
+def test_stream_hourly_counts_match_batch(spark, sf_dir):
+    batch = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in hourly_event_counts(_events(spark, sf_dir)).collect()
+    }
+    sdf = hourly_counts_stream(stream_events(spark, sf_dir))
+    run_available_now(sdf, "hourly_stream_test", output_mode="complete")
+    stream = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.table("hourly_stream_test").collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
+def test_streaming_sessionize_runs_and_emits_closed_sessions(spark, sf_dir):
+    """The stateful sessionizer must run end-to-end and emit only
+    *closed* sessions (open sessions stay in state); every emitted
+    session must also exist in the batch sessionization."""
+    from rdfind_spark.functions.events import sessionize
+
+    sdf = streaming_sessionize(stream_events(spark, sf_dir))
+    run_available_now(sdf, "sessions_stream_test", output_mode="append")
+    got = spark.table("sessions_stream_test").collect()
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(_events(spark, sf_dir)).collect()
+    }
+    for r in got:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch, f"streamed session not in batch result: {key}"
+
+
+def test_attach_blobs_schema_and_payload(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = multimodal.attach_blobs(docs)
+    assert dict(blobs.dtypes)["payload"] == "binary"
+    row = blobs.limit(1).collect()[0]
+    assert isinstance(row["payload"], bytearray | bytes)
+    assert 1 <= row["meta"]["width"] <= 1920
+    assert row["meta"]["format"] == "fake/raw"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00")
+
+
+def test_extract_features_batch_shape(spark, sf_dir):
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = multimodal.extract_features(multimodal.attach_blobs(docs))
+    rows = feats.orderBy("doc_id").limit(3).collect()
+    assert [len(r["features"]) for r in rows] == [multimodal.N_FEATURES] * 3
+    doc0 = docs.filter("doc_id = 0").collect()[0]["text"]
+    expected = [ord(c) for c in hashlib.md5(doc0.encode()).hexdigest()[:8]]
+    assert rows[0]["features"] == expected
+    assert rows[0]["payload_len"] == len(doc0.encode())
