@@ -511,7 +511,11 @@ def discover_cinds(
     cands = capture_overlaps(capf, frequent, min_overlap=min_support)
     # The dep/ref extraction references the overlap table twice (one
     # branch per direction); materializing the result-sized table first
-    # stops the whole pair pipeline from running twice.
+    # stops the whole pair pipeline from running twice.  coalesce: the
+    # table inherits the pair stage's high partition count (512+), and the
+    # many minimality branches would multiply those into thousands of
+    # near-empty tasks (measured: a broadcast child with ~2000 tasks).
+    cands = cands.coalesce(triples.sparkSession.sparkContext.defaultParallelism)
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
     dcap.unpersist()

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from rdfind_spark import oracle
 from rdfind_spark.functions import dedup, events, multimodal, similarity, text
-from rdfind_spark.operators import census, rules
+from rdfind_spark.operators import census, rules, transforms
 from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
     capture_overlaps,
@@ -117,6 +117,12 @@ def join_line_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confidence-1.0 association rules (J2/J3 + AR mining)."""
     return rules.association_rules(triple_view(spark, sf_dir), MIN_SUPPORT, 1.0)
+
+
+@register("hash_collisions", oracle._with_triples(transforms.hash_collisions_sql()))
+def hash_collisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-hash collision census (A16 CheckHashCollisions)."""
+    return transforms.hash_collisions(triple_view(spark, sf_dir))
 
 
 # ----------------------------------------- training-data pipeline: text

@@ -1,0 +1,72 @@
+"""Sinks + side-effect counters (SURVEY §2.1 S8-S11, §2.2 T6).
+
+The reference writes CINDs/ARs as text (parallelism pinned to 1 for
+``file:`` URIs, ``programs/RDFind.scala:507-522``), streams results to
+the driver over RMI, and counts rows through accumulators.  Spark
+equivalents: ``coalesce(1).write.text``, ``collect``/``toLocalIterator``,
+and ``df.observe`` metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from rdfind_spark import condition_codes as cc
+
+
+def cind_pretty(df: DataFrame) -> DataFrame:
+    """Pretty-print CIND rows like ``s[p=a] < s[p=b] (support=N)``
+    (``util/ConditionCodes.scala:102-107`` format) as a single text
+    column."""
+    caps = []
+    for side in ("dep", "ref"):
+        code = F.col(f"{side}_code")
+        proj = (
+            F.when(code.bitwiseAND(cc.SECONDARY_MASK) == cc.SUBJECT << 3, "s")
+            .when(code.bitwiseAND(cc.SECONDARY_MASK) == cc.PREDICATE << 3, "p")
+            .otherwise("o")
+        )
+        # value1 belongs to the lower primary bit, value2 to the higher
+        conds = []
+        for field, name in ((cc.SUBJECT, "s"), (cc.PREDICATE, "p"), (cc.OBJECT, "o")):
+            has = code.bitwiseAND(F.lit(field)) != 0
+            lower_bits = code.bitwiseAND(F.lit(field - 1)).bitwiseAND(
+                F.lit(cc.PRIMARY_MASK)
+            )
+            is_first = F.bit_count(lower_bits) == 0
+            val = F.when(is_first, F.col(f"{side}_v1")).otherwise(F.col(f"{side}_v2"))
+            conds.append(F.when(has, F.concat(F.lit(f"{name}="), val)))
+        cond_str = F.concat_ws(", ", *conds)
+        caps.append(F.concat(proj, F.lit("["), cond_str, F.lit("]")))
+    return df.select(
+        F.concat(
+            caps[0], F.lit(" < "), caps[1],
+            F.lit(" (support="), F.col("support").cast("string"), F.lit(")"),
+        ).alias("value")
+    )
+
+
+def write_text(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """S8/S9 text sink, overwrite semantics; ``single_file`` mirrors the
+    reference's parallelism-1 pinning for local files (keep False on a
+    cluster so the write stays distributed)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def collect_rows(df: DataFrame) -> list:
+    """S10 driver-collect sink (RMI RemoteCollector analogue)."""
+    return df.collect()
+
+
+def observe_count(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
+    """T6 ``CountItems``: pass-through row counter; read
+    ``observation.get`` after an action (Spark's accumulator-backed
+    observe metrics)."""
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs

@@ -153,7 +153,7 @@ def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .filter(F.trim(F.col("value")) != "")
         .select(
             F.coalesce(
-                F.regexp_extract("value", _NT_PATTERN, 1),
+                F.nullif(F.regexp_extract("value", _NT_PATTERN, 1), F.lit("")),
                 F.regexp_extract("value", _NT_PATTERN, 2),
             ).alias("subj"),
             F.regexp_extract("value", _NT_PATTERN, 3).alias("pred"),
