@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # NOT shared: each query reads parquet fresh).
 BENCH_QUERIES = [
     "cind_minimal",
+    "cind_small_to_large",
     "cind_all",
     "capture_overlaps",
     "capture_supports",
@@ -60,6 +61,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.maxPlanStringLength", "1000000")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")

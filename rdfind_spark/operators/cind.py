@@ -487,11 +487,19 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
 
 
 def discover_cinds(
-    triples: DataFrame, min_support: int = 10, minimal: bool = True
+    triples: DataFrame,
+    min_support: int = 10,
+    minimal: bool = True,
+    ar_filter: bool = False,
 ) -> DataFrame:
     """End-to-end CIND discovery: triples → pertinent (support ≥
     min_support) CINDs, optionally minimal.  Output schema:
-    (dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2, support)."""
+    (dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2, support).
+
+    ``ar_filter``: drop 1/1 CINDs implied by confidence-1.0 association
+    rules *before* the minimality pass (G17) — matching the reference's
+    order, where AR-filtered CINDs can no longer act as minimality
+    killers (``plan/SmallToLargeTraversalStrategy.scala:80-87``)."""
     # dcap is consumed by several branches (support counts, the hot-line
     # census, both self-join sides); persisting it turns 3-4 full
     # scan+explode+distinct passes into one (MEMORY_AND_DISK: spills
@@ -520,6 +528,15 @@ def discover_cinds(
     cands.count()
     dcap.unpersist()
     cinds = extract_cinds(cands)
+    if ar_filter:
+        from rdfind_spark.operators.rules import (
+            association_rules,
+            filter_ar_implied_cinds,
+        )
+
+        cinds = filter_ar_implied_cinds(
+            cinds, association_rules(triples, min_support, 1.0)
+        )
     if minimal:
         cinds = remove_implied_cinds(cinds)
     return cinds

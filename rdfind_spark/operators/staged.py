@@ -1,0 +1,351 @@
+"""Staged (SmallToLarge-style) CIND traversal strategy.
+
+The reference's default strategy (``plan/SmallToLargeTraversalStrategy
+.scala:38-171``) discovers CIND classes in arity order and uses each
+class to *generate candidates* for the next, so the expensive evidence
+collection only runs for captures that can still participate:
+
+    1/1 overlaps → 1/1 CINDs + proper overlaps          (G2/A6/G16)
+    1/1 CINDs sharing a dep   → 1/2 candidates → verify (G6 + G10/A5)
+    proper overlaps sharing a ref → 2/1 candidates → verify (G7 + G11)
+    (exact ∪ inferred) 2/1s sharing a dep → 2/2 candidates,
+        pruned by 1/2 CINDs → verify                    (G9/G8/J7/G12)
+
+Here each "verify" is a relational evidence join *restricted by
+semi-joins to the candidate captures* — the Spark-native replacement for
+the reference's broadcast candidate Bloom filters (exact, no false
+positives; SURVEY §4).  The stage-1 pair join reuses the skew-hardened
+``capture_overlaps`` machinery from ``operators.cind``.
+
+Equivalence contract: after the minimality pass, the staged result
+equals ``discover_cinds(minimal=True)`` — the reference implicitly
+relies on the same cross-strategy agreement (SURVEY §5).  Pre-
+minimality outputs differ by construction: the staged path never
+generates 2/1 candidates whose dep generalization is already included
+in the ref (those are non-minimal; the reference drops them the same
+way by generating 2/1 candidates from *proper* overlaps only).
+
+Scale notes: candidate tables are result-sized (bounded by the CIND
+output, orders of magnitude below the data), so the semi-join
+restrictions broadcast; every evidence join is an equi-join on
+``join_value`` over the *restricted* capture tables — strictly smaller
+than the all-at-once pair join.  The one quadratic stage (1/1) runs on
+the shared hot-line/salting machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute a result-sized stage output and TRUNCATE its
+    lineage (``localCheckpoint``).  Each staged-lattice stage references
+    earlier stages several times (self-joins, probe/killer expansions);
+    with lazy persist the *logical plan* still nests exponentially and
+    the driver OOMs just stringifying it for the SQL UI.  Checkpointing
+    stage outputs keeps every plan stage-local — the staged strategy is
+    inherently a sequence of materialized jobs in the reference too."""
+    return df.localCheckpoint(eager=True)
+
+from rdfind_spark import condition_codes as cc
+from rdfind_spark.operators.captures import capture_candidates
+from rdfind_spark.operators.cind import (
+    CAPTURE_KEY,
+    _side,
+    capture_overlaps,
+    capture_supports,
+    distinct_captures,
+    frequent_captures,
+    pruned_captures,
+    remove_implied_cinds,
+    structural_implies,
+)
+
+_DEP_KEY = ["dep_code", "dep_v1", "dep_v2"]
+_REF_KEY = ["ref_code", "ref_v1", "ref_v2"]
+_CIND_KEY = _DEP_KEY + _REF_KEY
+
+
+def _merge_ok(code_a: Column, code_b: Column) -> Column:
+    """True when two unary capture codes merge into a valid binary one
+    in canonical order: same projected field, a's condition field bit
+    strictly below b's (fields are single bits, so integer < is bit
+    order; value1 of the merged capture then comes from a)."""
+    same_sec = code_a.bitwiseAND(cc.SECONDARY_MASK) == code_b.bitwiseAND(
+        cc.SECONDARY_MASK
+    )
+    return same_sec & (
+        code_a.bitwiseAND(cc.PRIMARY_MASK) < code_b.bitwiseAND(cc.PRIMARY_MASK)
+    )
+
+
+def _proper_side(ov: DataFrame, dep: str, ref: str) -> DataFrame:
+    """Directional proper-overlap rows: dep side NOT fully included
+    (reference emits these per direction too,
+    ``SmallToLargeTraversalStrategy.scala:90-106``)."""
+    return ov.filter(F.col("overlap") != F.col(f"{dep}_support")).select(
+        F.col(f"{dep}_code").alias("dep_code"),
+        F.col(f"{dep}_v1").alias("dep_v1"),
+        F.col(f"{dep}_v2").alias("dep_v2"),
+        F.col(f"{ref}_code").alias("ref_code"),
+        F.col(f"{ref}_v1").alias("ref_v1"),
+        F.col(f"{ref}_v2").alias("ref_v2"),
+    )
+
+
+def _capf_with_keys(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
+    """Frequency-pruned capture instances carrying full string keys +
+    support (the staged verify joins are candidate-restricted and small,
+    so they skip the hashed-key compaction of the all-at-once path)."""
+    return dcap.join(F.broadcast(frequent), on=CAPTURE_KEY).select(
+        "join_value", *CAPTURE_KEY, "support"
+    )
+
+
+def _verify_candidates(
+    dep_caps: DataFrame, ref_caps: DataFrame, cands: DataFrame
+) -> DataFrame:
+    """Exact evidence check for candidate CINDs: count join values where
+    dep and ref co-occur, restricted to candidate captures up front
+    (semi-joins) and to candidate *pairs* before aggregation; a
+    candidate holds iff its co-occurrence count equals the dep support
+    (the relational form of G10-G12 extraction + A5 intersection)."""
+    cands = cands.select(*_CIND_KEY).distinct()
+    dep_keys = cands.select(
+        F.col("dep_code").alias("code"),
+        F.col("dep_v1").alias("v1"),
+        F.col("dep_v2").alias("v2"),
+    ).distinct()
+    ref_keys = cands.select(
+        F.col("ref_code").alias("code"),
+        F.col("ref_v1").alias("v1"),
+        F.col("ref_v2").alias("v2"),
+    ).distinct()
+    a = (
+        dep_caps.join(F.broadcast(dep_keys), on=CAPTURE_KEY, how="left_semi")
+        .select(
+            "join_value",
+            F.col("code").alias("dep_code"),
+            F.col("v1").alias("dep_v1"),
+            F.col("v2").alias("dep_v2"),
+            F.col("support").alias("dep_support"),
+        )
+    )
+    b = ref_caps.join(F.broadcast(ref_keys), on=CAPTURE_KEY, how="left_semi").select(
+        "join_value",
+        F.col("code").alias("ref_code"),
+        F.col("v1").alias("ref_v1"),
+        F.col("v2").alias("ref_v2"),
+    )
+    pairs = a.join(b, on="join_value").join(F.broadcast(cands), on=_CIND_KEY)
+    return (
+        pairs.groupBy(*_CIND_KEY, "dep_support")
+        .agg(F.count("*").alias("overlap"))
+        .filter(F.col("overlap") == F.col("dep_support"))
+        .select(*_CIND_KEY, F.col("dep_support").alias("support"))
+    )
+
+
+def _merged_dep_candidates(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Join two directional (dep → ref) sets on their ref and merge the
+    two unary deps into a canonical binary dep."""
+    l = left.select(
+        *_REF_KEY,
+        F.col("dep_code").alias("l_code"),
+        F.col("dep_v1").alias("l_v1"),
+    )
+    r = right.select(
+        *_REF_KEY,
+        F.col("dep_code").alias("r_code"),
+        F.col("dep_v1").alias("r_v1"),
+    )
+    both = l.join(r, on=_REF_KEY)
+    fwd = both.filter(_merge_ok(F.col("l_code"), F.col("r_code"))).select(
+        F.col("l_code").bitwiseOR(F.col("r_code")).alias("dep_code"),
+        F.col("l_v1").alias("dep_v1"),
+        F.col("r_v1").alias("dep_v2"),
+        *_REF_KEY,
+    )
+    bwd = both.filter(_merge_ok(F.col("r_code"), F.col("l_code"))).select(
+        F.col("r_code").bitwiseOR(F.col("l_code")).alias("dep_code"),
+        F.col("r_v1").alias("dep_v1"),
+        F.col("l_v1").alias("dep_v2"),
+        *_REF_KEY,
+    )
+    return fwd.unionByName(bwd).distinct()
+
+
+def discover_cinds_staged(
+    triples: DataFrame, min_support: int = 10, ar_filter: bool = False
+) -> DataFrame:
+    """SmallToLarge-style staged discovery of pertinent *minimal* CINDs.
+    Same output schema and (post-minimality) same result set as
+    ``discover_cinds(..., minimal=True)``."""
+    spark = triples.sparkSession
+    dcap = distinct_captures(capture_candidates(triples)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frequent = frequent_captures(capture_supports(dcap), min_support).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
+    capf = _capf_with_keys(dcap, frequent).persist(StorageLevel.MEMORY_AND_DISK)
+    capu = capf.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
+    capb = capf.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
+
+    # ---- stage 1: unary/unary overlaps (skew-hardened shared machinery)
+    dcap_u = dcap.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
+    ov_uu = capture_overlaps(
+        pruned_captures(dcap_u, freq_u), freq_u, min_overlap=min_support
+    )
+    ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism))
+    cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
+    if ar_filter:
+        from rdfind_spark.operators.rules import (
+            association_rules,
+            filter_ar_implied_cinds,
+        )
+
+        cind11 = filter_ar_implied_cinds(
+            cind11, association_rules(triples, min_support, 1.0)
+        )
+    cind11 = _materialize(cind11)
+    proper11 = _materialize(
+        _proper_side(ov_uu, "a", "b").unionByName(_proper_side(ov_uu, "b", "a"))
+    )
+
+    # ---- stage 2: 1/2 — candidate refs from pairs of 1/1 CINDs with
+    # the same dep (G6), verified exactly.  The ref pool is augmented
+    # with each dep's *own* capture (the reference's "trivial
+    # refinements", ``GenerateUnaryBinaryCindCandidates.scala:12-41``):
+    # the CIND dep ⊆ dep is structurally trivial and never in cind11,
+    # yet refs like (dep-condition ∧ r) — "of my p1-subjects, those are
+    # exactly the ones whose p1-triple also has o=x" — are only
+    # reachable by merging the dep's condition itself with a known ref.
+    refs12 = cind11.select(*_DEP_KEY, "ref_code", "ref_v1").unionByName(
+        cind11.select(*_DEP_KEY)
+        .distinct()
+        .select(
+            *_DEP_KEY,
+            F.col("dep_code").alias("ref_code"),
+            F.col("dep_v1").alias("ref_v1"),
+        )
+    )
+    r1 = refs12.select(
+        *_DEP_KEY, F.col("ref_code").alias("r1_code"), F.col("ref_v1").alias("r1_v1")
+    )
+    r2 = refs12.select(
+        *_DEP_KEY, F.col("ref_code").alias("r2_code"), F.col("ref_v1").alias("r2_v1")
+    )
+    cand12 = (
+        r1.join(r2, on=_DEP_KEY)
+        .filter(_merge_ok(F.col("r1_code"), F.col("r2_code")))
+        .select(
+            *_DEP_KEY,
+            F.col("r1_code").bitwiseOR(F.col("r2_code")).alias("ref_code"),
+            F.col("r1_v1").alias("ref_v1"),
+            F.col("r2_v1").alias("ref_v2"),
+        )
+    )
+    cind12 = _materialize(_verify_candidates(capu, capb, cand12))
+
+    # ---- stage 3: 2/1 — candidate deps from pairs of proper overlaps
+    # with the same ref (G7), verified exactly
+    cand21 = _merged_dep_candidates(proper11, proper11)
+    # consumed twice (result union + 2/2 candidate seeding)
+    cind21 = _materialize(_verify_candidates(capb, capu, cand21))
+
+    # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8)
+    # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
+    # (non-minimal but true) 2/1; they exist only to seed 2/2 candidates.
+    partners = cind11.select(*_CIND_KEY).unionByName(proper11.select(*_CIND_KEY))
+    inf21 = _merged_dep_candidates(cind11, partners)
+    # pertinence: the merged binary dep must itself be frequent
+    dep_freq = frequent.select(
+        F.col("code").alias("dep_code"),
+        F.col("v1").alias("dep_v1"),
+        F.col("v2").alias("dep_v2"),
+        "support",
+    )
+    all21 = _materialize(
+        cind21.select(*_CIND_KEY)
+        .unionByName(inf21.select(*_CIND_KEY))
+        .distinct()
+        .join(F.broadcast(dep_freq.select(*_DEP_KEY)), on=_DEP_KEY, how="left_semi")
+    )
+    # Trivial refinements again (G8): a 2/2 ref may refine one of the
+    # dep's own unary generalizations (dep_b ⊆ gen(dep_b) is structural,
+    # so no 2/1 row supplies it) — augment the ref pool with each dep's
+    # generalization captures.
+    ident21 = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            ident21.append(
+                all21.select(*_DEP_KEY)
+                .distinct()
+                .filter(F.col("dep_code") == bcode)
+                .select(
+                    *_DEP_KEY,
+                    F.lit(ucode).alias("ref_code"),
+                    kept.alias("ref_v1"),
+                )
+            )
+    refs22 = all21.select(*_DEP_KEY, "ref_code", "ref_v1")
+    for ident in ident21:
+        refs22 = refs22.unionByName(ident)
+    s1 = refs22.select(
+        *_DEP_KEY, F.col("ref_code").alias("r1_code"), F.col("ref_v1").alias("r1_v1")
+    )
+    s2 = refs22.select(
+        *_DEP_KEY, F.col("ref_code").alias("r2_code"), F.col("ref_v1").alias("r2_v1")
+    )
+    cand22 = (
+        s1.join(s2, on=_DEP_KEY)
+        .filter(_merge_ok(F.col("r1_code"), F.col("r2_code")))
+        .select(
+            *_DEP_KEY,
+            F.col("r1_code").bitwiseOR(F.col("r2_code")).alias("ref_code"),
+            F.col("r1_v1").alias("ref_v1"),
+            F.col("r2_v1").alias("ref_v2"),
+        )
+    )
+    # J7: drop 2/2 candidates already implied by a 1/2 CIND (same ref,
+    # dep generalization) — their verification could only produce
+    # non-minimal results
+    probes = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            probes.append(
+                cand22.filter(F.col("dep_code") == bcode).select(
+                    "*", F.lit(ucode).alias("g_code"), kept.alias("g_v1")
+                )
+            )
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionByName(p)
+    killers = cind12.select(
+        F.col("dep_code").alias("g_code"),
+        F.col("dep_v1").alias("g_v1"),
+        *_REF_KEY,
+    )
+    bad22 = probe.join(
+        F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
+    ).select(*_CIND_KEY)
+    cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
+    cind22 = _verify_candidates(capb, capb, cand22)
+
+    # ---- union + minimality (shared with the all-at-once engine)
+    out = (
+        cind11.unionByName(cind12)
+        .unionByName(cind21)
+        .unionByName(cind22)
+        .filter(~structural_implies())
+    )
+    minimal = remove_implied_cinds(out)
+    dcap.unpersist()
+    return minimal

@@ -82,12 +82,60 @@ cinds1 AS MATERIALIZED (SELECT * FROM cinds0 WHERE NOT {_implies_sql('dep', 'ref
 """.strip()
 
 
-def cind_sql(min_support: int = 10, minimal: bool = True) -> str:
+def _ar_filter_ctes(min_support: int) -> str:
+    """CTEs deriving confidence-1.0 AR-implied CIND keys and the
+    AR-filtered CIND set ``cinds2`` (G17; key arithmetic per
+    ``rdfind_spark.operators.rules.ar_implied_cind_keys``)."""
+    from rdfind_spark.operators.rules import _BINARY_SPLIT
+
+    directed = []
+    for bcode, (low, high) in _BINARY_SPLIT.items():
+        directed.append(
+            f"SELECT {low} AS ante_code, {high} AS cons_code, v1 AS antecedent, "
+            f"v2 AS consequent, count AS support FROM ar_counts WHERE code = {bcode}"
+        )
+        directed.append(
+            f"SELECT {high}, {low}, v2, v1, count FROM ar_counts WHERE code = {bcode}"
+        )
+    directed_sql = "\nUNION ALL ".join(directed)
+    return f"""ar_conds AS (
+{_condition_instances_sql()}
+),
+ar_counts AS MATERIALIZED (
+  SELECT code, v1, v2, COUNT(*) AS count FROM ar_conds GROUP BY code, v1, v2
+),
+ar_unary AS (SELECT code AS ante_code, v1 AS antecedent, count AS ante_count
+             FROM ar_counts WHERE code IN (1, 2, 4)),
+ar_directed AS (
+{directed_sql}
+),
+ar_implied AS (
+  SELECT d.ante_code + (7 - d.ante_code - d.cons_code) * 8 AS dep_code,
+         d.antecedent AS dep_v1,
+         d.cons_code + (7 - d.ante_code - d.cons_code) * 8 AS ref_code,
+         d.consequent AS ref_v1
+  FROM ar_directed d
+  JOIN ar_unary u ON d.ante_code = u.ante_code AND d.antecedent = u.antecedent
+  WHERE d.support >= {min_support} AND d.support / u.ante_count >= 1.0
+),
+cinds2 AS MATERIALIZED (
+  SELECT c.* FROM cinds1 c ANTI JOIN ar_implied i
+    ON c.dep_code = i.dep_code AND c.dep_v1 = i.dep_v1
+   AND c.ref_code = i.ref_code AND c.ref_v1 = i.ref_v1
+)"""
+
+
+def cind_sql(min_support: int = 10, minimal: bool = True, ar: bool = False) -> str:
     """Full CIND discovery as one DuckDB query (tables pre-registered as
-    views named region/nation/.../lineitem)."""
+    views named region/nation/.../lineitem).  ``ar``: apply the G17
+    association-rule filter before minimality, like the reference."""
     base = f"WITH {cind_pipeline_ctes(min_support)}"
+    src = "cinds1"
+    if ar:
+        base += ",\n" + _ar_filter_ctes(min_support)
+        src = "cinds2"
     if not minimal:
-        return base + "\nSELECT * FROM cinds1"
+        return base + f"\nSELECT * FROM {src}"
     # Minimality as equi-key anti-joins (hash-joinable; a NOT EXISTS with
     # OR disjunctions would force a quadratic nested-loop plan) — the
     # same probe/killer expansion shape as the Spark plan.
@@ -99,12 +147,12 @@ def cind_sql(min_support: int = 10, minimal: bool = True) -> str:
             ref_kept = "ref_v1" if value_index == 1 else "ref_v2"
             probe_branches.append(
                 f"SELECT *, {ucode} AS g_code, {dep_kept} AS g_v1 "
-                f"FROM cinds1 WHERE dep_code = {bcode}"
+                f"FROM {src} WHERE dep_code = {bcode}"
             )
             killer_branches.append(
                 f"SELECT dep_code AS k_dep_code, dep_v1 AS k_dep_v1, "
                 f"dep_v2 AS k_dep_v2, {ucode} AS k_ref_code, {ref_kept} AS k_ref_v1 "
-                f"FROM cinds1 WHERE ref_code = {bcode}"
+                f"FROM {src} WHERE ref_code = {bcode}"
             )
     probe_sql = "\nUNION ALL ".join(probe_branches)
     killer_sql = "\nUNION ALL ".join(killer_branches)
@@ -116,7 +164,7 @@ dep_probe AS (
 ),
 bad_a AS (
   SELECT p.dep_code, p.dep_v1, p.dep_v2, p.ref_code, p.ref_v1, p.ref_v2, p.support
-  FROM dep_probe p JOIN cinds1 k
+  FROM dep_probe p JOIN {src} k
     ON k.dep_code = p.g_code AND k.dep_v1 = p.g_v1 AND k.dep_v2 = ''
    AND k.ref_code = p.ref_code AND k.ref_v1 = p.ref_v1 AND k.ref_v2 = p.ref_v2
 ),
@@ -125,11 +173,11 @@ ref_killers AS (
 ),
 bad_b AS (
   SELECT c.dep_code, c.dep_v1, c.dep_v2, c.ref_code, c.ref_v1, c.ref_v2, c.support
-  FROM cinds1 c JOIN ref_killers k
+  FROM {src} c JOIN ref_killers k
     ON c.dep_code = k.k_dep_code AND c.dep_v1 = k.k_dep_v1 AND c.dep_v2 = k.k_dep_v2
    AND c.ref_code = k.k_ref_code AND c.ref_v1 = k.k_ref_v1 AND c.ref_v2 = ''
 )
-SELECT * FROM cinds1
+SELECT * FROM {src}
 EXCEPT
 SELECT * FROM (SELECT * FROM bad_a UNION ALL SELECT * FROM bad_b)"""
     )

@@ -64,6 +64,25 @@ def cind_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_cinds(triple_view(spark, sf_dir), MIN_SUPPORT, minimal=False)
 
 
+@register("cind_minimal_ar", oracle.cind_sql(MIN_SUPPORT, minimal=True, ar=True))
+def cind_minimal_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal CINDs with the G17 association-rule filter applied
+    before minimality (reference ``--use-ar`` path)."""
+    return discover_cinds(
+        triple_view(spark, sf_dir), MIN_SUPPORT, minimal=True, ar_filter=True
+    )
+
+
+@register("cind_small_to_large", oracle.cind_sql(MIN_SUPPORT, minimal=True))
+def cind_small_to_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged SmallToLarge traversal (the reference's default strategy);
+    same oracle as cind_minimal — the driver's check doubles as the
+    cross-strategy agreement test (SURVEY §5)."""
+    from rdfind_spark.operators.staged import discover_cinds_staged
+
+    return discover_cinds_staged(triple_view(spark, sf_dir), MIN_SUPPORT)
+
+
 @register("capture_supports", oracle.capture_supports_sql(MIN_SUPPORT))
 def capture_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-capture support counts (A10)."""
@@ -72,9 +91,18 @@ def capture_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("capture_overlaps", oracle.capture_overlaps_sql(MIN_SUPPORT))
 def capture_overlaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise overlap counts of frequent captures (G2/A6)."""
-    dcap = _dcap(spark, sf_dir)
-    freq = frequent_captures(capture_supports(dcap), MIN_SUPPORT)
+    """Pairwise overlap counts of frequent captures (G2/A6).
+
+    dcap feeds the hot-line census, the support agg, and both pair-join
+    sides; frequent feeds the pruning + two restore joins — persist both
+    or each consumer re-runs the full scan+explode+distinct (measured
+    4× slower unpersisted at sf0.01)."""
+    from pyspark import StorageLevel
+
+    dcap = _dcap(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = frequent_captures(capture_supports(dcap), MIN_SUPPORT).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return capture_overlaps(
         pruned_captures(dcap, freq), freq, min_overlap=MIN_SUPPORT
     )

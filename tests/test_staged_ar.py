@@ -1,0 +1,117 @@
+"""Cross-strategy agreement (staged SmallToLarge vs relational
+AllAtOnce) and the G17 association-rule filter."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+
+from rdfind_spark.operators.cind import discover_cinds
+from rdfind_spark.operators.rules import ar_implied_cind_keys, association_rules
+from rdfind_spark.operators.staged import discover_cinds_staged
+from rdfind_spark.oracle import cind_sql
+from rdfind_spark.sources.triples import TABLES, triple_view
+
+from tests.test_cind_engine import TINY, brute_cinds
+
+
+def _as_set(df):
+    return {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in df.collect()
+    }
+
+
+def test_staged_matches_brute_force_tiny(spark):
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    got = _as_set(discover_cinds_staged(df, min_support=2))
+    assert got == brute_cinds(TINY, min_support=2, minimal=True)
+
+
+def test_staged_matches_all_at_once_random(spark):
+    rng = random.Random(11)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(9)}",
+                f"p{rng.randrange(4)}",
+                f"o{rng.randrange(5)}",
+            )
+            for _ in range(350)
+        }
+    )
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    staged = _as_set(discover_cinds_staged(df, min_support=3))
+    allatonce = _as_set(discover_cinds(df, min_support=3, minimal=True))
+    assert staged == allatonce
+    assert staged, "fixture must produce CINDs"
+
+
+def test_ar_implied_keys():
+    """Rule p=a ⇒ o=b implies s[p=a] ⊆ s[o=b] (codes 10 → 12)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rules = spark.createDataFrame(
+        [(2, 4, "a", "b", 5, 1.0)],
+        "ante_code int, cons_code int, antecedent string, consequent string,"
+        " support long, confidence double",
+    )
+    rows = ar_implied_cind_keys(rules).collect()
+    assert [(r.dep_code, r.dep_v1, r.ref_code, r.ref_v1) for r in rows] == [
+        (10, "a", 12, "b")
+    ]
+
+
+def test_ar_filter_drops_rule_implied_cinds(spark):
+    """Every p1 triple has obj x (rule p=p1 ⇒ o=x at confidence 1.0), so
+    the AR-implied 1/1 CIND s[p=p1] ⊆ s[o=x] must be gone with
+    ar_filter=True and present (or refined) without."""
+    triples = [(f"a{i}", "p1", "x") for i in range(5)] + [
+        (f"a{i}", "p2", f"y{i % 2}") for i in range(5)
+    ]
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    rules = association_rules(df, min_support=2, min_confidence=1.0).collect()
+    assert any(
+        (r.ante_code, r.antecedent, r.cons_code, r.consequent) == (2, "p1", 4, "x")
+        for r in rules
+    )
+    plain = _as_set(discover_cinds(df, min_support=2, minimal=False))
+    filtered = _as_set(
+        discover_cinds(df, min_support=2, minimal=False, ar_filter=True)
+    )
+    implied = (10, "p1", "", 12, "x", "", 5)
+    assert implied in plain
+    assert implied not in filtered
+    assert filtered < plain
+
+
+def _duckdb_with_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_ar_sql_matches_spark_on_sf0001(spark, sf_dir):
+    got = _as_set(
+        discover_cinds(
+            triple_view(spark, sf_dir), min_support=10, minimal=True, ar_filter=True
+        )
+    )
+    con = _duckdb_with_views(sf_dir)
+    expected = {
+        tuple(r) for r in con.execute(cind_sql(10, True, ar=True)).fetchall()
+    }
+    assert got == expected
+    assert got
+
+
+def test_staged_matches_oracle_on_sf0001(spark, sf_dir):
+    got = _as_set(discover_cinds_staged(triple_view(spark, sf_dir), min_support=10))
+    con = _duckdb_with_views(sf_dir)
+    expected = {tuple(r) for r in con.execute(cind_sql(10, True)).fetchall()}
+    assert got == expected
