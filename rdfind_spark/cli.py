@@ -1,0 +1,205 @@
+"""Command-line entry points mirroring the reference's programs.
+
+The reference is driven by JCommander CLIs (``programs/RDFind.scala:
+639-721`` plus the census programs ``CountTriples`` / ``CountConditions``
+/ ``CountDistinctValues`` / ``CheckHashCollisions``, SURVEY §2.4
+A14-A17).  This module reproduces that surface on Spark::
+
+    python -m rdfind_spark rdfind INPUT... [--support N]
+        [--traversal-strategy {0,1}] [--use-ar] [--no-minimal]
+        [--projection spo] [--distinct-triples] [--apply-hash]
+        [--asciify] [--prefixes FILE] [--output DIR | --parquet DIR]
+    python -m rdfind_spark count-triples INPUT...
+    python -m rdfind_spark count-conditions INPUT...
+    python -m rdfind_spark count-distinct-values INPUT...
+    python -m rdfind_spark check-hash-collisions INPUT...
+
+INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
+``tpch:DIR`` to melt the driver's parquet star schema at DIR into
+triples (``sources.triples.triple_view``).
+
+Flag parity map (reference ``Parameters`` → here):
+  ``--support``             → ``--support`` (default 10)
+  ``--traversal-strategy``  → 0 = all-at-once, 1 = small-to-large
+                              (default 1, like the reference)
+  ``--use-ar``              → ``--use-ar`` (G17 filter)
+  ``--projection``          → ``--projection`` (subset of "spo")
+  ``--distinct-triples``    → ``--distinct-triples`` (T4)
+  ``--apply-hash``          → ``--apply-hash`` (T3 value hashing)
+  ``--use-url-abbreviation``→ ``--prefixes FILE`` (T2 via S7 prefix file)
+  asciify (``--charset``)   → ``--asciify`` (T1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _build_session(args: argparse.Namespace) -> SparkSession:
+    builder = (
+        SparkSession.builder.master(args.master)
+        .appName("rdfind-spark")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.maxPlanStringLength", "1000000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
+
+
+def _load_triples(spark: SparkSession, inputs: list[str]) -> DataFrame:
+    from rdfind_spark.sources.triples import read_ntriples, triple_view
+
+    dfs = []
+    nt_paths = []
+    for path in inputs:
+        if path.startswith("tpch:"):
+            dfs.append(triple_view(spark, path[len("tpch:") :]))
+        else:
+            nt_paths.append(path)
+    if nt_paths:
+        dfs.append(read_ntriples(spark, nt_paths))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _preprocess(triples: DataFrame, args: argparse.Namespace) -> DataFrame:
+    from rdfind_spark.operators import transforms
+
+    if getattr(args, "asciify", False):
+        triples = transforms.asciify_triples(triples)
+    if getattr(args, "prefixes", None):
+        from rdfind_spark.sources.triples import parse_prefixes
+
+        prefixes = [
+            (r.prefix, r.url)
+            for r in parse_prefixes(triples.sparkSession, args.prefixes).collect()
+        ]
+        triples = transforms.shorten_urls(triples, prefixes)
+    if getattr(args, "apply_hash", False):
+        triples = transforms.apply_hash(triples)
+    if getattr(args, "distinct_triples", False):
+        triples = triples.distinct()
+    return triples
+
+
+def _emit(df: DataFrame, args: argparse.Namespace, pretty=None) -> None:
+    from rdfind_spark.sources.sinks import write_parquet, write_text
+
+    if getattr(args, "parquet", None):
+        write_parquet(df, args.parquet)
+    elif getattr(args, "output", None):
+        write_text(pretty(df) if pretty else df, args.output)
+    else:
+        n = getattr(args, "show", 50)
+        df.show(n, truncate=False)
+
+
+def _cmd_rdfind(args: argparse.Namespace) -> int:
+    from rdfind_spark.operators.cind import discover_cinds
+    from rdfind_spark.operators.staged import discover_cinds_staged
+    from rdfind_spark.sources.sinks import cind_pretty
+
+    spark = _build_session(args)
+    triples = _preprocess(_load_triples(spark, args.input), args)
+    if args.traversal_strategy == 0:
+        cinds = discover_cinds(
+            triples,
+            min_support=args.support,
+            minimal=not args.no_minimal,
+            ar_filter=args.use_ar,
+            projection=args.projection,
+        )
+    else:
+        cinds = discover_cinds_staged(
+            triples,
+            min_support=args.support,
+            ar_filter=args.use_ar,
+            projection=args.projection,
+        )
+    _emit(cinds, args, pretty=cind_pretty)
+    return 0
+
+
+def _cmd_count_triples(args: argparse.Namespace) -> int:
+    from rdfind_spark.operators.census import count_triples
+
+    spark = _build_session(args)
+    _emit(count_triples(_load_triples(spark, args.input)), args)
+    return 0
+
+
+def _cmd_count_conditions(args: argparse.Namespace) -> int:
+    from rdfind_spark.operators.census import condition_histogram
+
+    spark = _build_session(args)
+    _emit(condition_histogram(_load_triples(spark, args.input)), args)
+    return 0
+
+
+def _cmd_count_distinct_values(args: argparse.Namespace) -> int:
+    from rdfind_spark.operators.census import count_distinct_values
+
+    spark = _build_session(args)
+    _emit(count_distinct_values(_load_triples(spark, args.input)), args)
+    return 0
+
+
+def _cmd_check_hash_collisions(args: argparse.Namespace) -> int:
+    from rdfind_spark.operators.transforms import hash_collisions
+
+    spark = _build_session(args)
+    _emit(hash_collisions(_load_triples(spark, args.input)), args)
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="rdfind_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p: argparse.ArgumentParser) -> None:
+        p.add_argument("input", nargs="+", help="N-Triples path(s) or tpch:DIR")
+        p.add_argument("--master", default="local[*]")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+        p.add_argument("--output", help="write results as text to DIR")
+        p.add_argument("--parquet", help="write results as parquet to DIR")
+        p.add_argument("--show", type=int, default=50)
+
+    p = sub.add_parser("rdfind", help="CIND discovery (programs/RDFind.scala)")
+    common(p)
+    p.add_argument("--support", type=int, default=10)
+    p.add_argument("--traversal-strategy", type=int, choices=(0, 1), default=1)
+    p.add_argument("--use-ar", action="store_true")
+    p.add_argument("--no-minimal", action="store_true")
+    p.add_argument("--projection", default=None, help='subset of "spo"')
+    p.add_argument("--distinct-triples", action="store_true")
+    p.add_argument("--apply-hash", action="store_true")
+    p.add_argument("--asciify", action="store_true")
+    p.add_argument("--prefixes", help="@prefix file for URL shortening")
+    p.set_defaults(fn=_cmd_rdfind)
+
+    for name, fn in (
+        ("count-triples", _cmd_count_triples),
+        ("count-conditions", _cmd_count_conditions),
+        ("count-distinct-values", _cmd_count_distinct_values),
+        ("check-hash-collisions", _cmd_check_hash_collisions),
+    ):
+        p = sub.add_parser(name)
+        common(p)
+        p.set_defaults(fn=fn)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,11 +12,11 @@ Scale design notes (100 TB posture):
   idea the CIND engine uses, in reverse).
 * MinHash+LSH replaces the all-pairs join with banded bucket joins:
   only documents sharing a band key are candidate pairs, then exact
-  Jaccard verifies.  Candidate generation cost is linear in documents ×
-  bands.
-* SimHash pairs here use an all-pairs comparison (fine at test scale);
-  the documented scale path is banding the fingerprint bytes the same
-  way.
+  Jaccard verifies — with shingle tables semi-joined down to candidate
+  docs first, so verification cost scales with candidates, not corpus².
+* SimHash pairs use the pigeonhole band join (max_hamming+1 bit bands;
+  a qualifying pair must agree on ≥1 band) — an equi-join, not a cross
+  join, and exact by construction.
 * Embedding-cosine brute force is quadratic by definition; the scale
   path is rdfind_spark.functions.similarity (IVF bucketing).
 
@@ -207,9 +207,39 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, threshold=0.0, max_shingle_docs=10**9)
-    return exact.join(cands, on=["a_id", "b_id"], how="left_semi").filter(
-        F.col("jaccard") >= threshold
+    # Exact-Jaccard verification restricted to the LSH candidates — the
+    # candidate restriction must happen BEFORE the shingle join, or the
+    # "scale path" silently degenerates to the all-pairs join it exists
+    # to avoid.  Shingle rows are semi-joined down to candidate docs,
+    # then each a-side shingle row fans out only to that doc's candidate
+    # partners (result-sized broadcast) and matches b-side shingles on
+    # (b_id, shingle): per-pair cost is linear in shingles per doc.
+    sh = _shingles(documents, NGRAM_K)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand_ids = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    sa_sh = shc.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb_sh = shc.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        sa_sh.join(F.broadcast(cands), on="a_id")
+        .join(sb_sh, on=["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jac = F.round(
+        F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 6
+    )
+    return (
+        common.join(F.broadcast(sa), on="a_id")
+        .join(F.broadcast(sb), on="b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -306,20 +336,51 @@ SELECT doc_id, {' + '.join(terms)} AS simhash FROM t"""
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.  All-pairs at test
-    scale; band the fingerprint bytes (pigeonhole) for the cluster-scale
-    path."""
-    fp = simhash_fingerprints(documents)
-    a = fp.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
-    b = fp.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
+    """Near-dup pairs by SimHash Hamming distance, via the pigeonhole
+    band join: split the fingerprint into ``max_hamming + 1`` bit bands —
+    any pair within the distance budget must agree exactly on at least
+    one band — bucket-join on (band, key), verify the full distance, and
+    dedupe pairs matched in several bands.  Equi-join only; no cross
+    join anywhere (the scale path IS the semantics here, results are
+    identical to all-pairs by the pigeonhole principle)."""
+    fp = simhash_fingerprints(documents, bits)
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    bk = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bk.select(
+        "band", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp")
+    )
+    b = bk.select(
+        "band", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp")
+    )
     ham = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
     return (
-        a.crossJoin(b)
+        a.join(b, on=["band", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -48,11 +48,26 @@ def _emission_spec() -> list[tuple[int, str, str, str | None]]:
 
 CAPTURE_EMISSION = _emission_spec()
 
+# '--projection' letters → projected-field bit (reference restricts which
+# fields may be the *projected* side of a capture, RDFind.scala:701-702)
+_PROJ_LETTER = {"s": cc.SUBJECT, "p": cc.PREDICATE, "o": cc.OBJECT}
 
-def capture_candidates(triples: DataFrame) -> DataFrame:
+
+def _spec_for(projection: str | None) -> list[tuple[int, str, str, str | None]]:
+    if projection is None:
+        return CAPTURE_EMISSION
+    fields = {_PROJ_LETTER[ch] for ch in projection.lower()}
+    return [
+        e for e in CAPTURE_EMISSION if cc.secondary_condition(e[0]) in fields
+    ]
+
+
+def capture_candidates(triples: DataFrame, projection: str | None = None) -> DataFrame:
     """triples(subj, pred, obj) → (join_value, code, v1, v2); 9 rows per
-    triple.  Unary captures carry ``v2 = ''`` (empty-string discipline,
-    see SURVEY §1.2)."""
+    triple (3 per projected field kept).  Unary captures carry ``v2 =
+    ''`` (empty-string discipline, see SURVEY §1.2).  ``projection``:
+    subset of "spo" restricting the projected field (reference
+    ``--projection``, ``programs/RDFind.scala:701-702``)."""
     structs = [
         F.struct(
             F.col(join_col).alias("join_value"),
@@ -60,7 +75,7 @@ def capture_candidates(triples: DataFrame) -> DataFrame:
             F.col(v1_col).alias("v1"),
             (F.col(v2_col) if v2_col else F.lit("")).alias("v2"),
         )
-        for code, join_col, v1_col, v2_col in CAPTURE_EMISSION
+        for code, join_col, v1_col, v2_col in _spec_for(projection)
     ]
     return triples.select(F.inline(F.array(*structs)))
 

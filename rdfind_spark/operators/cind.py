@@ -428,13 +428,15 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
     anti-joins of the reference (``plan/TraversalStrategy.scala:121-168``)
     in two expansions, both against the full emitted set.
 
-    The input is persisted first: this function references ``cinds`` a
-    dozen times (probe + killer branches), and without materialization
-    each branch would recompute the entire upstream pair-join pipeline.
-    The CIND set is result-sized (orders of magnitude smaller than the
-    data), so this stays cheap at any scale."""
-    cinds = cinds.persist()
-    cinds.count()  # eager materialization before the many-branch reuse
+    The input is eagerly materialized with its lineage TRUNCATED
+    (``localCheckpoint``) first: this function references ``cinds`` a
+    dozen times (probe + killer branches), and with plain persist each
+    branch still carries a full copy of the upstream pair-join pipeline
+    in the logical plan — multi-megabyte plan trees that Catalyst
+    re-analyzes and the driver re-stringifies per action.  The CIND set
+    is result-sized (orders of magnitude smaller than the data), so
+    checkpointing stays cheap at any scale."""
+    cinds = cinds.localCheckpoint(eager=True)
     all_cols = cinds.columns
 
     # (a) binary dep implied by unary-dep CIND with same ref
@@ -491,6 +493,7 @@ def discover_cinds(
     min_support: int = 10,
     minimal: bool = True,
     ar_filter: bool = False,
+    projection: str | None = None,
 ) -> DataFrame:
     """End-to-end CIND discovery: triples → pertinent (support ≥
     min_support) CINDs, optionally minimal.  Output schema:
@@ -505,7 +508,7 @@ def discover_cinds(
     # scan+explode+distinct passes into one (MEMORY_AND_DISK: spills
     # instead of failing when the capture table outgrows executor
     # memory).
-    dcap = distinct_captures(capture_candidates(triples)).persist(
+    dcap = distinct_captures(capture_candidates(triples, projection)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     supports = capture_supports(dcap)

@@ -179,13 +179,16 @@ def _merged_dep_candidates(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def discover_cinds_staged(
-    triples: DataFrame, min_support: int = 10, ar_filter: bool = False
+    triples: DataFrame,
+    min_support: int = 10,
+    ar_filter: bool = False,
+    projection: str | None = None,
 ) -> DataFrame:
     """SmallToLarge-style staged discovery of pertinent *minimal* CINDs.
     Same output schema and (post-minimality) same result set as
     ``discover_cinds(..., minimal=True)``."""
     spark = triples.sparkSession
-    dcap = distinct_captures(capture_candidates(triples)).persist(
+    dcap = distinct_captures(capture_candidates(triples, projection)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     frequent = frequent_captures(capture_supports(dcap), min_support).persist(

@@ -1,0 +1,113 @@
+"""CLI parity surface (programs/RDFind.scala + census programs) and the
+--projection capture restriction."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from rdfind_spark import condition_codes as cc
+from rdfind_spark.cli import main
+from rdfind_spark.operators.captures import capture_candidates
+from rdfind_spark.operators.cind import discover_cinds
+
+from tests.test_cind_engine import TINY
+
+NT = """# a comment line
+<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/p> "lit"@en .
+_:blank <http://ex.org/q> "42"^^<http://www.w3.org/2001/XMLSchema#int> .
+"""
+
+
+def _write_tiny_nt(tmp_path):
+    nt = tmp_path / "tiny.nt"
+    nt.write_text(
+        "\n".join(f"<{s}> <{p}> <{o}> ." for s, p, o in TINY) + "\n"
+    )
+    return str(nt)
+
+
+def test_projection_restricts_capture_codes(spark):
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    codes = {
+        r.code for r in capture_candidates(df, "s").select("code").distinct().collect()
+    }
+    assert codes == {c for c in cc.VALID_CODES if cc.secondary_condition(c) == cc.SUBJECT}
+    all_codes = {
+        r.code for r in capture_candidates(df).select("code").distinct().collect()
+    }
+    assert all_codes == set(cc.VALID_CODES)
+
+
+def test_projection_threads_through_discover(spark):
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    got = discover_cinds(df, min_support=2, projection="s")
+    rows = got.collect()
+    assert rows, "subject-projected CINDs expected on TINY"
+    ok = {c for c in cc.VALID_CODES if cc.secondary_condition(c) == cc.SUBJECT}
+    assert all(r.dep_code in ok and r.ref_code in ok for r in rows)
+
+
+def test_cli_rdfind_parquet_roundtrip(spark, tmp_path):
+    nt = _write_tiny_nt(tmp_path)
+    out = str(tmp_path / "cinds")
+    assert (
+        main(
+            [
+                "rdfind",
+                nt,
+                "--support",
+                "2",
+                "--traversal-strategy",
+                "0",
+                "--parquet",
+                out,
+            ]
+        )
+        == 0
+    )
+    got = {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in spark.read.parquet(out).collect()
+    }
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    expected = {
+        tuple(r) for r in discover_cinds(df, min_support=2, minimal=True).collect()
+    }
+    assert got == expected
+    assert got
+
+
+def test_cli_text_output_pretty(spark, tmp_path):
+    nt = _write_tiny_nt(tmp_path)
+    out = str(tmp_path / "txt")
+    assert main(["rdfind", nt, "--support", "2", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert lines and all(" < " in ln and "support=" in ln for ln in lines)
+
+
+def test_cli_census_commands(tmp_path, capsys, spark):
+    nt = tmp_path / "mini.nt"
+    nt.write_text(NT)
+    for cmd in (
+        "count-triples",
+        "count-conditions",
+        "count-distinct-values",
+        "check-hash-collisions",
+    ):
+        assert main([cmd, str(nt)]) == 0
+
+
+def test_read_ntriples_gz_and_comments(spark, tmp_path):
+    gz = tmp_path / "mini.nt.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(NT)
+    from rdfind_spark.sources.triples import read_ntriples
+
+    rows = read_ntriples(spark, str(gz)).collect()
+    assert len(rows) == 3
+    objs = {r.obj for r in rows}
+    assert "lit" in objs and "42" in objs
+    assert {r.subj for r in rows} == {"http://ex.org/a", "_:blank"}
