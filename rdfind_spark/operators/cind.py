@@ -511,6 +511,12 @@ def discover_cinds(
     dcap = distinct_captures(capture_candidates(triples, projection)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Build the stacked caches eagerly, in dependency order: letting the
+    # first downstream job's AQE materialize both TableCacheQueryStages
+    # concurrently can circular-wait (frequent's build plan contains the
+    # dcap cache) — a race-dependent driver deadlock observed in the
+    # staged strategy's identical cache stack.
+    dcap.count()
     supports = capture_supports(dcap)
     # frequent is result-sized but feeds many broadcast builds (the
     # pruning join, both restore joins); persisting stops the support
@@ -518,6 +524,7 @@ def discover_cinds(
     frequent = frequent_captures(supports, min_support).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    frequent.count()
     capf = pruned_captures(dcap, frequent)
     cands = capture_overlaps(capf, frequent, min_overlap=min_support)
     # The dep/ref extraction references the overlap table twice (one

@@ -38,18 +38,6 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly compute a result-sized stage output and TRUNCATE its
-    lineage (``localCheckpoint``).  Each staged-lattice stage references
-    earlier stages several times (self-joins, probe/killer expansions);
-    with lazy persist the *logical plan* still nests exponentially and
-    the driver OOMs just stringifying it for the SQL UI.  Checkpointing
-    stage outputs keeps every plan stage-local — the staged strategy is
-    inherently a sequence of materialized jobs in the reference too."""
-    return df.localCheckpoint(eager=True)
-
 from rdfind_spark import condition_codes as cc
 from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
@@ -63,6 +51,26 @@ from rdfind_spark.operators.cind import (
     remove_implied_cinds,
     structural_implies,
 )
+
+def _materialize(df: DataFrame, label: str = "") -> DataFrame:
+    """Eagerly compute a result-sized stage output and TRUNCATE its
+    lineage (``localCheckpoint``).  Each staged-lattice stage references
+    earlier stages several times (self-joins, probe/killer expansions);
+    with lazy persist the *logical plan* still nests exponentially and
+    the driver OOMs just stringifying it for the SQL UI.  Checkpointing
+    stage outputs keeps every plan stage-local — the staged strategy is
+    inherently a sequence of materialized jobs in the reference too.
+
+    Set ``SPARK_GRAFT_STAGE_TIMING=1`` to print per-stage wall clock."""
+    import os
+    import time
+
+    t0 = time.time()
+    out = df.localCheckpoint(eager=True)
+    if label and os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
+        print(f"## stage {label}: {time.time() - t0:.1f}s", flush=True)
+    return out
+
 
 _DEP_KEY = ["dep_code", "dep_v1", "dep_v2"]
 _REF_KEY = ["ref_code", "ref_v1", "ref_v2"]
@@ -112,7 +120,18 @@ def _verify_candidates(
     dep and ref co-occur, restricted to candidate captures up front
     (semi-joins) and to candidate *pairs* before aggregation; a
     candidate holds iff its co-occurrence count equals the dep support
-    (the relational form of G10-G12 extraction + A5 intersection)."""
+    (the relational form of G10-G12 extraction + A5 intersection).
+
+    Join order note: the instance tables join on ``join_value`` first
+    and the candidate-pair filter applies right after (Catalyst plans
+    the broadcast filter into the same stage).  The tempting
+    "candidate-driven" order — fan each dep instance out to its
+    candidate partners, then match ref instances on (ref, join_value) —
+    measured 10× WORSE for 2/1 candidates: a binary dep can carry
+    hundreds of candidate refs, and the fan-out (Σ dep_support ×
+    refs_per_dep) dwarfs the join_value co-occurrence output, spilling
+    tens of GB.  The join_value order's quadratic risk is already
+    bounded by the semi-join restriction to candidate captures."""
     cands = cands.select(*_CIND_KEY).distinct()
     dep_keys = cands.select(
         F.col("dep_code").alias("code"),
@@ -149,9 +168,18 @@ def _verify_candidates(
     )
 
 
-def _merged_dep_candidates(left: DataFrame, right: DataFrame) -> DataFrame:
+def _merged_dep_candidates(
+    left: DataFrame, right: DataFrame, allowed_deps: DataFrame
+) -> DataFrame:
     """Join two directional (dep → ref) sets on their ref and merge the
-    two unary deps into a canonical binary dep."""
+    two unary deps into a canonical binary dep.
+
+    ``allowed_deps``: result-sized (dep_code, dep_v1, dep_v2) whitelist
+    (the frequent binary captures) semi-joined BEFORE the dedup — a
+    merged dep that is not frequent can never verify (its support is
+    below min_support by definition), and filtering first keeps the
+    distinct shuffle result-bounded instead of explosion-bounded (the
+    per-ref pair join is quadratic in deps sharing a ref)."""
     l = left.select(
         *_REF_KEY,
         F.col("dep_code").alias("l_code"),
@@ -175,7 +203,10 @@ def _merged_dep_candidates(left: DataFrame, right: DataFrame) -> DataFrame:
         F.col("l_v1").alias("dep_v2"),
         *_REF_KEY,
     )
-    return fwd.unionByName(bwd).distinct()
+    merged = fwd.unionByName(bwd).join(
+        F.broadcast(allowed_deps), on=_DEP_KEY, how="left_semi"
+    )
+    return merged.distinct()
 
 
 def discover_cinds_staged(
@@ -191,11 +222,21 @@ def discover_cinds_staged(
     dcap = distinct_captures(capture_candidates(triples, projection)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Eager count()s build the three stacked caches in dependency order.
+    # Leaving them lazy lets the first downstream job's AQE materialize
+    # the dcap / frequent / capf TableCacheQueryStages CONCURRENTLY, and
+    # since each cache's build plan contains the previous cache, the
+    # builds can circular-wait (observed: buildBuffers holding the capf
+    # cache lock while its inner AdaptiveSparkPlan waits forever on the
+    # frequent stage) — a race-dependent driver deadlock.
+    dcap.count()
     frequent = frequent_captures(capture_supports(dcap), min_support).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    frequent.count()
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     capf = _capf_with_keys(dcap, frequent).persist(StorageLevel.MEMORY_AND_DISK)
+    capf.count()
     capu = capf.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     capb = capf.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
@@ -204,7 +245,7 @@ def discover_cinds_staged(
     ov_uu = capture_overlaps(
         pruned_captures(dcap_u, freq_u), freq_u, min_overlap=min_support
     )
-    ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism))
+    ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism), "ov_uu")
     cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
     if ar_filter:
         from rdfind_spark.operators.rules import (
@@ -215,9 +256,10 @@ def discover_cinds_staged(
         cind11 = filter_ar_implied_cinds(
             cind11, association_rules(triples, min_support, 1.0)
         )
-    cind11 = _materialize(cind11)
+    cind11 = _materialize(cind11, "cind11")
     proper11 = _materialize(
-        _proper_side(ov_uu, "a", "b").unionByName(_proper_side(ov_uu, "b", "a"))
+        _proper_side(ov_uu, "a", "b").unionByName(_proper_side(ov_uu, "b", "a")),
+        "proper11",
     )
 
     # ---- stage 2: 1/2 — candidate refs from pairs of 1/1 CINDs with
@@ -253,31 +295,31 @@ def discover_cinds_staged(
             F.col("r2_v1").alias("ref_v2"),
         )
     )
-    cind12 = _materialize(_verify_candidates(capu, capb, cand12))
+    cind12 = _materialize(_verify_candidates(capu, capb, cand12), "cind12")
 
     # ---- stage 3: 2/1 — candidate deps from pairs of proper overlaps
-    # with the same ref (G7), verified exactly
-    cand21 = _merged_dep_candidates(proper11, proper11)
+    # with the same ref (G7), verified exactly.  Only frequent binary
+    # deps can verify (overlap == dep_support >= min_support), so the
+    # merge is whitelist-restricted up front.
+    freq_bdep = frequent.filter(
+        F.col("code").isin(list(cc.VALID_BINARY_CODES))
+    ).select(
+        F.col("code").alias("dep_code"),
+        F.col("v1").alias("dep_v1"),
+        F.col("v2").alias("dep_v2"),
+    )
+    cand21 = _merged_dep_candidates(proper11, proper11, freq_bdep)
     # consumed twice (result union + 2/2 candidate seeding)
-    cind21 = _materialize(_verify_candidates(capb, capu, cand21))
+    cind21 = _materialize(_verify_candidates(capb, capu, cand21), "cind21")
 
     # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8)
     # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
     # (non-minimal but true) 2/1; they exist only to seed 2/2 candidates.
     partners = cind11.select(*_CIND_KEY).unionByName(proper11.select(*_CIND_KEY))
-    inf21 = _merged_dep_candidates(cind11, partners)
-    # pertinence: the merged binary dep must itself be frequent
-    dep_freq = frequent.select(
-        F.col("code").alias("dep_code"),
-        F.col("v1").alias("dep_v1"),
-        F.col("v2").alias("dep_v2"),
-        "support",
-    )
+    inf21 = _merged_dep_candidates(cind11, partners, freq_bdep)
     all21 = _materialize(
-        cind21.select(*_CIND_KEY)
-        .unionByName(inf21.select(*_CIND_KEY))
-        .distinct()
-        .join(F.broadcast(dep_freq.select(*_DEP_KEY)), on=_DEP_KEY, how="left_semi")
+        cind21.select(*_CIND_KEY).unionByName(inf21.select(*_CIND_KEY)).distinct(),
+        "all21",
     )
     # Trivial refinements again (G8): a 2/2 ref may refine one of the
     # dep's own unary generalizations (dep_b ⊆ gen(dep_b) is structural,
@@ -340,7 +382,7 @@ def discover_cinds_staged(
         F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
     ).select(*_CIND_KEY)
     cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
-    cind22 = _verify_candidates(capb, capb, cand22)
+    cind22 = _materialize(_verify_candidates(capb, capb, cand22), "cind22")
 
     # ---- union + minimality (shared with the all-at-once engine)
     out = (
