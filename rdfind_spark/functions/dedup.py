@@ -147,7 +147,12 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash signature per document: min over shingles
-    of md5(i || ':' || shingle) for i in 0..k-1."""
+    of md5(i || ':' || shingle) for i in 0..k-1.
+
+    The shingle array is projected in a separate select so the k
+    min-hash columns share ONE evaluation of the tokenize+slice+distinct
+    pipeline (referenced k times, CollapseProject keeps it
+    un-inlined; inlining measured k× slower)."""
     toks = tokens_col(F.col("text"))
     sh = F.array_distinct(
         F.transform(
@@ -157,13 +162,14 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_K)),
         )
     )
+    with_sh = documents.select("doc_id", sh.alias("sh"))
     cols = [
         F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return documents.select("doc_id", *cols)
+    return with_sh.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -300,13 +306,20 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     """SimHash fingerprint: bit j is the sign of the sum over tokens of
     ±1 votes, where a token's vote for bit j is the parity of hex digit
     j of its md5 (portable across engines, unlike native hash
-    functions).  Fingerprint packed into a BIGINT."""
+    functions).  Fingerprint packed into a BIGINT.
+
+    Token hashes are projected separately so the ``bits`` vote
+    aggregates share ONE tokenize+md5 evaluation instead of inlining it
+    per bit (same CollapseProject consideration as
+    minhash_signatures; measured ~bits× slower inlined)."""
     toks = tokens_col(F.col("text"))
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    with_hashes = documents.select(
+        "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("hs")
+    )
     bit_terms = []
     for j in range(bits):
         votes = F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.ascii(F.substring(h, j + 1, 1)) % 2 == 1, 1).otherwise(-1),
@@ -317,7 +330,7 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     fp = bit_terms[0]
     for t in bit_terms[1:]:
         fp = fp + t
-    return documents.select("doc_id", fp.alias("simhash"))
+    return with_hashes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_fingerprints_sql(bits: int = SIMHASH_BITS) -> str:
