@@ -308,7 +308,31 @@ def discover_cinds_staged(
         F.col("v1").alias("dep_v1"),
         F.col("v2").alias("dep_v2"),
     )
-    cand21 = _merged_dep_candidates(proper11, proper11, freq_bdep)
+    # A unary dep can only contribute to a whitelisted merge if it
+    # generalizes SOME frequent binary — semi-joining both merge inputs
+    # against that (result-sized, broadcast) set shrinks the quadratic
+    # per-ref pair join itself, not just its output.
+    gen_branches = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            gen_branches.append(
+                freq_bdep.filter(F.col("dep_code") == bcode).select(
+                    F.lit(ucode).alias("dep_code"), kept.alias("dep_v1")
+                )
+            )
+    gen_deps = gen_branches[0]
+    for g in gen_branches[1:]:
+        gen_deps = gen_deps.unionByName(g)
+    gen_deps = gen_deps.distinct()
+
+    def _mergeable(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(gen_deps), on=["dep_code", "dep_v1"], how="left_semi"
+        )
+
+    proper11_m = _mergeable(proper11)
+    cand21 = _merged_dep_candidates(proper11_m, proper11_m, freq_bdep)
     # consumed twice (result union + 2/2 candidate seeding)
     cind21 = _materialize(_verify_candidates(capb, capu, cand21), "cind21")
 
@@ -316,7 +340,7 @@ def discover_cinds_staged(
     # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
     # (non-minimal but true) 2/1; they exist only to seed 2/2 candidates.
     partners = cind11.select(*_CIND_KEY).unionByName(proper11.select(*_CIND_KEY))
-    inf21 = _merged_dep_candidates(cind11, partners, freq_bdep)
+    inf21 = _merged_dep_candidates(_mergeable(cind11), _mergeable(partners), freq_bdep)
     all21 = _materialize(
         cind21.select(*_CIND_KEY).unionByName(inf21.select(*_CIND_KEY)).distinct(),
         "all21",
