@@ -51,18 +51,25 @@ def _build_session(args: argparse.Namespace) -> SparkSession:
     return builder.getOrCreate()
 
 
-def _load_triples(spark: SparkSession, inputs: list[str]) -> DataFrame:
-    from rdfind_spark.sources.triples import read_ntriples, triple_view
+def _load_triples(
+    spark: SparkSession, inputs: list[str], tab_separated: bool = False
+) -> DataFrame:
+    from rdfind_spark.sources.triples import (
+        read_ntriples,
+        read_tsv_triples,
+        triple_view,
+    )
 
     dfs = []
-    nt_paths = []
+    text_paths = []
     for path in inputs:
         if path.startswith("tpch:"):
             dfs.append(triple_view(spark, path[len("tpch:") :]))
         else:
-            nt_paths.append(path)
-    if nt_paths:
-        dfs.append(read_ntriples(spark, nt_paths))
+            text_paths.append(path)
+    if text_paths:
+        reader = read_tsv_triples if tab_separated else read_ntriples
+        dfs.append(reader(spark, text_paths))
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
@@ -107,7 +114,7 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
     from rdfind_spark.sources.sinks import cind_pretty
 
     spark = _build_session(args)
-    triples = _preprocess(_load_triples(spark, args.input), args)
+    triples = _preprocess(_load_triples(spark, args.input, getattr(args, "tab_separated", False)), args)
     if args.traversal_strategy == 0:
         cinds = discover_cinds(
             triples,
@@ -131,7 +138,7 @@ def _cmd_count_triples(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.census import count_triples
 
     spark = _build_session(args)
-    _emit(count_triples(_load_triples(spark, args.input)), args)
+    _emit(count_triples(_load_triples(spark, args.input, getattr(args, "tab_separated", False))), args)
     return 0
 
 
@@ -139,7 +146,7 @@ def _cmd_count_conditions(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.census import condition_histogram
 
     spark = _build_session(args)
-    _emit(condition_histogram(_load_triples(spark, args.input)), args)
+    _emit(condition_histogram(_load_triples(spark, args.input, getattr(args, "tab_separated", False))), args)
     return 0
 
 
@@ -147,7 +154,7 @@ def _cmd_count_distinct_values(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.census import count_distinct_values
 
     spark = _build_session(args)
-    _emit(count_distinct_values(_load_triples(spark, args.input)), args)
+    _emit(count_distinct_values(_load_triples(spark, args.input, getattr(args, "tab_separated", False))), args)
     return 0
 
 
@@ -155,7 +162,7 @@ def _cmd_check_hash_collisions(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.transforms import hash_collisions
 
     spark = _build_session(args)
-    _emit(hash_collisions(_load_triples(spark, args.input)), args)
+    _emit(hash_collisions(_load_triples(spark, args.input, getattr(args, "tab_separated", False))), args)
     return 0
 
 
@@ -170,6 +177,8 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--output", help="write results as text to DIR")
         p.add_argument("--parquet", help="write results as parquet to DIR")
         p.add_argument("--show", type=int, default=50)
+        p.add_argument("--tab-separated", action="store_true",
+                       help="inputs are subj\\tpred\\tobj lines")
 
     p = sub.add_parser("rdfind", help="CIND discovery (programs/RDFind.scala)")
     common(p)

@@ -172,6 +172,58 @@ def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return parsed
 
 
+def read_tsv_triples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Tab-separated ``subj\\tpred\\tobj`` lines (the reference's
+    ``--tab-separated`` input variant, ``programs/RDFind.scala:219-226``);
+    comment lines dropped like the NT path."""
+    lines = spark.read.text(paths)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.size(parts) >= 3)
+        .select(
+            parts[0].alias("subj"),
+            parts[1].alias("pred"),
+            parts[2].alias("obj"),
+        )
+    )
+
+
+def estimate_triple_count(
+    spark: SparkSession, paths: str | list[str], sample_lines: int = 10000
+) -> int:
+    """S4 input-size estimation: read the first ``sample_lines``
+    non-comment lines, extrapolate the total line count from the
+    byte sizes (reference ``programs/RDFind.scala:101-136``).  Only an
+    estimate — used by callers to size data structures up front."""
+    import math
+
+    sc = spark.sparkContext
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    conf = sc._jsc.hadoopConfiguration()
+    total_bytes = 0
+    uri = sc._jvm.java.net.URI
+    fs_cls = sc._jvm.org.apache.hadoop.fs.FileSystem
+    path_cls = sc._jvm.org.apache.hadoop.fs.Path
+    for p in path_list:
+        hp = path_cls(p)
+        fs = fs_cls.get(uri(p if "://" in p else f"file://{p}"), conf)
+        for status in fs.globStatus(hp) or []:
+            total_bytes += status.getLen()
+    sample = (
+        spark.read.text(path_list)
+        .filter(~F.col("value").startswith("#"))
+        .limit(sample_lines)
+        .select(F.length("value").alias("n"))
+        .agg(F.count("*").alias("rows"), F.sum("n").alias("bytes"))
+        .collect()[0]
+    )
+    if not sample.rows or not sample.bytes:
+        return 0
+    avg_line = sample.bytes / sample.rows + 1  # +1 newline
+    return int(math.ceil(total_bytes / avg_line))
+
+
 def parse_prefixes(spark: SparkSession, path: str) -> DataFrame:
     """Parse ``@prefix p: <url> .`` lines into ``(prefix, url)``
     (reference ``operators/ParseRdfPrefixes.scala:12-27``)."""

@@ -111,3 +111,28 @@ def test_read_ntriples_gz_and_comments(spark, tmp_path):
     objs = {r.obj for r in rows}
     assert "lit" in objs and "42" in objs
     assert {r.subj for r in rows} == {"http://ex.org/a", "_:blank"}
+
+
+def test_tsv_triples_and_estimate(spark, tmp_path):
+    from rdfind_spark.sources.triples import estimate_triple_count, read_tsv_triples
+
+    tsv = tmp_path / "mini.tsv"
+    tsv.write_text("# c\na\tp\tb\nx\tq\ty\n")
+    rows = read_tsv_triples(spark, str(tsv)).collect()
+    assert {(r.subj, r.pred, r.obj) for r in rows} == {("a", "p", "b"), ("x", "q", "y")}
+    est = estimate_triple_count(spark, str(tsv))
+    assert 1 <= est <= 10
+
+
+def test_cli_tab_separated(spark, tmp_path):
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("\n".join(f"{s}\t{p}\t{o}" for s, p, o in TINY) + "\n")
+    out = str(tmp_path / "cinds_tsv")
+    assert (
+        main(
+            ["rdfind", str(tsv), "--tab-separated", "--support", "2",
+             "--traversal-strategy", "0", "--parquet", out]
+        )
+        == 0
+    )
+    assert spark.read.parquet(out).count() > 0
