@@ -7,6 +7,8 @@ watermarks, plus a custom stateful sessionizer
 from rdfind_spark.streaming.windows import (  # noqa: F401
     hourly_counts_stream,
     run_available_now,
+    stream_documents,
     stream_events,
+    streaming_exact_dedup,
     streaming_sessionize,
 )

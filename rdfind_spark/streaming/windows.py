@@ -157,6 +157,51 @@ def streaming_sessionize(events: DataFrame, flush_on_idle: bool = False) -> Data
     )
 
 
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same single-file
+    symlink staging as stream_events)."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "documents.parquet"))
+        src = d
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def streaming_exact_dedup(documents: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first-seen document per normalized-text
+    md5 passes through, later duplicates are dropped across
+    micro-batches (state = one row per distinct hash).  The streaming
+    rendering of ``functions.dedup.exact_dedup_map`` — at scale, pair
+    with a TTL watermark (``dropDuplicatesWithinWatermark``) if the
+    corpus is unbounded; exact global dedup requires unbounded state by
+    definition."""
+    from rdfind_spark.functions.dedup import normalized_text
+
+    hashed = documents.withColumn("text_hash", F.md5(normalized_text()))
+    return hashed.dropDuplicates(["text_hash"]).select(
+        "doc_id", "text_hash", "source"
+    )
+
+
 def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to a memory sink with
     Trigger.AvailableNow and block until done; returns the sink table

@@ -74,3 +74,24 @@ def test_extract_features_batch_shape(spark, sf_dir):
     expected = [ord(c) for c in hashlib.md5(doc0.encode()).hexdigest()[:8]]
     assert rows[0]["features"] == expected
     assert rows[0]["payload_len"] == len(doc0.encode())
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.dedup import normalized_text
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_documents,
+        streaming_exact_dedup,
+    )
+
+    sdf = streaming_exact_dedup(stream_documents(spark, sf_dir))
+    name = run_available_now(sdf, "dedup_stream", output_mode="append")
+    got = spark.table(name)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = (
+        docs.select(F.md5(normalized_text()).alias("h")).distinct().count()
+    )
+    assert got.count() == n_distinct
+    assert got.select("text_hash").distinct().count() == n_distinct
