@@ -100,9 +100,11 @@ def capture_overlaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     dcap = _dcap(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    dcap.count()  # build stacked caches in order (AQE deadlock dodge)
     freq = frequent_captures(capture_supports(dcap), MIN_SUPPORT).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    freq.count()
     return capture_overlaps(
         pruned_captures(dcap, freq), freq, min_overlap=MIN_SUPPORT
     )
