@@ -35,6 +35,8 @@ the shared hot-line/salting machinery.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +44,7 @@ from rdfind_spark import condition_codes as cc
 from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
     CAPTURE_KEY,
+    HOT_LINE_K,
     _side,
     capture_overlaps,
     capture_supports,
@@ -114,7 +117,7 @@ def _capf_with_keys(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
 
 
 def _verify_candidates(
-    dep_caps: DataFrame, ref_caps: DataFrame, cands: DataFrame
+    dep_caps: DataFrame, ref_caps: DataFrame, cands: DataFrame, label: str = ""
 ) -> DataFrame:
     """Exact evidence check for candidate CINDs: count join values where
     dep and ref co-occur, restricted to candidate captures up front
@@ -130,9 +133,17 @@ def _verify_candidates(
     measured 10× WORSE for 2/1 candidates: a binary dep can carry
     hundreds of candidate refs, and the fan-out (Σ dep_support ×
     refs_per_dep) dwarfs the join_value co-occurrence output, spilling
-    tens of GB.  The join_value order's quadratic risk is already
-    bounded by the semi-join restriction to candidate captures."""
-    cands = cands.select(*_CIND_KEY).distinct()
+    tens of GB.
+
+    Hot join values (many candidate deps × many candidate refs on one
+    key) would still blow up the join, so they are split off: unlike
+    discovery, verification KNOWS its pairs up front, and a hot line's
+    contribution to every candidate pair is computed from broadcast
+    per-capture membership bitmasks (``bit_count(a & b)``) — linear in
+    candidates, the hub product never materializes.  Cold lines are
+    counted through the equi-join as usual.  Always exact."""
+    spark = dep_caps.sparkSession
+    cands = _materialize(cands.select(*_CIND_KEY).distinct(), f"cand:{label}")
     dep_keys = cands.select(
         F.col("dep_code").alias("code"),
         F.col("dep_v1").alias("v1"),
@@ -159,10 +170,80 @@ def _verify_candidates(
         F.col("v1").alias("ref_v1"),
         F.col("v2").alias("ref_v2"),
     )
-    pairs = a.join(b, on="join_value").join(F.broadcast(cands), on=_CIND_KEY)
+    # hot census on the restricted sides: a value is hot when its pair
+    # product would dominate a task (same threshold as discovery)
+    sz = (
+        a.groupBy("join_value")
+        .agg(F.count("*").alias("na"))
+        .join(b.groupBy("join_value").agg(F.count("*").alias("nb")), on="join_value")
+        .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
+    )
+    hot_values = [r[0] for r in sz.select("join_value").collect()]
+    dsup = a.select(*_DEP_KEY, "dep_support").distinct()
+    if not hot_values:
+        pairs = a.join(b, on="join_value").join(F.broadcast(cands), on=_CIND_KEY)
+        return (
+            pairs.groupBy(*_CIND_KEY, "dep_support")
+            .agg(F.count("*").alias("overlap"))
+            .filter(F.col("overlap") == F.col("dep_support"))
+            .select(*_CIND_KEY, F.col("dep_support").alias("support"))
+        )
+    n_chunks = (len(hot_values) + 63) // 64
+    hot_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(hot_values)], "join_value string, idx int"
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
+
+    def _masks(df: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(hot_df), on="join_value")
+            .groupBy(*keys)
+            .agg(
+                *[
+                    F.bit_or(
+                        F.when(
+                            F.floor(F.col("idx") / 64) == c, bit
+                        ).otherwise(F.lit(0))
+                    ).alias(f"{prefix}{c}")
+                    for c in range(n_chunks)
+                ]
+            )
+        )
+
+    amask = _masks(a, _DEP_KEY, "am")
+    bmask = _masks(b, _REF_KEY, "bm")
+    hot_names = hot_df.select("join_value")
+    cold_a = a.join(F.broadcast(hot_names), on="join_value", how="left_anti")
+    cold_b = b.join(F.broadcast(hot_names), on="join_value", how="left_anti")
+    cold_cnt = (
+        cold_a.join(cold_b, on="join_value")
+        .join(F.broadcast(cands), on=_CIND_KEY)
+        .groupBy(*_CIND_KEY)
+        .agg(F.count("*").alias("cold_overlap"))
+    )
+    hot_common = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(
+                F.coalesce(F.col(f"am{c}"), F.lit(0)).bitwiseAND(
+                    F.coalesce(F.col(f"bm{c}"), F.lit(0))
+                )
+            )
+            for c in range(n_chunks)
+        ],
+    )
     return (
-        pairs.groupBy(*_CIND_KEY, "dep_support")
-        .agg(F.count("*").alias("overlap"))
+        cands.join(F.broadcast(amask), on=_DEP_KEY, how="left")
+        .join(F.broadcast(bmask), on=_REF_KEY, how="left")
+        .join(cold_cnt, on=_CIND_KEY, how="left")
+        .join(F.broadcast(dsup), on=_DEP_KEY)
+        .select(
+            *_CIND_KEY,
+            "dep_support",
+            (F.coalesce(F.col("cold_overlap"), F.lit(0)) + hot_common).alias(
+                "overlap"
+            ),
+        )
         .filter(F.col("overlap") == F.col("dep_support"))
         .select(*_CIND_KEY, F.col("dep_support").alias("support"))
     )
@@ -295,7 +376,7 @@ def discover_cinds_staged(
             F.col("r2_v1").alias("ref_v2"),
         )
     )
-    cind12 = _materialize(_verify_candidates(capu, capb, cand12), "cind12")
+    cind12 = _materialize(_verify_candidates(capu, capb, cand12, "12"), "cind12")
 
     # ---- stage 3: 2/1 — candidate deps from pairs of proper overlaps
     # with the same ref (G7), verified exactly.  Only frequent binary
@@ -334,7 +415,7 @@ def discover_cinds_staged(
     proper11_m = _mergeable(proper11)
     cand21 = _merged_dep_candidates(proper11_m, proper11_m, freq_bdep)
     # consumed twice (result union + 2/2 candidate seeding)
-    cind21 = _materialize(_verify_candidates(capb, capu, cand21), "cind21")
+    cind21 = _materialize(_verify_candidates(capb, capu, cand21, "21"), "cind21")
 
     # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8)
     # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
@@ -406,7 +487,7 @@ def discover_cinds_staged(
         F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
     ).select(*_CIND_KEY)
     cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
-    cind22 = _materialize(_verify_candidates(capb, capb, cand22), "cind22")
+    cind22 = _materialize(_verify_candidates(capb, capb, cand22, "22"), "cind22")
 
     # ---- union + minimality (shared with the all-at-once engine)
     out = (
