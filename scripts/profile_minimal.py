@@ -39,8 +39,10 @@ triples = triple_view(spark, sf_dir)
 dcap = distinct_captures(capture_candidates(triples)).persist(
     StorageLevel.MEMORY_AND_DISK
 )
+dcap.count()  # stacked-cache build order (AQE deadlock dodge)
 supports = capture_supports(dcap)
 frequent = frequent_captures(supports, 10).persist(StorageLevel.MEMORY_AND_DISK)
+frequent.count()
 capf = pruned_captures(dcap, frequent)
 cands = capture_overlaps(capf, frequent, min_overlap=10)
 cands = cands.coalesce(spark.sparkContext.defaultParallelism)

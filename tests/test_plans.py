@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions: the properties the engine's scale
+posture depends on (predicate pushdown, column pruning, broadcast
+joins, whole-stage codegen, and the deliberate NON-broadcast of the
+pair join) must survive refactors, not just be claimed in docstrings."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from rdfind_spark.operators.cind import (
+    capture_supports,
+    distinct_captures,
+    frequent_captures,
+    pruned_captures,
+)
+from rdfind_spark.operators.captures import capture_candidates
+from rdfind_spark.sources.triples import triple_view
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_of(q)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters", 1)[1][:200]
+    read_schema = p.split("ReadSchema", 1)[1][:200]
+    assert "text" not in read_schema, "unused wide column must be pruned from scan"
+
+
+def test_frequent_capture_pruning_broadcasts(spark, sf_dir):
+    dcap = distinct_captures(capture_candidates(triple_view(spark, sf_dir)))
+    freq = frequent_captures(capture_supports(dcap), 10)
+    p = plan_of(pruned_captures(dcap, freq))
+    assert "BroadcastHashJoin" in p, "frequent-set pruning join must broadcast"
+
+
+def test_census_runs_in_wholestage_codegen(spark, sf_dir):
+    """The explode+aggregate census must stay inside whole-stage codegen
+    (`*(n)` spans) — no Python UDF or codegen-breaking expression in the
+    hot path.  AQE wraps the plan pre-execution and hides the markers,
+    so it is disabled just for the explain."""
+    from rdfind_spark.operators.census import condition_counts
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_of(condition_counts(triple_view(spark, sf_dir)), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in p, "census should run inside WholeStageCodegen spans"
+
+
+def test_pair_join_is_not_broadcast(spark, sf_dir):
+    """The pair self-join must be a shuffled hash join: Catalyst's size
+    estimate after explode+distinct is far below reality and would
+    broadcast-build the entire capture table on the driver (see
+    capture_overlaps docstring)."""
+    from rdfind_spark.operators.cind import capture_overlaps
+
+    dcap = distinct_captures(capture_candidates(triple_view(spark, sf_dir)))
+    freq = frequent_captures(capture_supports(dcap), 10)
+    ov = capture_overlaps(pruned_captures(dcap, freq), freq, min_overlap=10)
+    p = plan_of(ov, mode="simple")
+    assert "ShuffledHashJoin" in p
