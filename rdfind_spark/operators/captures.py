@@ -80,10 +80,13 @@ def capture_candidates(triples: DataFrame, projection: str | None = None) -> Dat
     return triples.select(F.inline(F.array(*structs)))
 
 
-def capture_candidates_sql(triples_rel: str = "triples") -> str:
-    """The same 9-way emission as a SQL UNION ALL over ``triples_rel``."""
+def capture_candidates_sql(
+    triples_rel: str = "triples", projection: str | None = None
+) -> str:
+    """The same 9-way emission as a SQL UNION ALL over ``triples_rel``
+    (restricted like :func:`capture_candidates` when ``projection``)."""
     selects = []
-    for code, join_col, v1_col, v2_col in CAPTURE_EMISSION:
+    for code, join_col, v1_col, v2_col in _spec_for(projection):
         v2 = v2_col if v2_col else "''"
         selects.append(
             f"SELECT {join_col} AS join_value, {code} AS code, "

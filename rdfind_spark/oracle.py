@@ -41,7 +41,7 @@ def _gen_pairs_sql(probe_code: str, probe_v1: str, big_code: str, big_v1: str, b
     return "(" + " OR ".join(clauses) + ")"
 
 
-def cind_pipeline_ctes(min_support: int) -> str:
+def cind_pipeline_ctes(min_support: int, projection: str | None = None) -> str:
     """The shared CTE chain: triples → candidates → supports → overlaps."""
     # AS MATERIALIZED: DuckDB inlines CTEs per reference; without it the
     # 17-scan triples CTE is duplicated into every reuse of capf/cinds1
@@ -51,7 +51,7 @@ triples AS MATERIALIZED (
 {triple_view_sql()}
 ),
 cand AS (
-{capture_candidates_sql('triples')}
+{capture_candidates_sql('triples', projection)}
 ),
 dcap AS MATERIALIZED (SELECT DISTINCT join_value, code, v1, v2 FROM cand),
 supp AS (SELECT code, v1, v2, COUNT(*) AS support FROM dcap GROUP BY code, v1, v2),
@@ -125,11 +125,17 @@ cinds2 AS MATERIALIZED (
 )"""
 
 
-def cind_sql(min_support: int = 10, minimal: bool = True, ar: bool = False) -> str:
+def cind_sql(
+    min_support: int = 10,
+    minimal: bool = True,
+    ar: bool = False,
+    projection: str | None = None,
+) -> str:
     """Full CIND discovery as one DuckDB query (tables pre-registered as
     views named region/nation/.../lineitem).  ``ar``: apply the G17
-    association-rule filter before minimality, like the reference."""
-    base = f"WITH {cind_pipeline_ctes(min_support)}"
+    association-rule filter before minimality, like the reference.
+    ``projection``: restrict projected fields (subset of "spo")."""
+    base = f"WITH {cind_pipeline_ctes(min_support, projection)}"
     src = "cinds1"
     if ar:
         base += ",\n" + _ar_filter_ctes(min_support)

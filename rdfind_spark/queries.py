@@ -83,6 +83,18 @@ def cind_small_to_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_cinds_staged(triple_view(spark, sf_dir), MIN_SUPPORT)
 
 
+@register(
+    "cind_minimal_proj_s",
+    oracle.cind_sql(MIN_SUPPORT, minimal=True, projection="s"),
+)
+def cind_minimal_proj_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal CINDs restricted to subject-projected captures
+    (reference ``--projection``, ``programs/RDFind.scala:701-702``)."""
+    return discover_cinds(
+        triple_view(spark, sf_dir), MIN_SUPPORT, minimal=True, projection="s"
+    )
+
+
 @register("capture_supports", oracle.capture_supports_sql(MIN_SUPPORT))
 def capture_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-capture support counts (A10)."""
