@@ -117,7 +117,11 @@ def _capf_with_keys(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
 
 
 def _verify_candidates(
-    dep_caps: DataFrame, ref_caps: DataFrame, cands: DataFrame, label: str = ""
+    dep_caps: DataFrame,
+    ref_caps: DataFrame,
+    cands: DataFrame,
+    label: str = "",
+    hot_values: list | None = None,
 ) -> DataFrame:
     """Exact evidence check for candidate CINDs: count join values where
     dep and ref co-occur, restricted to candidate captures up front
@@ -170,15 +174,23 @@ def _verify_candidates(
         F.col("v1").alias("ref_v1"),
         F.col("v2").alias("ref_v2"),
     )
-    # hot census on the restricted sides: a value is hot when its pair
-    # product would dominate a task (same threshold as discovery)
-    sz = (
-        a.groupBy("join_value")
-        .agg(F.count("*").alias("na"))
-        .join(b.groupBy("join_value").agg(F.count("*").alias("nb")), on="join_value")
-        .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
-    )
-    hot_values = [r[0] for r in sz.select("join_value").collect()]
+    if hot_values is None:
+        # hot census on the restricted sides: a value is hot when its
+        # pair product would dominate a task.  Callers that verify
+        # several candidate classes pass one precomputed full-line hot
+        # set instead: restricted widths are bounded by the full line
+        # width, so the full-line census is a correct superset and the
+        # per-call census jobs are saved.
+        sz = (
+            a.groupBy("join_value")
+            .agg(F.count("*").alias("na"))
+            .join(
+                b.groupBy("join_value").agg(F.count("*").alias("nb")),
+                on="join_value",
+            )
+            .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
+        )
+        hot_values = [r[0] for r in sz.select("join_value").collect()]
     dsup = a.select(*_DEP_KEY, "dep_support").distinct()
     if not hot_values:
         pairs = a.join(b, on="join_value").join(F.broadcast(cands), on=_CIND_KEY)
@@ -318,6 +330,16 @@ def discover_cinds_staged(
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     capf = _capf_with_keys(dcap, frequent).persist(StorageLevel.MEMORY_AND_DISK)
     capf.count()
+    # one full-line hot census shared by all three verification stages
+    # (superset of any restricted-side hot set; see _verify_candidates)
+    hot_shared = [
+        r[0]
+        for r in capf.groupBy("join_value")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") > HOT_LINE_K)
+        .select("join_value")
+        .collect()
+    ]
     capu = capf.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     capb = capf.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
@@ -376,7 +398,7 @@ def discover_cinds_staged(
             F.col("r2_v1").alias("ref_v2"),
         )
     )
-    cind12 = _materialize(_verify_candidates(capu, capb, cand12, "12"), "cind12")
+    cind12 = _materialize(_verify_candidates(capu, capb, cand12, "12", hot_shared), "cind12")
 
     # ---- stage 3: 2/1 — candidate deps from pairs of proper overlaps
     # with the same ref (G7), verified exactly.  Only frequent binary
@@ -415,7 +437,7 @@ def discover_cinds_staged(
     proper11_m = _mergeable(proper11)
     cand21 = _merged_dep_candidates(proper11_m, proper11_m, freq_bdep)
     # consumed twice (result union + 2/2 candidate seeding)
-    cind21 = _materialize(_verify_candidates(capb, capu, cand21, "21"), "cind21")
+    cind21 = _materialize(_verify_candidates(capb, capu, cand21, "21", hot_shared), "cind21")
 
     # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8)
     # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
@@ -487,7 +509,7 @@ def discover_cinds_staged(
         F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
     ).select(*_CIND_KEY)
     cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
-    cind22 = _materialize(_verify_candidates(capb, capb, cand22, "22"), "cind22")
+    cind22 = _materialize(_verify_candidates(capb, capb, cand22, "22", hot_shared), "cind22")
 
     # ---- union + minimality (shared with the all-at-once engine)
     out = (
