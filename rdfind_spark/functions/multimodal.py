@@ -97,6 +97,90 @@ def extract_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing over mapInPandas: batch in, batch out, payload
+    re-emitted at the target dimensions.  The pixel operation is a
+    deterministic fake (truncate/cycle payload bytes to width*height) —
+    swap ``_fake_resize`` for a PIL/libvips call in a real deployment;
+    the Spark-side contract (binary in/out, metadata struct, Arrow
+    batching, no shuffle) is the tested part."""
+
+    target = width * height
+
+    def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else b
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "meta": [
+                        {"width": width, "height": height} for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _fake_resize, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SIZE = 64  # bytes per fake frame
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling plumbing: each binary payload is treated as a
+    sequence of FRAME_SIZE-byte frames; every ``every_n``-th frame is
+    emitted as its own row (one input batch → many output rows, the
+    shape a real video decoder produces).  Deterministic fake decode —
+    swap the chunking for ffmpeg/pyav in a real deployment."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n = len(b) // FRAME_SIZE
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        _frames, schema=FRAMES_SCHEMA
+    )
+
+
 def multimodal_features(documents: DataFrame) -> DataFrame:
     """End-to-end: documents → fake blobs → Arrow feature extraction,
     exploded to (doc_id, feature_idx, feature) rows (SQL-comparable)."""

@@ -95,3 +95,37 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
     )
     assert got.count() == n_distinct
     assert got.select("text_hash").distinct().count() == n_distinct
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from rdfind_spark.functions.multimodal import attach_blobs, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    out = resize_images(attach_blobs(docs), 16, 8).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 16 * 8 for r in out)
+    assert all(r.meta.width == 16 and r.meta.height == 8 for r in out)
+
+
+def test_sample_frames_plumbing(spark, sf_dir):
+    from rdfind_spark.functions.multimodal import (
+        FRAME_SIZE,
+        attach_blobs,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    blobs = attach_blobs(docs)
+    out = sample_frames(blobs, every_n=2)
+    rows = out.collect()
+    assert rows, "documents long enough for at least one frame expected"
+    assert all(len(r.frame) == FRAME_SIZE for r in rows)
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+    # per-doc frame count matches the payload length arithmetic
+    lens = {r.doc_id: len(bytes(r.payload)) for r in blobs.collect()}
+    import collections
+
+    got = collections.Counter(r.doc_id for r in rows)
+    for doc_id, n_bytes in lens.items():
+        expected = len(range(0, n_bytes // FRAME_SIZE, 2))
+        assert got.get(doc_id, 0) == expected
