@@ -59,6 +59,33 @@ def write_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table (hash-bucketed + sorted on
+    ``bucket_cols``): reads of this table are pre-partitioned, so
+    equi-joins and aggregations on the bucket columns plan WITHOUT a
+    shuffle Exchange — the 100 TB pattern for a capture table that
+    several pipeline stages join on ``join_value`` (the reference
+    re-shuffles per stage; bucketing pays the shuffle once at write
+    time).  Catalyst only recognizes bucketing through the catalog,
+    hence ``saveAsTable`` (in-memory catalog works; pass ``path`` for an
+    external location)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def collect_rows(df: DataFrame) -> list:
     """S10 driver-collect sink (RMI RemoteCollector analogue)."""
     return df.collect()

@@ -70,3 +70,28 @@ def test_pair_join_is_not_broadcast(spark, sf_dir):
     ov = capture_overlaps(pruned_captures(dcap, freq), freq, min_overlap=10)
     p = plan_of(ov, mode="simple")
     assert "ShuffledHashJoin" in p
+
+
+def test_bucketed_capture_table_joins_without_shuffle(spark, sf_dir, tmp_path):
+    """A capture table bucketed on join_value must self-join with no
+    Exchange under the join (bucket pruning of the shuffle — the
+    cross-stage reuse pattern for the 100 TB posture)."""
+    from rdfind_spark.sources.sinks import write_bucketed
+
+    dcap = distinct_captures(
+        capture_candidates(triple_view(spark, sf_dir))
+    ).limit(50000)
+    write_bucketed(
+        dcap, "capt_bucketed", ["join_value"], 8, path=str(tmp_path / "capb")
+    )
+    t = spark.table("capt_bucketed")
+    joined = t.alias("a").join(t.alias("b"), on="join_value")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(joined, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, "bucketed self-join must not re-shuffle"
