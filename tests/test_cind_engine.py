@@ -247,3 +247,29 @@ def test_cind_sql_matches_spark_on_sf0001(spark, sf_dir):
         c[0] == 33 and c[1] == "byCustomer" and c[3] == 10 and c[4] == "inNation"
         for c in got
     ) or any(c[1] == "byCustomer" for c in got)
+
+
+def test_tricky_values_match_brute_force(spark):
+    """Empty-string values (which collide with the unary v2='' sentinel
+    space), unicode, and values shared across subject/pred/object roles
+    must all flow through the engine unchanged."""
+    base = [
+        ("", "p", "x"),
+        ("", "p", "ü"),
+        ("a", "", ""),
+        ("b", "", ""),
+        ("x", "p", "a"),
+        ("x", "q", "a"),
+        ("ü", "p", "x"),
+        ("ü", "q", "x"),
+        ("p", "x", "q"),  # field-role collisions: p/x/q appear everywhere
+        ("q", "x", "p"),
+    ]
+    triples = base + [(f"{s}{i}", p, o) for i in range(2) for s, p, o in base]
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    got = {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in discover_cinds(df, min_support=2, minimal=True).collect()
+    }
+    assert got == brute_cinds(triples, min_support=2, minimal=True)
+    assert got, "fixture must produce CINDs"
