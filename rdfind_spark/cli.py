@@ -134,6 +134,21 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_rules(args: argparse.Namespace) -> int:
+    """Mine unary⇒unary association rules (the reference's AR subplan +
+    S9 sink, ``plan/FrequentConditionPlanner.scala:130-194``)."""
+    from rdfind_spark.operators.rules import association_rules
+    from rdfind_spark.sources.sinks import ar_pretty
+
+    spark = _build_session(args)
+    triples = _preprocess(
+        _load_triples(spark, args.input, getattr(args, "tab_separated", False)), args
+    )
+    rules = association_rules(triples, args.support, args.min_confidence)
+    _emit(rules, args, pretty=ar_pretty)
+    return 0
+
+
 def _cmd_count_triples(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.census import count_triples
 
@@ -192,6 +207,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--asciify", action="store_true")
     p.add_argument("--prefixes", help="@prefix file for URL shortening")
     p.set_defaults(fn=_cmd_rdfind)
+
+    p = sub.add_parser("rules", help="association-rule mining (J2/J3 + S9)")
+    common(p)
+    p.add_argument("--support", type=int, default=10)
+    p.add_argument("--min-confidence", type=float, default=1.0)
+    p.set_defaults(fn=_cmd_rules)
 
     for name, fn in (
         ("count-triples", _cmd_count_triples),

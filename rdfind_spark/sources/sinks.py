@@ -47,6 +47,36 @@ def cind_pretty(df: DataFrame) -> DataFrame:
     )
 
 
+def ar_pretty(df: DataFrame) -> DataFrame:
+    """Pretty-print association rules like ``p=a => o=b (support=N,
+    confidence=C)`` (reference AR sink S9,
+    ``programs/RDFind.scala:524-554``)."""
+    field = {cc.SUBJECT: "s", cc.PREDICATE: "p", cc.OBJECT: "o"}
+    ante = F.concat_ws(
+        "",
+        *[
+            F.when(F.col("ante_code") == code, F.lit(name))
+            for code, name in field.items()
+        ],
+    )
+    cons = F.concat_ws(
+        "",
+        *[
+            F.when(F.col("cons_code") == code, F.lit(name))
+            for code, name in field.items()
+        ],
+    )
+    return df.select(
+        F.concat(
+            ante, F.lit("="), F.col("antecedent"),
+            F.lit(" => "), cons, F.lit("="), F.col("consequent"),
+            F.lit(" (support="), F.col("support").cast("string"),
+            F.lit(", confidence="), F.round("confidence", 4).cast("string"),
+            F.lit(")"),
+        ).alias("value")
+    )
+
+
 def write_text(df: DataFrame, path: str, single_file: bool = True) -> None:
     """S8/S9 text sink, overwrite semantics; ``single_file`` mirrors the
     reference's parallelism-1 pinning for local files (keep False on a

@@ -136,3 +136,21 @@ def test_cli_tab_separated(spark, tmp_path):
         == 0
     )
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_rules_output(spark, tmp_path):
+    triples = [(f"a{i}", "p1", "x") for i in range(5)] + [
+        (f"a{i}", "p2", f"y{i}") for i in range(5)
+    ]
+    tsv = tmp_path / "r.tsv"
+    tsv.write_text("\n".join("\t".join(t) for t in triples) + "\n")
+    out = str(tmp_path / "rules")
+    assert (
+        main(
+            ["rules", str(tsv), "--tab-separated", "--support", "2", "--output", out]
+        )
+        == 0
+    )
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert lines and all("=>" in ln and "confidence=" in ln for ln in lines)
+    assert any("p=p1 => o=x" in ln for ln in lines)
