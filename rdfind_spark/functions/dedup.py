@@ -407,6 +407,97 @@ FROM fp a, fp b
 WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the
+    MinHash+LSH pair graph, labeled by the smallest doc_id in each
+    component (the canonical document a dedup pipeline keeps).
+
+    Spark-side: iterative min-label propagation to fixpoint — each round
+    is one join + aggregate, state is localCheckpoint'ed so lineage
+    stays O(1); rounds needed = component diameter (near-dup clusters
+    are tiny, so a handful).  This is the standard large-scale connected
+    components pattern (no GraphX dependency, pure DataFrame ops)."""
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    e = pairs.select("a_id", "b_id")
+    edges = (
+        e.unionByName(
+            e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("cluster_id").alias("n_cluster"),
+                ),
+                on="b_id",
+            )
+            .groupBy("a_id")
+            .agg(F.min("n_cluster").alias("n_min"))
+        )
+        new = (
+            labels.join(
+                prop.select(F.col("a_id").alias("doc_id"), "n_min"),
+                on="doc_id",
+                how="left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Oracle: transitive closure via recursive CTE over the same LSH
+    pair graph, cluster = min reachable doc_id."""
+    lsh = minhash_lsh_pairs_sql(threshold)
+    return f"""WITH pairs AS MATERIALIZED (
+{lsh}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+FROM documents d
+LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id"""
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, computed in double
     precision (rounded to 6 decimals for cross-engine stability)."""

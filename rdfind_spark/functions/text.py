@@ -156,6 +156,50 @@ SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang,
 FROM s"""
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_LONGNUM_RE = r"\d{7,}"
+
+
+def redact_text(documents: DataFrame) -> DataFrame:
+    """PII-style redaction for training corpora: emails → ``<EMAIL>``,
+    URLs → ``<URL>``, long digit runs (ids/phones) → ``<NUM>``, plus
+    per-document match counts for audit.  Pure column expressions; the
+    regexes are RE2/Java-compatible so the oracle runs them verbatim."""
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_LONGNUM_RE), 0)).alias(
+            "n_longnums"
+        ),
+    )
+
+
+def redact_text_sql() -> str:
+    return f"""SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_URL_RE}', '<URL>', 'g'),
+           '{_LONGNUM_RE}', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_longnums
+FROM documents"""
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Rolling-shingle document fingerprint: md5 of every SHINGLE_K-token
     window, keep the minimum (a 1-hash MinHash) — the standard cheap

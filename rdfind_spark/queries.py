@@ -239,6 +239,21 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
+@register("dedup_clusters", dedup.dedup_clusters_sql())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components (canonical doc per cluster) over
+    the MinHash+LSH pair graph; iterative min-label propagation vs the
+    oracle's recursive-CTE transitive closure."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+@register("text_redact", text.redact_text_sql())
+def text_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (emails/URLs/long digit runs) with audit
+    counts."""
+    return text.redact_text(_docs(spark, sf_dir))
+
+
 @register("dedup_embedding_cosine", dedup.embedding_cosine_pairs_sql())
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold, brute force)."""

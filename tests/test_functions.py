@@ -173,3 +173,34 @@ def test_hourly_counts(spark):
     }
     assert got[(0, "view")] == (2, 5.0)
     assert got[(0, "click")] == (1, 5.0)
+
+
+def test_dedup_clusters_transitive(spark):
+    """A near-dup chain A~B, B~C (A and C not directly similar) must
+    land in ONE cluster labeled by the smallest doc_id."""
+    from rdfind_spark.functions.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " lambda"),
+        (3, base + " lambda mu nu"),
+        (10, "completely different words here nothing shared at all okay"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(df, threshold=0.5).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == 10
+
+
+def test_redact_text_patterns(spark):
+    from rdfind_spark.functions.text import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@ex.com or see https://x.io/p?q=1 id 12345678 now")],
+        ["doc_id", "text"],
+    )
+    r = redact_text(df).collect()[0]
+    assert "<EMAIL>" in r.clean_text and "<URL>" in r.clean_text and "<NUM>" in r.clean_text
+    assert "a.b@ex.com" not in r.clean_text
+    assert (r.n_emails, r.n_urls, r.n_longnums) == (1, 1, 1)
