@@ -167,6 +167,105 @@ def knn_ivf(
     )
 
 
+def embedding_prep(embeddings: DataFrame) -> DataFrame:
+    """Embedding preparation for ANN serving: L2 norm, the normalized
+    vector's first component (spot-checkable), and int8 scalar
+    quantization stats (scale = max |x| / 127, quantized first
+    component) — the standard storage-shrink path before index build.
+    All double-precision, rounded for cross-engine stability."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    amax = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    return embeddings.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(emb, 1) / norm, 6).alias("unit_c0"),
+        F.round(scale, 6).alias("q_scale"),
+        F.round(F.element_at(emb, 1) / scale).cast("int").alias("q_c0"),
+    )
+
+
+def embedding_prep_sql() -> str:
+    return """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id,
+       round(norm, 6) AS l2_norm,
+       round(emb[1] / norm, 6) AS unit_c0,
+       round(scale, 6) AS q_scale,
+       CAST(round(emb[1] / scale) AS INT) AS q_c0
+FROM s"""
+
+
+def knn_ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the IVF index
+    against the exact brute-force top-k — the metric that decides
+    whether n_probe/n_centroids are adequate before scaling out."""
+    exact = knn_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf(embeddings, n_queries, k, n_centroids, n_probe).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        on=[
+            exact.query_id == approx.query_id,
+            exact.neighbor_id == approx.ivf_neighbor_id,
+        ],
+        how="left",
+    ).select(exact.query_id, F.col("ivf_neighbor_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_ivf_recall_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    exact = knn_bruteforce_sql(n_queries, k)
+    approx = knn_ivf_sql(n_queries, k, n_centroids, n_probe)
+    return f"""WITH exact_knn AS MATERIALIZED (
+{exact}
+),
+ivf_knn AS MATERIALIZED (
+{approx}
+)
+SELECT e.query_id,
+       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS recall_at_k
+FROM exact_knn e
+LEFT JOIN ivf_knn i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
+
 def knn_ivf_sql(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,

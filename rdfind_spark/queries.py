@@ -269,6 +269,18 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(_embs(spark, sf_dir))
 
 
+@register("embedding_prep", similarity.embedding_prep_sql())
+def embedding_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm + int8 quantization prep stats."""
+    return similarity.embedding_prep(_embs(spark, sf_dir))
+
+
+@register("knn_ivf_recall", similarity.knn_ivf_recall_sql())
+def knn_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF index vs exact brute force."""
+    return similarity.knn_ivf_recall(_embs(spark, sf_dir))
+
+
 @register("knn_ivf", similarity.knn_ivf_sql())
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministic index)."""
