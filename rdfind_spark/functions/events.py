@@ -160,3 +160,42 @@ SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_
                       AND t_click > t_view AND t_purchase IS NOT NULL
                       AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
 FROM per_user"""
+
+
+def user_interarrival(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival statistics: lag-window gaps between
+    consecutive events (seconds), aggregated to count/mean/min/max.
+    The lag + groupBy pattern shares one shuffle by user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gaps = events.withColumn("gap_s", gap).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+def user_interarrival_sql() -> str:
+    """DuckDB reads the events timestamps at nanosecond precision; the
+    Spark path stores microseconds and casts to whole epoch seconds, so
+    the oracle reproduces that truncation chain exactly (µs // 1e6) and
+    orders by the same µs-granularity key."""
+    return """WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS us,
+         (epoch_ns(ts) // 1000) // 1000000 AS sec
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_s
+  FROM e
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       round(AVG(gap_s), 6) AS mean_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id"""

@@ -308,6 +308,12 @@ def events_top_purchasers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.top_purchasers_per_day(_events(spark, sf_dir))
 
 
+@register("events_interarrival", events.user_interarrival_sql())
+def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap stats (lag window + aggregate)."""
+    return events.user_interarrival(_events(spark, sf_dir))
+
+
 @register("events_funnel", events.event_funnel_sql())
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel reach counts."""
