@@ -199,3 +199,70 @@ SELECT user_id, COUNT(*) AS n_gaps,
        CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
 FROM g WHERE gap_s IS NOT NULL
 GROUP BY user_id"""
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """Event counts and value sums by (day, event_type) with ROLLUP
+    subtotals (per-day and grand total; NULL dimensions mark subtotal
+    rows, rendered as sentinel strings for stable cross-engine
+    comparison)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    rolled = (
+        events.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+    )
+    return rolled.select(
+        F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def daily_rollup_sql() -> str:
+    return """SELECT
+       COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), '<all>') AS day,
+       COALESCE(event_type, '<all>') AS event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS value_sum
+FROM events
+GROUP BY ROLLUP (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), event_type)"""
+
+
+def day_retention(events: DataFrame) -> DataFrame:
+    """Day-over-day retention: for each day, how many of its active
+    users are active again the next day (plus the ratio) — the standard
+    cohort health metric; one distinct + one self-join on (user, day)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    active = events.select("user_id", day.alias("day")).distinct()
+    nxt = active.select(
+        "user_id", F.date_sub(F.col("day"), 1).alias("day"), F.lit(1).alias("ret")
+    )
+    joined = active.join(nxt, on=["user_id", "day"], how="left")
+    return (
+        joined.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.coalesce(F.col("ret"), F.lit(0))).alias("n_retained"),
+            F.round(
+                F.sum(F.coalesce(F.col("ret"), F.lit(0))) / F.count("*"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+def day_retention_sql() -> str:
+    return """WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+j AS (
+  SELECT a.day, a.user_id,
+         CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END AS ret
+  FROM active a
+  LEFT JOIN active n ON n.user_id = a.user_id AND n.day = a.day + 1
+)
+SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_active,
+       SUM(ret) AS n_retained,
+       round(SUM(ret) / COUNT(*), 6) AS retention
+FROM j GROUP BY day"""

@@ -314,6 +314,18 @@ def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.user_interarrival(_events(spark, sf_dir))
 
 
+@register("events_daily_rollup", events.daily_rollup_sql())
+def events_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, event_type) counts with ROLLUP subtotals."""
+    return events.daily_rollup(_events(spark, sf_dir))
+
+
+@register("events_retention", events.day_retention_sql())
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention per day."""
+    return events.day_retention(_events(spark, sf_dir))
+
+
 @register("events_funnel", events.event_funnel_sql())
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel reach counts."""
