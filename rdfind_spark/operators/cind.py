@@ -141,18 +141,35 @@ def capture_overlaps(
         .select("join_value")
         .collect()
     ]
-    if hot_values and min_overlap > len(hot_values):
+    if hot_values:
         ov = _cold_pair_counts_with_hot_masks(capf, hot_values, min_overlap)
     else:
         ov = _salted_pair_counts(capf, hot_values, min_overlap)
-    return _restore_capture_keys(ov, frequent)
+    return _restore_capture_keys(ov, frequent).distinct()
 
 
 def _cold_pair_counts_with_hot_masks(
     capf: DataFrame, hot_values: list, min_overlap: int
 ) -> DataFrame:
     """Pair overlap counts = cold-line pair counts + per-pair hot-line
-    contribution from broadcast bitmasks (see capture_overlaps)."""
+    contribution from broadcast bitmasks (see capture_overlaps).
+
+    Exact for ANY n_hot vs min_overlap relation:
+
+    * pairs with ≥1 cold co-occurrence are enumerated by the cold join
+      (kept when cold_count >= min_overlap - n_hot, the weakest bound a
+      qualifying pair can satisfy);
+    * pairs living ONLY in hot lines can qualify only if BOTH captures
+      sit in >= min_overlap distinct hot lines ("deep" captures, found
+      from the mask popcounts — usually none, always few).  Their pairs
+      are enumerated by a salted join restricted to deep-capture rows in
+      hot lines, with the same mask-based totals.
+
+    Both sources emit (pair, cold+hot total); overlaps of a pair agree,
+    so the union is deduplicated downstream after key restoration.  This
+    keeps the hub k² unmaterialized even when hot lines outnumber
+    min_overlap (where the old gate fell back to the salted join over
+    everything: measured 22× slower at a 2× scale probe)."""
     spark = capf.sparkSession
     n_hot = len(hot_values)
     n_chunks = (n_hot + 63) // 64
@@ -191,7 +208,7 @@ def _cold_pair_counts_with_hot_masks(
         .repartition(n_pair, *pkey)
         .groupBy(*pkey)
         .agg(F.count("*").alias("cold_overlap"))
-        .filter(F.col("cold_overlap") >= min_overlap - n_hot)
+        .filter(F.col("cold_overlap") >= max(1, min_overlap - n_hot))
     )
     ma = masks.select(
         F.col("h1").alias("a_h1"),
@@ -217,13 +234,61 @@ def _cold_pair_counts_with_hot_masks(
             for c in range(n_chunks)
         ],
     )
-    return with_masks.select(
+    part1 = with_masks.select(
         "a_h1",
         "a_h2",
         "b_h1",
         "b_h2",
         (F.col("cold_overlap") + hot_common).alias("overlap"),
     ).filter(F.col("overlap") >= min_overlap)
+    if n_hot < min_overlap:
+        # no pair can qualify on hot lines alone — part1 is complete
+        return part1
+    # Hot-only qualifiers: cold_count = 0 is the only miss class (a pair
+    # with 0 < cold < threshold tops out at min_overlap - 1; see
+    # docstring), and such a pair needs BOTH captures in >= min_overlap
+    # distinct hot lines.  Those "deep" captures are read off the mask
+    # popcounts; their pairs are enumerated with the salted join over
+    # hot-line rows only, then completed with targeted cold counts so
+    # totals agree with part1 on any pair both sources emit.
+    popcnt = reduce(
+        lambda x, y: x + y,
+        [F.bit_count(F.col(f"m{c}")) for c in range(n_chunks)],
+    )
+    deep = masks.filter(popcnt >= min_overlap).select("h1", "h2")
+    deep = deep.localCheckpoint(eager=True)
+    if deep.count() == 0:
+        return part1
+    hot_rows = capf.join(F.broadcast(hot_df.select("join_value")), on="join_value").join(
+        F.broadcast(deep), on=["h1", "h2"], how="left_semi"
+    )
+    hp = _salted_pair_counts(hot_rows, hot_values, 1).select(
+        *pkey, F.col("overlap").alias("hot_overlap")
+    )
+    deep_cold = cold.join(F.broadcast(deep), on=["h1", "h2"], how="left_semi")
+    ca = deep_cold.select(
+        "join_value", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
+    )
+    cb = deep_cold.select(
+        "join_value", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
+    )
+    cold2 = (
+        ca.join(cb, on="join_value")
+        .join(F.broadcast(hp.select(*pkey)), on=pkey, how="left_semi")
+        .groupBy(*pkey)
+        .agg(F.count("*").alias("cold2"))
+    )
+    part2 = (
+        hp.join(cold2, on=pkey, how="left")
+        .select(
+            *pkey,
+            (F.col("hot_overlap") + F.coalesce(F.col("cold2"), F.lit(0))).alias(
+                "overlap"
+            ),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    return part1.unionByName(part2)
 
 
 def _salted_pair_counts(

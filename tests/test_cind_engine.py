@@ -273,3 +273,31 @@ def test_tricky_values_match_brute_force(spark):
     }
     assert got == brute_cinds(triples, min_support=2, minimal=True)
     assert got, "fixture must produce CINDs"
+
+
+def test_hot_only_pairs_exact_with_tiny_hot_threshold(spark, monkeypatch):
+    """Force the hot-line machinery into its hardest regime: almost
+    every join line 'hot' (HOT_LINE_K=2) and n_hot >= min_support, so
+    qualifying pairs exist that co-occur ONLY in hot lines and must come
+    from the deep-capture enumeration.  Exactness vs brute force."""
+    from rdfind_spark.operators import cind as cind_mod
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 2)
+    rng = random.Random(7)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(6)}",
+                f"p{rng.randrange(3)}",
+                f"o{rng.randrange(4)}",
+            )
+            for _ in range(200)
+        }
+    )
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    got = {
+        tuple(r)
+        for r in discover_cinds(df, min_support=2, minimal=True).collect()
+    }
+    assert got == brute_cinds(triples, min_support=2, minimal=True)
+    assert got
