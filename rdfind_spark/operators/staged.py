@@ -50,7 +50,6 @@ from rdfind_spark.operators.cind import (
     capture_supports,
     distinct_captures,
     frequent_captures,
-    pruned_captures,
     remove_implied_cinds,
     structural_implies,
 )
@@ -343,11 +342,18 @@ def discover_cinds_staged(
     capu = capf.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     capb = capf.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
-    # ---- stage 1: unary/unary overlaps (skew-hardened shared machinery)
-    dcap_u = dcap.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
-    ov_uu = capture_overlaps(
-        pruned_captures(dcap_u, freq_u), freq_u, min_overlap=min_support
+    # ---- stage 1: unary/unary overlaps (skew-hardened shared machinery).
+    # The pair-join input is a pure projection of the cached capf
+    # (already frequency-pruned, support attached) — computing the
+    # 96-bit keys inline avoids another dcap scan + broadcast join that
+    # pruned_captures would run.
+    capu_hashed = capu.select(
+        "join_value",
+        F.xxhash64("code", "v1", "v2").alias("h1"),
+        F.hash("code", "v1", "v2").alias("h2"),
+        "support",
     )
+    ov_uu = capture_overlaps(capu_hashed, freq_u, min_overlap=min_support)
     ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism), "ov_uu")
     cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
     if ar_filter:
