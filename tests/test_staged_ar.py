@@ -115,3 +115,23 @@ def test_staged_matches_oracle_on_sf0001(spark, sf_dir):
     con = _duckdb_with_views(sf_dir)
     expected = {tuple(r) for r in con.execute(cind_sql(10, True)).fetchall()}
     assert got == expected
+
+
+def test_staged_ar_filter_reference_order(spark):
+    """The staged strategy applies the G17 filter to the 1/1 class
+    BEFORE candidate generation (reference stage order,
+    ``SmallToLargeTraversalStrategy.scala:80-87``): AR-implied 1/1s are
+    gone AND they no longer seed 1/2 candidates — so the staged AR
+    output is a subset of the all-at-once ar_filter output (which
+    filters after extraction)."""
+    triples = [(f"a{i}", "p1", "x") for i in range(5)] + [
+        (f"a{i}", "p2", f"y{i % 2}") for i in range(5)
+    ]
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    staged = _as_set(discover_cinds_staged(df, min_support=2, ar_filter=True))
+    implied = (10, "p1", "", 12, "x", "", 5)
+    assert implied not in staged
+    allatonce = _as_set(
+        discover_cinds(df, min_support=2, minimal=True, ar_filter=True)
+    )
+    assert staged <= allatonce
