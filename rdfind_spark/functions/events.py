@@ -17,6 +17,20 @@ SESSION_GAP_MIN = 30
 TOP_K_USERS = 5
 
 
+def normalize_event_ts(raw: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a plain TIMESTAMP whatever
+    the parquet physical type: the generated events table has shipped
+    both as TIMESTAMP(MICROS) (read natively) and as TIMESTAMP(NANOS)
+    (readable only as nanos-long under
+    ``spark.sql.legacy.parquet.nanosAsLong``, then truncated to micros —
+    the same truncation DuckDB's implicit TIMESTAMP_NS → TIMESTAMP cast
+    performs, so oracle instants match)."""
+    dtype = dict(raw.dtypes)["ts"]
+    if dtype in ("bigint", "long"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows per event type: count + value sum.
     (Streaming form: groupBy(window(ts, '1 hour'), event_type) with a

@@ -179,13 +179,15 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    # reader rejects; read nanos as long and truncate to microseconds
-    # (exactly what DuckDB's implicit TIMESTAMP_NS → TIMESTAMP cast
-    # does, so the oracle sees identical instants).
+    # events.parquet has shipped with two ts physical types: TIMESTAMP
+    # with micro precision (read natively) and TIMESTAMP(NANOS), which
+    # Spark's vectorized reader rejects — for the latter, read nanos as
+    # long and truncate to microseconds (exactly what DuckDB's implicit
+    # TIMESTAMP_NS → TIMESTAMP cast does, so the oracle sees identical
+    # instants).  Dispatch on the actual file schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events.normalize_event_ts(raw)
 
 
 @register("text_token_stats", text.token_stats_sql())

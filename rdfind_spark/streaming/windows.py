@@ -27,25 +27,17 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see queries._events)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanosecond ts read
-    as long and truncated to microseconds, matching the batch path).
-    The file source requires a *directory*; a single events.parquet file
-    is staged into a temp dir via symlink."""
+    """File-source stream over the events parquet, ts normalized to
+    TIMESTAMP exactly like the batch path (the stream schema is pinned
+    from a batch read of the same files, so both physical ts types —
+    micros and nanos-as-long — work).  The file source requires a
+    *directory*; a single events.parquet file is staged into a temp dir
+    via symlink."""
     import os
     import tempfile
+
+    from rdfind_spark.functions.events import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
@@ -53,12 +45,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
         src = d
+    schema = spark.read.parquet(src).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
