@@ -28,6 +28,14 @@ Flag parity map (reference ``Parameters`` → here):
   ``--apply-hash``          → ``--apply-hash`` (T3 value hashing)
   ``--use-url-abbreviation``→ ``--prefixes FILE`` (T2 via S7 prefix file)
   asciify (``--charset``)   → ``--asciify`` (T1)
+  ``--only-read``           → ``--only-read`` (read + count, stop)
+  ``--find-only-fcs``       → ``--find-only-fcs`` (frequent conditions only)
+  ``--do-only-join``        → ``--do-only-join`` (capture supports, no traversal)
+  ``--create-join-histogram``→ ``--create-join-histogram`` (A11)
+  ``--ar-output``           → ``--ar-output DIR`` (S9 sink)
+  ``--print-plan``          → ``--print-plan`` (physical plan)
+  ``--counters``            → ``--counters`` (per-class CIND counts)
+  ``--collect-result``      → ``--collect-result`` (S10 driver collect)
 """
 
 from __future__ import annotations
@@ -115,6 +123,33 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
 
     spark = _build_session(args)
     triples = _preprocess(_load_triples(spark, args.input, getattr(args, "tab_separated", False)), args)
+
+    # Short-circuit modes mirroring the reference's partial-plan flags
+    # (``programs/RDFind.scala:689-693,717``): each stops the plan at an
+    # intermediate product and emits that instead of CINDs.
+    if args.only_read:
+        print(f"triples read: {triples.count()}")
+        return 0
+    if args.find_only_fcs:
+        from rdfind_spark.operators.census import condition_counts
+
+        _emit(condition_counts(triples, args.support), args)
+        return 0
+    if args.do_only_join or args.create_join_histogram:
+        from rdfind_spark.operators.captures import capture_candidates
+        from rdfind_spark.operators.census import join_line_histogram
+        from rdfind_spark.operators.cind import (
+            capture_supports,
+            distinct_captures,
+        )
+
+        dcap = distinct_captures(capture_candidates(triples, args.projection))
+        if args.create_join_histogram:
+            _emit(join_line_histogram(dcap), args)
+        else:
+            _emit(capture_supports(dcap), args)
+        return 0
+
     if args.traversal_strategy == 0:
         cinds = discover_cinds(
             triples,
@@ -130,6 +165,40 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
             ar_filter=args.use_ar,
             projection=args.projection,
         )
+    if args.ar_output:
+        from rdfind_spark.operators.rules import association_rules
+        from rdfind_spark.sources.sinks import ar_pretty, write_text
+
+        write_text(
+            ar_pretty(association_rules(triples, args.support, 1.0)),
+            args.ar_output,
+        )
+    if args.print_plan:
+        cinds.explain("formatted")
+    if args.counters:
+        # Basic statistics à la the reference's accumulator counters
+        # (``--counters``, RDFind.scala:719): result-class row counts.
+        from rdfind_spark import condition_codes as cc
+        from pyspark.sql import functions as F
+
+        by_class = (
+            cinds.groupBy(
+                F.col("dep_code").isin(list(cc.VALID_UNARY_CODES)).alias("dep_unary"),
+                F.col("ref_code").isin(list(cc.VALID_UNARY_CODES)).alias("ref_unary"),
+            )
+            .count()
+            .collect()
+        )
+        for r in by_class:
+            dep = "1" if r.dep_unary else "2"
+            ref = "1" if r.ref_unary else "2"
+            print(f"# cinds {dep}/{ref}: {r['count']}", file=sys.stderr)
+    if args.collect_result:
+        from rdfind_spark.sources.sinks import collect_rows
+
+        for row in collect_rows(cind_pretty(cinds)):
+            print(row[0])
+        return 0
     _emit(cinds, args, pretty=cind_pretty)
     return 0
 
@@ -206,6 +275,22 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--apply-hash", action="store_true")
     p.add_argument("--asciify", action="store_true")
     p.add_argument("--prefixes", help="@prefix file for URL shortening")
+    p.add_argument("--only-read", action="store_true",
+                   help="read + count the input, then stop (RDFind --only-read)")
+    p.add_argument("--find-only-fcs", action="store_true",
+                   help="emit frequent conditions only (RDFind --find-only-fcs)")
+    p.add_argument("--do-only-join", action="store_true",
+                   help="stop after the capture join; emit capture supports "
+                        "(RDFind --do-only-join)")
+    p.add_argument("--create-join-histogram", action="store_true",
+                   help="emit the join-line size histogram (A11)")
+    p.add_argument("--ar-output", help="also write association rules to DIR")
+    p.add_argument("--print-plan", action="store_true",
+                   help="print the physical plan (RDFind --print-plan)")
+    p.add_argument("--counters", action="store_true",
+                   help="print per-class CIND counts (RDFind --counters)")
+    p.add_argument("--collect-result", action="store_true",
+                   help="collect results to the driver and print (S10)")
     p.set_defaults(fn=_cmd_rdfind)
 
     p = sub.add_parser("rules", help="association-rule mining (J2/J3 + S9)")

@@ -154,3 +154,46 @@ def test_cli_rules_output(spark, tmp_path):
     lines = [r.value for r in spark.read.text(out).collect()]
     assert lines and all("=>" in ln and "confidence=" in ln for ln in lines)
     assert any("p=p1 => o=x" in ln for ln in lines)
+
+
+def test_cli_partial_plan_flags(spark, tmp_path, capsys):
+    """The reference's partial-plan modes (--only-read, --find-only-fcs,
+    --do-only-join, --create-join-histogram) stop at intermediate
+    products (programs/RDFind.scala:689-693,717)."""
+    nt = _write_tiny_nt(tmp_path)
+
+    assert main(["rdfind", nt, "--only-read"]) == 0
+    assert "triples read: " in capsys.readouterr().out
+
+    out = str(tmp_path / "fcs")
+    assert main(["rdfind", nt, "--support", "2", "--find-only-fcs",
+                 "--parquet", out]) == 0
+    fcs = spark.read.parquet(out)
+    assert set(fcs.columns) >= {"code", "v1", "v2"}
+    assert fcs.count() > 0
+
+    out2 = str(tmp_path / "supports")
+    assert main(["rdfind", nt, "--do-only-join", "--parquet", out2]) == 0
+    sup = spark.read.parquet(out2)
+    assert "support" in sup.columns and sup.count() > 0
+
+    out3 = str(tmp_path / "hist")
+    assert main(["rdfind", nt, "--create-join-histogram", "--parquet", out3]) == 0
+    assert spark.read.parquet(out3).count() > 0
+
+
+def test_cli_counters_collect_and_ar_output(spark, tmp_path, capsys):
+    nt = _write_tiny_nt(tmp_path)
+    ar_dir = str(tmp_path / "ars")
+    assert (
+        main(
+            ["rdfind", nt, "--support", "2", "--counters",
+             "--collect-result", "--print-plan", "--ar-output", ar_dir]
+        )
+        == 0
+    )
+    captured = capsys.readouterr()
+    assert "# cinds " in captured.err
+    assert " < " in captured.out  # collected pretty rows on stdout
+    ar_lines = [r.value for r in spark.read.text(ar_dir).collect()]
+    assert ar_lines and all("=>" in ln or "⇒" in ln for ln in ar_lines)
