@@ -78,14 +78,21 @@ def _with_capture_hash(df: DataFrame) -> DataFrame:
 
 def pruned_captures(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
     """Keep only capture instances whose capture is frequent, compacted
-    to ``(join_value, h1, h2, support)``.  The frequent side is
-    result-sized (bounded by #distinct-values / min_support), so this is
-    a broadcast-able big-to-small join: the bulk ``dcap`` side is never
-    shuffled here (the reference ships the same information as a
-    broadcast Bloom filter, ``programs/RDFind.scala:374-399``)."""
+    to ``(jv1, jv2, h1, h2, support)`` — the join value, like the
+    capture key, carried as a 96-bit hash pair so every downstream
+    shuffle moves fixed-width integers instead of URI strings.  The
+    frequent side is result-sized (bounded by #distinct-values /
+    min_support), so this is a broadcast-able big-to-small join: the
+    bulk ``dcap`` side is never shuffled here (the reference ships the
+    same information as a broadcast Bloom filter,
+    ``programs/RDFind.scala:374-399``)."""
     fh = _with_capture_hash(frequent).select(*CAPTURE_KEY, "support", "h1", "h2")
     return dcap.join(F.broadcast(fh), on=CAPTURE_KEY).select(
-        "join_value", "h1", "h2", "support"
+        F.xxhash64("join_value").alias("jv1"),
+        F.hash("join_value").alias("jv2"),
+        "h1",
+        "h2",
+        "support",
     )
 
 
@@ -137,11 +144,11 @@ def capture_overlaps(
       product over N_SALT(N_SALT+1)/2 join keys) remains as the
       enumerator for the deep hot-only capture subset above.
     """
-    sizes = capf.groupBy("join_value").agg(F.count("*").alias("line_k"))
+    sizes = capf.groupBy("jv1", "jv2").agg(F.count("*").alias("line_k"))
     hot_values = [
-        r[0]
+        (r.jv1, r.jv2)
         for r in sizes.filter(F.col("line_k") > HOT_LINE_K)
-        .select("join_value")
+        .select("jv1", "jv2")
         .collect()
     ]
     if hot_values:
@@ -177,13 +184,14 @@ def _cold_pair_counts_with_hot_masks(
     n_hot = len(hot_values)
     n_chunks = (n_hot + 63) // 64
     hot_df = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(hot_values)], "join_value string, idx int"
+        [(a, b, i) for i, (a, b) in enumerate(hot_values)],
+        "jv1 long, jv2 int, idx int",
     )
     # per-capture membership bitmask over the hot lines, chunked into
     # 64-bit words; capture-count-sized (sum of hot line widths)
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
     masks = (
-        capf.join(F.broadcast(hot_df), on="join_value")
+        capf.join(F.broadcast(hot_df), on=["jv1", "jv2"])
         .groupBy("h1", "h2")
         .agg(
             *[
@@ -194,17 +202,19 @@ def _cold_pair_counts_with_hot_masks(
             ]
         )
     )
-    cold = capf.join(F.broadcast(hot_df.select("join_value")), on="join_value", how="left_anti")
+    cold = capf.join(
+        F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"], how="left_anti"
+    )
     n_pair = _pair_parallelism(capf)
     a = cold.select(
-        "join_value", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
-    ).repartition(n_pair, "join_value")
+        "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
+    ).repartition(n_pair, "jv1", "jv2")
     b = cold.select(
-        "join_value", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
-    ).repartition(n_pair, "join_value")
-    pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), on="join_value").filter(
-        F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2")
-    )
+        "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
+    ).repartition(n_pair, "jv1", "jv2")
+    pairs = a.hint("shuffle_hash").join(
+        b.hint("shuffle_hash"), on=["jv1", "jv2"]
+    ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))
     pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
     ov_cold = (
         pairs.select(*pkey)
@@ -262,21 +272,21 @@ def _cold_pair_counts_with_hot_masks(
     deep = deep.localCheckpoint(eager=True)
     if deep.count() == 0:
         return part1
-    hot_rows = capf.join(F.broadcast(hot_df.select("join_value")), on="join_value").join(
-        F.broadcast(deep), on=["h1", "h2"], how="left_semi"
-    )
+    hot_rows = capf.join(
+        F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"]
+    ).join(F.broadcast(deep), on=["h1", "h2"], how="left_semi")
     hp = _salted_pair_counts(hot_rows, hot_values, 1).select(
         *pkey, F.col("overlap").alias("hot_overlap")
     )
     deep_cold = cold.join(F.broadcast(deep), on=["h1", "h2"], how="left_semi")
     ca = deep_cold.select(
-        "join_value", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
+        "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
     )
     cb = deep_cold.select(
-        "join_value", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
+        "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
     )
     cold2 = (
-        ca.join(cb, on="join_value")
+        ca.join(cb, on=["jv1", "jv2"])
         .join(F.broadcast(hp.select(*pkey)), on=pkey, how="left_semi")
         .groupBy(*pkey)
         .agg(F.count("*").alias("cold2"))
@@ -300,14 +310,9 @@ def _salted_pair_counts(
     """Pair overlap counts via the salted triangle self-join (see
     capture_overlaps)."""
     spark = capf.sparkSession
-    if hot_values:
-        hot_df = spark.createDataFrame(
-            [(v,) for v in hot_values], "join_value string"
-        ).select("join_value", F.lit(True).alias("is_hot"))
-    else:
-        hot_df = spark.createDataFrame([], "join_value string").select(
-            "join_value", F.lit(True).alias("is_hot")
-        )
+    hot_df = spark.createDataFrame(
+        list(hot_values), "jv1 long, jv2 int"
+    ).select("jv1", "jv2", F.lit(True).alias("is_hot"))
     hot = hot_df
     # Cell (i, j), i <= j, joins bucket-i captures (side A) with
     # bucket-j captures (side B): side A is replicated to cells (b,
@@ -325,7 +330,7 @@ def _salted_pair_counts(
     # construction, and the explicit filter below enforces the same
     # order in diagonal and cold cells.
     salted = (
-        capf.join(F.broadcast(hot), on="join_value", how="left")
+        capf.join(F.broadcast(hot), on=["jv1", "jv2"], how="left")
         .withColumn("tb", F.pmod(F.hash("h1", "h2"), F.lit(N_SALT)))
         .withColumn(
             "bucket", F.when(F.col("is_hot"), F.col("tb")).otherwise(F.lit(0))
@@ -338,9 +343,10 @@ def _salted_pair_counts(
     # sides end up hash-partitioned identically, so the join needs no
     # further exchange (colocated).
     n_pair = _pair_parallelism(capf)
-    skey = ["join_value", "ba", "bb"]
+    skey = ["jv1", "jv2", "ba", "bb"]
     a = salted.select(
-        "join_value",
+        "jv1",
+        "jv2",
         F.col("bucket").alias("ba"),
         F.explode(
             F.when(
@@ -352,7 +358,8 @@ def _salted_pair_counts(
         F.col("h2").alias("a_h2"),
     ).repartition(n_pair, *skey)
     b = salted.select(
-        "join_value",
+        "jv1",
+        "jv2",
         F.explode(
             F.when(
                 F.col("is_hot"), F.sequence(F.lit(0), F.col("bucket"))
@@ -571,29 +578,74 @@ def discover_cinds(
     rules *before* the minimality pass (G17) — matching the reference's
     order, where AR-filtered CINDs can no longer act as minimality
     killers (``plan/SmallToLargeTraversalStrategy.scala:80-87``)."""
-    # dcap is consumed by several branches (support counts, the hot-line
-    # census, both self-join sides); persisting it turns 3-4 full
-    # scan+explode+distinct passes into one (MEMORY_AND_DISK: spills
-    # instead of failing when the capture table outgrows executor
-    # memory).
-    dcap = distinct_captures(capture_candidates(triples, projection)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # The whole bulk pipeline (distinct, support counts, pair join) runs
+    # on 96-bit hashes of BOTH the join value and the capture key:
+    # shuffles move fixed-width integer rows instead of URI strings
+    # (measured 2.5x on the distinct+support stages at sf0.1), and
+    # strings are recovered once, for the result-sized frequent set
+    # only.  This is the reference's dictionary compression (T7-T9,
+    # ``operators/ConditionCompressor.scala``) applied wholesale.
+    cand = capture_candidates(triples, projection)
+    caph = cand.select(
+        F.xxhash64("join_value").alias("jv1"),
+        F.hash("join_value").alias("jv2"),
+        F.xxhash64("code", "v1", "v2").alias("h1"),
+        F.hash("code", "v1", "v2").alias("h2"),
     )
-    # Build the stacked caches eagerly, in dependency order: letting the
-    # first downstream job's AQE materialize both TableCacheQueryStages
-    # concurrently can circular-wait (frequent's build plan contains the
-    # dcap cache) — a race-dependent driver deadlock observed in the
-    # staged strategy's identical cache stack.
-    dcap.count()
-    supports = capture_supports(dcap)
-    # frequent is result-sized but feeds many broadcast builds (the
-    # pruning join, both restore joins); persisting stops the support
-    # aggregation from re-running for each.
-    frequent = frequent_captures(supports, min_support).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # dcap_h is consumed by several branches (support counts, the
+    # hot-line census, both self-join sides); persisting it turns 3-4
+    # full scan+explode+distinct passes into one.  Built eagerly, in
+    # dependency order: letting the first downstream job's AQE
+    # materialize stacked TableCacheQueryStages concurrently can
+    # circular-wait (a race-dependent driver deadlock observed under
+    # the staged strategy's identical cache stack).
+    dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dcap_h.count()
+    # freq_h is result-sized but feeds every capf consumer (census,
+    # masks, both pair sides) through broadcast builds — persist, or
+    # the support aggregation over dcap_h re-runs for each (measured
+    # +35s at sf0.1).  It materializes inside the frequent.count() job
+    # below (the first and only cache built by that job, so the
+    # concurrent-cache-build deadlock cannot trigger).
+    freq_h = (
+        dcap_h.groupBy("h1", "h2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Recover the strings of the (result-sized) frequent captures with
+    # one more streaming pass over the raw candidates — a broadcast
+    # semi-restriction plus a partial-aggregated first(): no wide
+    # shuffle touches strings.  frequent feeds many broadcast builds
+    # (restore joins, extraction); persist so the agg runs once.
+    frequent = (
+        cand.select(
+            "code",
+            "v1",
+            "v2",
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        )
+        .join(F.broadcast(freq_h), on=["h1", "h2"])
+        .groupBy("h1", "h2", "support")
+        .agg(
+            F.first("code").alias("code"),
+            F.first("v1").alias("v1"),
+            F.first("v2").alias("v2"),
+        )
+        .select(*CAPTURE_KEY, "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     frequent.count()
-    capf = pruned_captures(dcap, frequent)
+    # capf feeds 4+ jobs inside capture_overlaps (census, masks, both
+    # pair sides); persist the pruned fixed-width table (~28 B/row)
+    # instead of re-running the dcap_h scan + pruning join per consumer.
+    # Materializes during the (single-job, eager) census pass.
+    capf = (
+        dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
+        .select("jv1", "jv2", "h1", "h2", "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = capture_overlaps(capf, frequent, min_overlap=min_support)
     # The dep/ref extraction references the overlap table twice (one
     # branch per direction); materializing the result-sized table first
@@ -604,7 +656,8 @@ def discover_cinds(
     cands = cands.coalesce(triples.sparkSession.sparkContext.defaultParallelism)
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
-    dcap.unpersist()
+    dcap_h.unpersist()
+    capf.unpersist()
     cinds = extract_cinds(cands)
     if ar_filter:
         from rdfind_spark.operators.rules import (

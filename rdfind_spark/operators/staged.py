@@ -348,7 +348,8 @@ def discover_cinds_staged(
     # 96-bit keys inline avoids another dcap scan + broadcast join that
     # pruned_captures would run.
     capu_hashed = capu.select(
-        "join_value",
+        F.xxhash64("join_value").alias("jv1"),
+        F.hash("join_value").alias("jv2"),
         F.xxhash64("code", "v1", "v2").alias("h1"),
         F.hash("code", "v1", "v2").alias("h2"),
         "support",

@@ -206,12 +206,19 @@ def test_hot_line_mask_path_matches_brute_force(spark, monkeypatch):
     import pyspark.sql.functions as F
 
     hot = (
-        capf.groupBy("join_value")
+        capf.groupBy("jv1", "jv2")
         .agg(F.count("*").alias("k"))
         .filter(F.col("k") > 50)
         .collect()
     )
-    assert len(hot) == 1 and hot[0]["join_value"] == "hub"
+    hub_row = (
+        df.select(
+            F.xxhash64(F.lit("hub")).alias("jv1"), F.hash(F.lit("hub")).alias("jv2")
+        )
+        .first()
+    )
+    assert len(hot) == 1
+    assert (hot[0].jv1, hot[0].jv2) == (hub_row.jv1, hub_row.jv2)
 
 
 def test_duplicate_triples_do_not_change_result(spark):
