@@ -150,13 +150,14 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
             _emit(capture_supports(dcap), args)
         return 0
 
-    if args.traversal_strategy == 0:
+    if args.traversal_strategy in (0, 2):
         cinds = discover_cinds(
             triples,
             min_support=args.support,
             minimal=not args.no_minimal,
             ar_filter=args.use_ar,
             projection=args.projection,
+            sketch_filter=args.traversal_strategy == 2,
         )
     else:
         cinds = discover_cinds_staged(
@@ -267,7 +268,9 @@ def make_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("rdfind", help="CIND discovery (programs/RDFind.scala)")
     common(p)
     p.add_argument("--support", type=int, default=10)
-    p.add_argument("--traversal-strategy", type=int, choices=(0, 1), default=1)
+    p.add_argument("--traversal-strategy", type=int, choices=(0, 1, 2), default=1,
+                   help="0=all-at-once, 1=small-to-large, "
+                        "2=approximate-then-verify (Bloom sketches, exact result)")
     p.add_argument("--use-ar", action="store_true")
     p.add_argument("--no-minimal", action="store_true")
     p.add_argument("--projection", default=None, help='subset of "spo"')

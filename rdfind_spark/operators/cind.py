@@ -96,8 +96,78 @@ def pruned_captures(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
     )
 
 
+# Bloom-sketch parameters for the approximate-then-verify path
+# (strategy 2): bits per capture value-set sketch, as 64-bit words.
+SKETCH_WORDS = 4  # 256 bits
+
+
+def capture_value_sketches(capf: DataFrame) -> DataFrame:
+    """Per-capture Bloom bitmask of its join-value set: 256 bits, one
+    hash function, built as a JVM-side ``bit_or`` aggregate.  The
+    Spark-native form of the reference's per-capture-set Bloom filters
+    (``data/ApproximateCindSet.scala:8-12``, built in
+    ``CreateAllHalfApproximateCindCandidates.scala:21-137``): value-set
+    inclusion a ⊆ b implies bits(a) & ~bits(b) == 0, so the bitmask
+    test admits false positives but never drops a true inclusion."""
+    pos = F.pmod(F.xxhash64("jv1", "jv2"), F.lit(64 * SKETCH_WORDS))
+    word = F.floor(pos / 64)
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), pmod(xxhash64(jv1, jv2), {64 * SKETCH_WORDS}) % 64)")
+    return capf.groupBy("h1", "h2").agg(
+        *[
+            F.bit_or(F.when(word == w, bit).otherwise(F.lit(0))).alias(f"s{w}")
+            for w in range(SKETCH_WORDS)
+        ]
+    )
+
+
+def _sketch_contained(prefix_in: str, prefix_out: str) -> Column:
+    """bits(in) ⊆ bits(out) across all sketch words."""
+    return reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"{prefix_in}_s{w}").bitwiseAND(
+                F.bitwise_not(F.col(f"{prefix_out}_s{w}"))
+            )
+            == 0
+            for w in range(SKETCH_WORDS)
+        ],
+    )
+
+
+def _apply_sketch_filter(pairs: DataFrame, sketches: DataFrame) -> DataFrame:
+    """Drop pair rows whose captures cannot be in an inclusion in either
+    direction, per the broadcast value-set sketches — BEFORE the overlap
+    aggregate, so the shuffle+count only sees candidate pairs (the
+    reference's approximate round; the exact count afterwards is the
+    verify round).  Exact for CIND extraction: the test has no false
+    negatives.  Scale bound: the broadcast is #frequent × 44 B — beyond
+    ~50M frequent captures switch back to strategy 0/1 (or attach
+    sketches with a shuffle join)."""
+    sa = sketches.select(
+        F.col("h1").alias("a_h1"),
+        F.col("h2").alias("a_h2"),
+        *[F.col(f"s{w}").alias(f"a_s{w}") for w in range(SKETCH_WORDS)],
+    )
+    sb = sketches.select(
+        F.col("h1").alias("b_h1"),
+        F.col("h2").alias("b_h2"),
+        *[F.col(f"s{w}").alias(f"b_s{w}") for w in range(SKETCH_WORDS)],
+    )
+    out = (
+        pairs.join(F.broadcast(sa), on=["a_h1", "a_h2"])
+        .join(F.broadcast(sb), on=["b_h1", "b_h2"])
+        .filter(_sketch_contained("a", "b") | _sketch_contained("b", "a"))
+    )
+    return out.drop(
+        *[f"{s}_s{w}" for s in ("a", "b") for w in range(SKETCH_WORDS)]
+    )
+
+
 def capture_overlaps(
-    capf: DataFrame, frequent: DataFrame, min_overlap: int = 1
+    capf: DataFrame,
+    frequent: DataFrame,
+    min_overlap: int = 1,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Unordered pairwise overlap counts: for captures a < b (by key
     order), the number of join values where both occur.  Overlap is
@@ -152,14 +222,19 @@ def capture_overlaps(
         .collect()
     ]
     if hot_values:
-        ov = _cold_pair_counts_with_hot_masks(capf, hot_values, min_overlap)
+        ov = _cold_pair_counts_with_hot_masks(
+            capf, hot_values, min_overlap, sketches
+        )
     else:
-        ov = _salted_pair_counts(capf, hot_values, min_overlap)
+        ov = _salted_pair_counts(capf, hot_values, min_overlap, sketches)
     return _restore_capture_keys(ov, frequent).distinct()
 
 
 def _cold_pair_counts_with_hot_masks(
-    capf: DataFrame, hot_values: list, min_overlap: int
+    capf: DataFrame,
+    hot_values: list,
+    min_overlap: int,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Pair overlap counts = cold-line pair counts + per-pair hot-line
     contribution from broadcast bitmasks (see capture_overlaps).
@@ -215,6 +290,8 @@ def _cold_pair_counts_with_hot_masks(
     pairs = a.hint("shuffle_hash").join(
         b.hint("shuffle_hash"), on=["jv1", "jv2"]
     ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))
+    if sketches is not None:
+        pairs = _apply_sketch_filter(pairs, sketches)
     pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
     ov_cold = (
         pairs.select(*pkey)
@@ -275,7 +352,7 @@ def _cold_pair_counts_with_hot_masks(
     hot_rows = capf.join(
         F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"]
     ).join(F.broadcast(deep), on=["h1", "h2"], how="left_semi")
-    hp = _salted_pair_counts(hot_rows, hot_values, 1).select(
+    hp = _salted_pair_counts(hot_rows, hot_values, 1, sketches).select(
         *pkey, F.col("overlap").alias("hot_overlap")
     )
     deep_cold = cold.join(F.broadcast(deep), on=["h1", "h2"], how="left_semi")
@@ -305,7 +382,10 @@ def _cold_pair_counts_with_hot_masks(
 
 
 def _salted_pair_counts(
-    capf: DataFrame, hot_values: list, min_overlap: int
+    capf: DataFrame,
+    hot_values: list,
+    min_overlap: int,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Pair overlap counts via the salted triangle self-join (see
     capture_overlaps)."""
@@ -377,6 +457,8 @@ def _salted_pair_counts(
     pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), on=skey).filter(
         F.struct("a_tb", "a_h1", "a_h2") < F.struct("b_tb", "b_h1", "b_h2")
     )
+    if sketches is not None:
+        pairs = _apply_sketch_filter(pairs, sketches)
     # Pair counting WITHOUT map-side partial aggregation: pair keys are
     # mostly unique (the long tail), so partial aggregation shuffles the
     # same row count anyway but first burns a full hash-map build +
@@ -569,6 +651,7 @@ def discover_cinds(
     minimal: bool = True,
     ar_filter: bool = False,
     projection: str | None = None,
+    sketch_filter: bool = False,
 ) -> DataFrame:
     """End-to-end CIND discovery: triples → pertinent (support ≥
     min_support) CINDs, optionally minimal.  Output schema:
@@ -577,7 +660,15 @@ def discover_cinds(
     ``ar_filter``: drop 1/1 CINDs implied by confidence-1.0 association
     rules *before* the minimality pass (G17) — matching the reference's
     order, where AR-filtered CINDs can no longer act as minimality
-    killers (``plan/SmallToLargeTraversalStrategy.scala:80-87``)."""
+    killers (``plan/SmallToLargeTraversalStrategy.scala:80-87``).
+
+    ``sketch_filter``: the approximate-then-verify traversal (reference
+    strategy 2, ``plan/ApproximateAllAtOnceTraversalStrategy.scala:
+    19-124``, re-expressed): per-capture Bloom bitmasks of the value
+    sets prune non-inclusion pairs before the overlap aggregate, and the
+    exact count verifies the survivors — same exact result set (the
+    sketch test has false positives only, like the reference's Bloom
+    round)."""
     # The whole bulk pipeline (distinct, support counts, pair join) runs
     # on 96-bit hashes of BOTH the join value and the capture key:
     # shuffles move fixed-width integer rows instead of URI strings
@@ -646,7 +737,17 @@ def discover_cinds(
         .select("jv1", "jv2", "h1", "h2", "support")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands = capture_overlaps(capf, frequent, min_overlap=min_support)
+    # sketches are result-sized (#frequent × 44 B) and feed two
+    # broadcast builds per pair enumerator — materialize once with
+    # truncated lineage.
+    sketches = (
+        capture_value_sketches(capf).localCheckpoint(eager=True)
+        if sketch_filter
+        else None
+    )
+    cands = capture_overlaps(
+        capf, frequent, min_overlap=min_support, sketches=sketches
+    )
     # The dep/ref extraction references the overlap table twice (one
     # branch per direction); materializing the result-sized table first
     # stops the whole pair pipeline from running twice.  coalesce: the

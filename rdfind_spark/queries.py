@@ -83,6 +83,18 @@ def cind_small_to_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_cinds_staged(triple_view(spark, sf_dir), MIN_SUPPORT)
 
 
+@register("cind_approx_verify", oracle.cind_sql(MIN_SUPPORT, minimal=True))
+def cind_approx_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-then-verify traversal (reference strategy 2,
+    ``plan/ApproximateAllAtOnceTraversalStrategy.scala``, re-expressed
+    with Spark-native Bloom bitmask sketches): exact result, so it
+    shares cind_minimal's oracle — the driver's check doubles as the
+    strategy-agreement test."""
+    return discover_cinds(
+        triple_view(spark, sf_dir), MIN_SUPPORT, minimal=True, sketch_filter=True
+    )
+
+
 @register(
     "cind_minimal_proj_s",
     oracle.cind_sql(MIN_SUPPORT, minimal=True, projection="s"),

@@ -308,3 +308,76 @@ def test_hot_only_pairs_exact_with_tiny_hot_threshold(spark, monkeypatch):
     }
     assert got == brute_cinds(triples, min_support=2, minimal=True)
     assert got
+
+
+# ------------------------------------------- approximate-then-verify
+
+
+def test_sketch_filter_strategy_matches_brute_force(spark):
+    """Strategy 2 (Bloom-sketch prefilter + exact verify) returns the
+    exact CIND set on TINY and on a hot-line fixture — the sketch test
+    has false positives only (reference strategy 2 re-expressed)."""
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    got = {
+        tuple(r)
+        for r in discover_cinds(
+            df, min_support=2, minimal=True, sketch_filter=True
+        ).collect()
+    }
+    assert got == brute_cinds(TINY, min_support=2, minimal=True)
+
+    triples = []
+    for i in range(40):
+        triples.append((f"x{i}", "p", "hub"))
+        triples += [(f"x{i}", "p", f"o{i}_{j}") for j in range(12)]
+    df2 = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    got2 = {
+        tuple(r)
+        for r in discover_cinds(
+            df2, min_support=10, minimal=False, sketch_filter=True
+        ).collect()
+    }
+    assert got2 == brute_cinds(triples, min_support=10, minimal=False)
+
+
+def test_value_sketch_containment_semantics(spark):
+    """bits(a) ⊆ bits(b) whenever values(a) ⊆ values(b)."""
+    from rdfind_spark.operators.captures import capture_candidates
+    from rdfind_spark.operators.cind import (
+        SKETCH_WORDS,
+        capture_supports,
+        capture_value_sketches,
+        distinct_captures,
+        frequent_captures,
+        pruned_captures,
+    )
+
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    dcap = distinct_captures(capture_candidates(df))
+    freq = frequent_captures(capture_supports(dcap), 2)
+    capf = pruned_captures(dcap, freq)
+    sk = {
+        (r.h1, r.h2): tuple(r[f"s{w}"] for w in range(SKETCH_WORDS))
+        for r in capture_value_sketches(capf).collect()
+    }
+    import pyspark.sql.functions as F
+
+    keyed = {
+        (r.code, r.v1, r.v2): (r.h1, r.h2)
+        for r in freq.select(
+            "code", "v1", "v2",
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        ).collect()
+    }
+    sets = brute_capture_sets(TINY)
+    checked = 0
+    for dep, dset in sets.items():
+        for ref, rset in sets.items():
+            if dep == ref or dep not in keyed or ref not in keyed:
+                continue
+            if dset <= rset:
+                a, b = sk[keyed[dep]], sk[keyed[ref]]
+                assert all((x & ~y) == 0 for x, y in zip(a, b)), (dep, ref)
+                checked += 1
+    assert checked > 0
