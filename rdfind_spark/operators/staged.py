@@ -47,9 +47,6 @@ from rdfind_spark.operators.cind import (
     HOT_LINE_K,
     _side,
     capture_overlaps,
-    capture_supports,
-    distinct_captures,
-    frequent_captures,
     remove_implied_cinds,
     structural_implies,
 )
@@ -106,13 +103,9 @@ def _proper_side(ov: DataFrame, dep: str, ref: str) -> DataFrame:
     )
 
 
-def _capf_with_keys(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
-    """Frequency-pruned capture instances carrying full string keys +
-    support (the staged verify joins are candidate-restricted and small,
-    so they skip the hashed-key compaction of the all-at-once path)."""
-    return dcap.join(F.broadcast(frequent), on=CAPTURE_KEY).select(
-        "join_value", *CAPTURE_KEY, "support"
-    )
+_DEP_H = ["dep_h1", "dep_h2"]
+_REF_H = ["ref_h1", "ref_h2"]
+_PAIR_H = _DEP_H + _REF_H
 
 
 def _verify_candidates(
@@ -128,7 +121,13 @@ def _verify_candidates(
     candidate holds iff its co-occurrence count equals the dep support
     (the relational form of G10-G12 extraction + A5 intersection).
 
-    Join order note: the instance tables join on ``join_value`` first
+    The instance tables are the hashed capf form ``(jv1, jv2, h1, h2,
+    support)`` and every join/aggregate here runs on fixed-width hash
+    keys; candidate strings (which the lattice merges constructed
+    explicitly) are hashed directly and restored from the result-sized
+    candidate table at the end.
+
+    Join order note: the instance tables join on the join value first
     and the candidate-pair filter applies right after (Catalyst plans
     the broadcast filter into the same stage).  The tempting
     "candidate-driven" order — fan each dep instance out to its
@@ -147,32 +146,36 @@ def _verify_candidates(
     counted through the equi-join as usual.  Always exact."""
     spark = dep_caps.sparkSession
     cands = _materialize(cands.select(*_CIND_KEY).distinct(), f"cand:{label}")
-    dep_keys = cands.select(
-        F.col("dep_code").alias("code"),
-        F.col("dep_v1").alias("v1"),
-        F.col("dep_v2").alias("v2"),
-    ).distinct()
-    ref_keys = cands.select(
-        F.col("ref_code").alias("code"),
-        F.col("ref_v1").alias("v1"),
-        F.col("ref_v2").alias("v2"),
-    ).distinct()
-    a = (
-        dep_caps.join(F.broadcast(dep_keys), on=CAPTURE_KEY, how="left_semi")
-        .select(
-            "join_value",
-            F.col("code").alias("dep_code"),
-            F.col("v1").alias("dep_v1"),
-            F.col("v2").alias("dep_v2"),
-            F.col("support").alias("dep_support"),
-        )
+    ch = cands.select(
+        "*",
+        F.xxhash64("dep_code", "dep_v1", "dep_v2").alias("dep_h1"),
+        F.hash("dep_code", "dep_v1", "dep_v2").alias("dep_h2"),
+        F.xxhash64("ref_code", "ref_v1", "ref_v2").alias("ref_h1"),
+        F.hash("ref_code", "ref_v1", "ref_v2").alias("ref_h2"),
     )
-    b = ref_caps.join(F.broadcast(ref_keys), on=CAPTURE_KEY, how="left_semi").select(
-        "join_value",
-        F.col("code").alias("ref_code"),
-        F.col("v1").alias("ref_v1"),
-        F.col("v2").alias("ref_v2"),
+    pair_keys = ch.select(*_PAIR_H)
+    a = dep_caps.join(
+        F.broadcast(ch.select(F.col("dep_h1").alias("h1"), F.col("dep_h2").alias("h2")).distinct()),
+        on=["h1", "h2"],
+        how="left_semi",
+    ).select(
+        "jv1",
+        "jv2",
+        F.col("h1").alias("dep_h1"),
+        F.col("h2").alias("dep_h2"),
+        F.col("support").alias("dep_support"),
     )
+    b = ref_caps.join(
+        F.broadcast(ch.select(F.col("ref_h1").alias("h1"), F.col("ref_h2").alias("h2")).distinct()),
+        on=["h1", "h2"],
+        how="left_semi",
+    ).select(
+        "jv1",
+        "jv2",
+        F.col("h1").alias("ref_h1"),
+        F.col("h2").alias("ref_h2"),
+    )
+    jv = ["jv1", "jv2"]
     if hot_values is None:
         # hot census on the restricted sides: a value is hot when its
         # pair product would dominate a task.  Callers that verify
@@ -181,33 +184,37 @@ def _verify_candidates(
         # width, so the full-line census is a correct superset and the
         # per-call census jobs are saved.
         sz = (
-            a.groupBy("join_value")
+            a.groupBy(*jv)
             .agg(F.count("*").alias("na"))
-            .join(
-                b.groupBy("join_value").agg(F.count("*").alias("nb")),
-                on="join_value",
-            )
+            .join(b.groupBy(*jv).agg(F.count("*").alias("nb")), on=jv)
             .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
         )
-        hot_values = [r[0] for r in sz.select("join_value").collect()]
-    dsup = a.select(*_DEP_KEY, "dep_support").distinct()
+        hot_values = [(r.jv1, r.jv2) for r in sz.select(*jv).collect()]
+    dsup = a.select(*_DEP_H, "dep_support").distinct()
+
+    def _restore(verified: DataFrame) -> DataFrame:
+        return verified.join(F.broadcast(ch), on=_PAIR_H).select(
+            *_CIND_KEY, "support"
+        )
+
     if not hot_values:
-        pairs = a.join(b, on="join_value").join(F.broadcast(cands), on=_CIND_KEY)
-        return (
-            pairs.groupBy(*_CIND_KEY, "dep_support")
+        pairs = a.join(b, on=jv).join(F.broadcast(pair_keys), on=_PAIR_H)
+        return _restore(
+            pairs.groupBy(*_PAIR_H, "dep_support")
             .agg(F.count("*").alias("overlap"))
             .filter(F.col("overlap") == F.col("dep_support"))
-            .select(*_CIND_KEY, F.col("dep_support").alias("support"))
+            .select(*_PAIR_H, F.col("dep_support").alias("support"))
         )
     n_chunks = (len(hot_values) + 63) // 64
     hot_df = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(hot_values)], "join_value string, idx int"
+        [(x, y, i) for i, (x, y) in enumerate(hot_values)],
+        "jv1 long, jv2 int, idx int",
     )
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
 
     def _masks(df: DataFrame, keys: list[str], prefix: str) -> DataFrame:
         return (
-            df.join(F.broadcast(hot_df), on="join_value")
+            df.join(F.broadcast(hot_df), on=jv)
             .groupBy(*keys)
             .agg(
                 *[
@@ -221,15 +228,15 @@ def _verify_candidates(
             )
         )
 
-    amask = _masks(a, _DEP_KEY, "am")
-    bmask = _masks(b, _REF_KEY, "bm")
-    hot_names = hot_df.select("join_value")
-    cold_a = a.join(F.broadcast(hot_names), on="join_value", how="left_anti")
-    cold_b = b.join(F.broadcast(hot_names), on="join_value", how="left_anti")
+    amask = _masks(a, _DEP_H, "am")
+    bmask = _masks(b, _REF_H, "bm")
+    hot_names = hot_df.select(*jv)
+    cold_a = a.join(F.broadcast(hot_names), on=jv, how="left_anti")
+    cold_b = b.join(F.broadcast(hot_names), on=jv, how="left_anti")
     cold_cnt = (
-        cold_a.join(cold_b, on="join_value")
-        .join(F.broadcast(cands), on=_CIND_KEY)
-        .groupBy(*_CIND_KEY)
+        cold_a.join(cold_b, on=jv)
+        .join(F.broadcast(pair_keys), on=_PAIR_H)
+        .groupBy(*_PAIR_H)
         .agg(F.count("*").alias("cold_overlap"))
     )
     hot_common = reduce(
@@ -243,20 +250,20 @@ def _verify_candidates(
             for c in range(n_chunks)
         ],
     )
-    return (
-        cands.join(F.broadcast(amask), on=_DEP_KEY, how="left")
-        .join(F.broadcast(bmask), on=_REF_KEY, how="left")
-        .join(cold_cnt, on=_CIND_KEY, how="left")
-        .join(F.broadcast(dsup), on=_DEP_KEY)
+    return _restore(
+        pair_keys.join(F.broadcast(amask), on=_DEP_H, how="left")
+        .join(F.broadcast(bmask), on=_REF_H, how="left")
+        .join(cold_cnt, on=_PAIR_H, how="left")
+        .join(F.broadcast(dsup), on=_DEP_H)
         .select(
-            *_CIND_KEY,
+            *_PAIR_H,
             "dep_support",
             (F.coalesce(F.col("cold_overlap"), F.lit(0)) + hot_common).alias(
                 "overlap"
             ),
         )
         .filter(F.col("overlap") == F.col("dep_support"))
-        .select(*_CIND_KEY, F.col("dep_support").alias("support"))
+        .select(*_PAIR_H, F.col("dep_support").alias("support"))
     )
 
 
@@ -311,50 +318,83 @@ def discover_cinds_staged(
     Same output schema and (post-minimality) same result set as
     ``discover_cinds(..., minimal=True)``."""
     spark = triples.sparkSession
-    dcap = distinct_captures(capture_candidates(triples, projection)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # Eager count()s build the three stacked caches in dependency order.
-    # Leaving them lazy lets the first downstream job's AQE materialize
-    # the dcap / frequent / capf TableCacheQueryStages CONCURRENTLY, and
-    # since each cache's build plan contains the previous cache, the
-    # builds can circular-wait (observed: buildBuffers holding the capf
-    # cache lock while its inner AdaptiveSparkPlan waits forever on the
-    # frequent stage) — a race-dependent driver deadlock.
-    dcap.count()
-    frequent = frequent_captures(capture_supports(dcap), min_support).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    frequent.count()
-    freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
-    capf = _capf_with_keys(dcap, frequent).persist(StorageLevel.MEMORY_AND_DISK)
-    capf.count()
-    # one full-line hot census shared by all three verification stages
-    # (superset of any restricted-side hot set; see _verify_candidates)
-    hot_shared = [
-        r[0]
-        for r in capf.groupBy("join_value")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") > HOT_LINE_K)
-        .select("join_value")
-        .collect()
-    ]
-    capu = capf.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
-    capb = capf.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
-
-    # ---- stage 1: unary/unary overlaps (skew-hardened shared machinery).
-    # The pair-join input is a pure projection of the cached capf
-    # (already frequency-pruned, support attached) — computing the
-    # 96-bit keys inline avoids another dcap scan + broadcast join that
-    # pruned_captures would run.
-    capu_hashed = capu.select(
+    # Same hashed bulk pipeline as the all-at-once engine (see
+    # operators.cind.discover_cinds): distinct / support counts / every
+    # verify join move only 96-bit hash pairs; capture strings are
+    # restored once for the result-sized frequent set, and candidate
+    # strings live only in the result-sized lattice tables.
+    cand = capture_candidates(triples, projection)
+    caph = cand.select(
         F.xxhash64("join_value").alias("jv1"),
         F.hash("join_value").alias("jv2"),
         F.xxhash64("code", "v1", "v2").alias("h1"),
         F.hash("code", "v1", "v2").alias("h2"),
-        "support",
     )
-    ov_uu = capture_overlaps(capu_hashed, freq_u, min_overlap=min_support)
+    # Eager count()s build the stacked caches in dependency order.
+    # Leaving them lazy lets the first downstream job's AQE materialize
+    # the TableCacheQueryStages CONCURRENTLY, and since each cache's
+    # build plan contains the previous cache, the builds can
+    # circular-wait (observed: buildBuffers holding the capf cache lock
+    # while its inner AdaptiveSparkPlan waits forever on the frequent
+    # stage) — a race-dependent driver deadlock.
+    dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dcap_h.count()
+    freq_h = (
+        dcap_h.groupBy("h1", "h2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frequent = (
+        cand.select(
+            "code",
+            "v1",
+            "v2",
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        )
+        .join(F.broadcast(freq_h), on=["h1", "h2"])
+        .groupBy("h1", "h2", "support")
+        .agg(
+            F.first("code").alias("code"),
+            F.first("v1").alias("v1"),
+            F.first("v2").alias("v2"),
+        )
+        .select(*CAPTURE_KEY, "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frequent.count()
+    capf = (
+        dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
+        .select("jv1", "jv2", "h1", "h2", "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    capf.count()
+    # one full-line hot census shared by all three verification stages
+    # (superset of any restricted-side hot set; see _verify_candidates)
+    hot_shared = [
+        (r.jv1, r.jv2)
+        for r in capf.groupBy("jv1", "jv2")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") > HOT_LINE_K)
+        .select("jv1", "jv2")
+        .collect()
+    ]
+    freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
+    freq_b = frequent.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
+
+    def _keys_of(freq_subset: DataFrame) -> DataFrame:
+        return freq_subset.select(
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        )
+
+    capu = capf.join(F.broadcast(_keys_of(freq_u)), on=["h1", "h2"], how="left_semi")
+    capb = capf.join(F.broadcast(_keys_of(freq_b)), on=["h1", "h2"], how="left_semi")
+
+    # ---- stage 1: unary/unary overlaps (skew-hardened shared
+    # machinery) — capu is already the hashed capf form it expects.
+    ov_uu = capture_overlaps(capu, freq_u, min_overlap=min_support)
     ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism), "ov_uu")
     cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
     if ar_filter:
@@ -526,5 +566,7 @@ def discover_cinds_staged(
         .filter(~structural_implies())
     )
     minimal = remove_implied_cinds(out)
-    dcap.unpersist()
+    dcap_h.unpersist()
+    capf.unpersist()
+    freq_h.unpersist()
     return minimal
