@@ -280,3 +280,103 @@ SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_active,
        SUM(ret) AS n_retained,
        round(SUM(ret) / COUNT(*), 6) AS retention
 FROM j GROUP BY day"""
+
+
+# ------------------------------------------------- as-of / range joins
+#
+# The reference has no temporal joins at all (Flink DataSet batch,
+# SURVEY §2.3 "notably absent": as-of/range joins) — these are the
+# time-series operators a training-data/event pipeline needs, expressed
+# Spark-first.
+
+
+def asof_last_view(events: DataFrame) -> DataFrame:
+    """As-of join: each purchase event picks the most recent view event
+    of the same user at-or-before its timestamp.
+
+    Expressed as a union + running ``last(ignorenulls)`` window rather
+    than a join: both sides are interleaved per user in time order and
+    the view timestamp is carried forward, so there is no join blow-up
+    and no per-row probe — one shuffle on user_id, linear scan per
+    partition.  Scale note: partitions by user (millions of independent
+    keys at scale); a single user's history stays within one partition,
+    which is the inherent as-of ordering requirement."""
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    # kind orders views before purchases at equal ts => "<=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )
+
+
+def asof_last_view_sql() -> str:
+    return """SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts"""
+
+
+RANGE_JOIN_WINDOW_S = 600
+
+
+def range_join_counts(events: DataFrame, window_s: int = RANGE_JOIN_WINDOW_S) -> DataFrame:
+    """Range join: for each error event, the number of click events of
+    the same user in the preceding ``window_s`` seconds (exclusive
+    lower bound, inclusive upper).
+
+    Banded-join technique: both sides bucketed to ``window_s``-wide time
+    bins, clicks replicated to their own and the NEXT bin, equi-join on
+    (user_id, bin), exact range predicate after — every qualifying pair
+    meets in exactly one bin, so the join is an equi-join Catalyst
+    plans natively and the worst case is bounded by events-per-bin, not
+    a per-user cross product."""
+    us = F.lit(int(window_s) * 1_000_000)
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts"),
+        (F.unix_micros("ts") / us).cast("long").alias("bin"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        F.explode(
+            F.array(
+                (F.unix_micros("ts") / us).cast("long"),
+                (F.unix_micros("ts") / us).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    cand = errors.join(clicks, on=["user_id", "bin"]).filter(
+        (F.col("c_ts") <= F.col("e_ts"))
+        & (F.unix_micros("c_ts") > F.unix_micros("e_ts") - us)
+    )
+    counts = cand.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        errors.select("event_id", "user_id", F.col("e_ts").alias("ts"))
+        .join(counts, on="event_id", how="left")
+        .select(
+            "event_id", "user_id", "ts",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+def range_join_counts_sql(window_s: int = RANGE_JOIN_WINDOW_S) -> str:
+    return f"""SELECT e.event_id, e.user_id, e.ts,
+       COUNT(c.ts) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts <= e.ts
+ AND epoch_us(c.ts) > epoch_us(e.ts) - {window_s} * 1000000
+GROUP BY e.event_id, e.user_id, e.ts"""

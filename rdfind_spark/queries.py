@@ -340,6 +340,19 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.day_retention(_events(spark, sf_dir))
 
 
+@register("events_asof_join", events.asof_last_view_sql())
+def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: purchase → most recent prior view per user (union +
+    running-last window; oracle is DuckDB's native ASOF LEFT JOIN)."""
+    return events.asof_last_view(_events(spark, sf_dir))
+
+
+@register("events_range_join", events.range_join_counts_sql())
+def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks within 10 min before each error."""
+    return events.range_join_counts(_events(spark, sf_dir))
+
+
 @register("events_funnel", events.event_funnel_sql())
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel reach counts."""

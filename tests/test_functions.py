@@ -204,3 +204,33 @@ def test_redact_text_patterns(spark):
     assert "<EMAIL>" in r.clean_text and "<URL>" in r.clean_text and "<NUM>" in r.clean_text
     assert "a.b@ex.com" not in r.clean_text
     assert (r.n_emails, r.n_urls, r.n_longnums) == (1, 1, 1)
+
+
+def test_asof_last_view_picks_latest_prior(spark):
+    rows = [
+        (0, 1, "view", 0),       # t=0
+        (5, 1, "view", 0),       # t=5
+        (5, 1, "purchase", 10),  # same-instant view counts (<=)
+        (7, 1, "purchase", 10),  # latest prior view is t=5
+        (3, 2, "purchase", 10),  # user 2 has no view
+    ]
+    df = _events_df(spark, rows)
+    got = {
+        (r.event_id, r.last_view_ts and r.last_view_ts.minute)
+        for r in events.asof_last_view(df).collect()
+    }
+    assert got == {(2, 5), (3, 5), (4, None)}
+
+
+def test_range_join_counts_boundaries(spark):
+    # window = 600 s: (e_ts - 600, e_ts], exclusive lower bound
+    rows = [
+        (0, 1, "click", 0),    # exactly 600 s before error -> excluded
+        (5, 1, "click", 0),    # inside
+        (10, 1, "click", 0),   # same instant -> included
+        (10, 1, "error", 0),
+        (20, 2, "error", 0),   # no clicks
+    ]
+    df = _events_df(spark, rows)
+    got = {(r.event_id, r.n_clicks) for r in events.range_join_counts(df).collect()}
+    assert got == {(3, 2), (4, 0)}
