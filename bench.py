@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_lsh",
     "events_sessionize",
     "events_hourly_counts",
     "text_fingerprints",

@@ -306,3 +306,122 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+# ----------------------------------------------------- LSH-bucketed ANN
+
+N_HYPERPLANES = 16
+LSH_BAND_BITS = 4  # 16 bits -> 4 bands of 4
+
+
+def lsh_band_signatures(
+    embeddings: DataFrame, n_planes: int = N_HYPERPLANES
+) -> DataFrame:
+    """Random-hyperplane LSH band signatures: bit i = sign(v · h_i),
+    packed into ``n_planes / LSH_BAND_BITS`` band values.  Hyperplanes
+    are the first ``n_planes`` vectors (deterministic, like the IVF
+    centroid choice), so Spark and the SQL oracle derive the identical
+    index.  Cosine sign equals dot sign, so the existing cosine kernel
+    doubles as the projection."""
+    planes = embeddings.filter(F.col("vec_id") < n_planes).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_emb")
+    )
+    bits = embeddings.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(cosine_col(F.col("embedding"), F.col("p_emb")) >= 0, 1)
+        .otherwise(0)
+        .alias("bit"),
+    )
+    return (
+        bits.groupBy(
+            "vec_id",
+            F.floor(F.col("plane_id") / LSH_BAND_BITS).alias("band"),
+        )
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(bit, CAST(plane_id % {LSH_BAND_BITS} AS INT))")
+            ).alias("band_val")
+        )
+    )
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """LSH-bucketed approximate k-NN: candidates are vectors sharing at
+    least one signature band with the query (banded buckets make near
+    neighbors collide with high probability); candidates are then
+    scored exactly and ranked.  The scan cost is the buckets' share of
+    the data, like a MinHash-LSH dedup pass — the equi-join on
+    (band, band_val) is Catalyst-native and skew is bounded by bucket
+    size."""
+    sigs = lsh_band_signatures(embeddings, n_planes)
+    q_sigs = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band", "band_val"
+    )
+    cand = (
+        q_sigs.join(
+            sigs.select(F.col("vec_id").alias("neighbor_id"), "band", "band_val"),
+            on=["band", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = cand.join(F.broadcast(q), on="query_id").join(n, on="neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_lsh_sql(
+    n_queries: int = N_QUERIES, k: int = TOP_K, n_planes: int = N_HYPERPLANES
+) -> str:
+    cos_vp = COSINE_SQL.format(a="v.embedding", b="p.embedding")
+    cos_qn = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""WITH sigs AS MATERIALIZED (
+  SELECT vec_id, plane_id // {LSH_BAND_BITS} AS band,
+         SUM(bit << (CAST(plane_id AS INT) % {LSH_BAND_BITS})) AS band_val
+  FROM (
+    SELECT v.vec_id, p.vec_id AS plane_id,
+           CASE WHEN {cos_vp} >= 0 THEN 1 ELSE 0 END AS bit
+    FROM embeddings v, embeddings p WHERE p.vec_id < {n_planes}
+  ) GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, ns.vec_id AS neighbor_id
+  FROM sigs qs
+  JOIN sigs ns ON qs.band = ns.band AND qs.band_val = ns.band_val
+  WHERE qs.vec_id < {n_queries} AND qs.vec_id <> ns.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos_qn} AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""

@@ -295,6 +295,13 @@ def knn_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_recall(_embs(spark, sf_dir))
 
 
+@register("knn_lsh", similarity.knn_lsh_sql())
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane band signatures → bucket
+    join → exact rescoring)."""
+    return similarity.knn_lsh(_embs(spark, sf_dir))
+
+
 @register("knn_ivf", similarity.knn_ivf_sql())
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministic index)."""
