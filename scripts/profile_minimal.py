@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Phase-by-phase profile of discover_cinds(minimal=True) at sf0.1."""
+"""Phase-by-phase profile of discover_cinds(minimal=True) at sf0.1 —
+mirrors the hashed bulk pipeline in operators.cind.discover_cinds
+(stage boundaries materialized so each phase is timed separately)."""
 import os
 import sys
 import time
@@ -8,17 +10,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark import StorageLevel
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
+from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
+    CAPTURE_KEY,
     capture_overlaps,
-    capture_supports,
-    distinct_captures,
     extract_cinds,
-    frequent_captures,
-    pruned_captures,
     remove_implied_cinds,
 )
-from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.sources.triples import triple_view
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,30 +36,66 @@ spark.sparkContext.setLogLevel("ERROR")
 
 t0 = time.time()
 triples = triple_view(spark, sf_dir)
-dcap = distinct_captures(capture_candidates(triples)).persist(
+cand = capture_candidates(triples)
+caph = cand.select(
+    F.xxhash64("join_value").alias("jv1"),
+    F.hash("join_value").alias("jv2"),
+    F.xxhash64("code", "v1", "v2").alias("h1"),
+    F.hash("code", "v1", "v2").alias("h2"),
+)
+dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+print(f"dcap_h: {dcap_h.count()} rows {time.time() - t0:.1f}s")
+
+t1 = time.time()
+freq_h = (
+    dcap_h.groupBy("h1", "h2")
+    .agg(F.count("*").alias("support"))
+    .filter(F.col("support") >= 10)
+    .persist(StorageLevel.MEMORY_AND_DISK)
+)
+print(f"freq_h: {freq_h.count()} rows {time.time() - t1:.1f}s")
+
+t1 = time.time()
+frequent = (
+    cand.select(
+        "code",
+        "v1",
+        "v2",
+        F.xxhash64("code", "v1", "v2").alias("h1"),
+        F.hash("code", "v1", "v2").alias("h2"),
+    )
+    .join(F.broadcast(freq_h), on=["h1", "h2"])
+    .groupBy("h1", "h2", "support")
+    .agg(
+        F.first("code").alias("code"),
+        F.first("v1").alias("v1"),
+        F.first("v2").alias("v2"),
+    )
+    .select(*CAPTURE_KEY, "support")
+    .persist(StorageLevel.MEMORY_AND_DISK)
+)
+print(f"frequent: {frequent.count()} rows {time.time() - t1:.1f}s")
+
+t1 = time.time()
+capf = (
+    dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
+    .select("jv1", "jv2", "h1", "h2", "support")
+    .persist(StorageLevel.MEMORY_AND_DISK)
+)
+print(f"capf: {capf.count()} rows {time.time() - t1:.1f}s")
+
+t1 = time.time()
+cands = capture_overlaps(capf, frequent, min_overlap=10)
+cands = cands.coalesce(spark.sparkContext.defaultParallelism).persist(
     StorageLevel.MEMORY_AND_DISK
 )
-dcap.count()  # stacked-cache build order (AQE deadlock dodge)
-supports = capture_supports(dcap)
-frequent = frequent_captures(supports, 10).persist(StorageLevel.MEMORY_AND_DISK)
-frequent.count()
-capf = pruned_captures(dcap, frequent)
-cands = capture_overlaps(capf, frequent, min_overlap=10)
-cands = cands.coalesce(spark.sparkContext.defaultParallelism)
-cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-n = cands.count()
+print(f"overlaps: {cands.count()} rows {time.time() - t1:.1f}s")
+
 t1 = time.time()
-print(f"pair stage: {t1-t0:.1f}s  ({n} overlap pairs)", flush=True)
+cinds = extract_cinds(cands).persist(StorageLevel.MEMORY_AND_DISK)
+print(f"cinds: {cinds.count()} rows {time.time() - t1:.1f}s")
 
-cinds = extract_cinds(cands)
-cinds = cinds.persist(StorageLevel.MEMORY_AND_DISK)
-n2 = cinds.count()
-t2 = time.time()
-print(f"extract: {t2-t1:.1f}s  ({n2} cinds)", flush=True)
-
+t1 = time.time()
 minimal = remove_implied_cinds(cinds)
-n3 = minimal.count()
-t3 = time.time()
-print(f"minimality: {t3-t2:.1f}s  ({n3} minimal cinds)", flush=True)
-print(f"total: {t3-t0:.1f}s", flush=True)
-spark.stop()
+print(f"minimal: {minimal.count()} rows {time.time() - t1:.1f}s")
+print(f"TOTAL {time.time() - t0:.1f}s")
