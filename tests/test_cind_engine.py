@@ -381,3 +381,61 @@ def test_value_sketch_containment_semantics(spark):
                 assert all((x & ~y) == 0 for x, y in zip(a, b)), (dep, ref)
                 checked += 1
     assert checked > 0
+
+
+# -------------------------------------------- degenerate & property
+
+
+def test_min_support_above_data_yields_empty(spark):
+    """All strategies must return an empty (not failing) result when no
+    capture reaches min_support."""
+    from rdfind_spark.operators.staged import discover_cinds_staged
+
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    assert discover_cinds(df, min_support=10_000).count() == 0
+    assert (
+        discover_cinds(df, min_support=10_000, sketch_filter=True).count() == 0
+    )
+    assert discover_cinds_staged(df, min_support=10_000).count() == 0
+
+
+def test_property_random_triples_all_strategies_agree(spark):
+    """Property test (SURVEY §5): on random small triple sets over a
+    tiny alphabet, every strategy reproduces the brute-force oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdfind_spark.operators.staged import discover_cinds_staged
+
+    triple_st = st.lists(
+        st.tuples(
+            st.sampled_from([f"a{i}" for i in range(6)]),
+            st.sampled_from([f"p{i}" for i in range(3)]),
+            st.sampled_from([f"o{i}" for i in range(4)]),
+        ),
+        min_size=8,
+        max_size=30,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(triples=triple_st)
+    def check(triples):
+        expected = brute_cinds(triples, min_support=2, minimal=True)
+        df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+        got0 = {
+            tuple(r) for r in discover_cinds(df, min_support=2).collect()
+        }
+        got1 = {
+            tuple(r)
+            for r in discover_cinds_staged(df, min_support=2).collect()
+        }
+        got2 = {
+            tuple(r)
+            for r in discover_cinds(
+                df, min_support=2, sketch_filter=True
+            ).collect()
+        }
+        assert got0 == expected
+        assert got1 == expected
+        assert got2 == expected
+
+    check()
