@@ -197,3 +197,19 @@ def test_cli_counters_collect_and_ar_output(spark, tmp_path, capsys):
     assert " < " in captured.out  # collected pretty rows on stdout
     ar_lines = [r.value for r in spark.read.text(ar_dir).collect()]
     assert ar_lines and all("=>" in ln or "⇒" in ln for ln in ar_lines)
+
+
+def test_cli_strategy2_and_plans_facade(spark, tmp_path):
+    nt = _write_tiny_nt(tmp_path)
+    out = str(tmp_path / "s2")
+    assert main(["rdfind", nt, "--support", "2", "--traversal-strategy", "2",
+                 "--parquet", out]) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    expected = {tuple(r) for r in discover_cinds(df, min_support=2).collect()}
+    assert got == expected and got
+
+    from rdfind_spark.plans import traversal
+
+    for s in (0, 1, 2, 3):
+        assert {tuple(r) for r in traversal(df, s, min_support=2).collect()} == expected
