@@ -76,20 +76,33 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
 
 
 def sessionize_sql(gap_min: int = SESSION_GAP_MIN) -> str:
-    return f"""WITH g AS (
-  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                  OR date_diff('second', lag(ts) OVER w, ts) > {gap_min * 60}
-            THEN 1 ELSE 0 END AS is_break
+    """DuckDB reads the events timestamps at nanosecond precision while
+    the Spark path truncates to microseconds (see normalize_event_ts),
+    so the oracle reproduces the same truncation chain exactly: order
+    and lag on the µs value, compute gaps on whole epoch seconds (the
+    Spark side casts timestamp → long seconds), and rebuild the output
+    instants from the µs longs via make_timestamp."""
+    return f"""WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS us,
+         (epoch_ns(ts) // 1000) // 1000000 AS sec
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                  OR sec - lag(sec) OVER w > {gap_min * 60}
+            THEN 1 ELSE 0 END AS is_break
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 s AS (
-  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us)) AS session_end
 FROM s GROUP BY 1, 2"""
 
 
@@ -254,14 +267,19 @@ def day_retention(events: DataFrame) -> DataFrame:
         "user_id", F.date_sub(F.col("day"), 1).alias("day"), F.lit(1).alias("ret")
     )
     joined = active.join(nxt, on=["user_id", "day"], how="left")
+    # Bit-stable ratio: integer floor-division to parts-per-million, then
+    # ONE IEEE double division — identical bits in any engine, unlike
+    # round(x, 6) whose tie-breaking differs between Spark and DuckDB.
     return (
         joined.groupBy(F.col("day").cast("string").alias("day"))
         .agg(
             F.count("*").alias("n_active"),
             F.sum(F.coalesce(F.col("ret"), F.lit(0))).alias("n_retained"),
-            F.round(
-                F.sum(F.coalesce(F.col("ret"), F.lit(0))) / F.count("*"), 6
-            ).alias("retention"),
+        )
+        .withColumn(
+            "retention",
+            F.expr("(n_retained * 1000000L) div n_active").cast("double")
+            / F.lit(1000000.0),
         )
     )
 
@@ -278,7 +296,8 @@ j AS (
 )
 SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_active,
        SUM(ret) AS n_retained,
-       round(SUM(ret) / COUNT(*), 6) AS retention
+       CAST((CAST(SUM(ret) AS BIGINT) * 1000000) // COUNT(*) AS DOUBLE)
+         / 1000000.0 AS retention
 FROM j GROUP BY day"""
 
 
@@ -344,18 +363,17 @@ def range_join_counts(events: DataFrame, window_s: int = RANGE_JOIN_WINDOW_S) ->
     plans natively and the worst case is bounded by events-per-bin, not
     a per-user cross product."""
     us = F.lit(int(window_s) * 1_000_000)
+    # floor(), not double-divide-then-truncate: truncation rounds toward
+    # zero, so pre-1970 (negative-epoch) timestamps would land an error
+    # and a qualifying click in non-adjacent bins and lose the pair.
+    bin_of = lambda col: F.floor(F.unix_micros(col) / us).cast("long")
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.col("ts").alias("e_ts"),
-        (F.unix_micros("ts") / us).cast("long").alias("bin"),
+        bin_of("ts").alias("bin"),
     )
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts"),
-        F.explode(
-            F.array(
-                (F.unix_micros("ts") / us).cast("long"),
-                (F.unix_micros("ts") / us).cast("long") + 1,
-            )
-        ).alias("bin"),
+        F.explode(F.array(bin_of("ts"), bin_of("ts") + 1)).alias("bin"),
     )
     cand = errors.join(clicks, on=["user_id", "bin"]).filter(
         (F.col("c_ts") <= F.col("e_ts"))

@@ -4,7 +4,11 @@
 oracle SQL on the same parquet dir and compare row count, schema width,
 and order-insensitive value multiset.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` compares floats by full repr (bit-exact modulo decimal
+round-trip) instead of 9 significant digits — mirrors the driver's
+value-hash gate, which is sensitive to ULP-level engine drift.
 """
 
 from __future__ import annotations
@@ -17,8 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def normalize(rows, columns):
-    """Sort columns by name, round floats, stringify, sort rows."""
+def normalize(rows, columns, strict: bool = False):
+    """Sort columns by name, round floats (unless strict), stringify,
+    sort rows."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
@@ -26,7 +31,12 @@ def normalize(rows, columns):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = "nan" if math.isnan(v) else f"{v:.9g}"
+                if math.isnan(v):
+                    v = "nan"
+                elif strict:
+                    v = repr(v)
+                else:
+                    v = f"{v:.9g}"
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
@@ -40,8 +50,10 @@ def main() -> int:
     import __spark_entry__ as entry
     from rdfind_spark.sources.triples import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -82,8 +94,8 @@ def main() -> int:
         duck_rows = res.fetchall()
         t_duck = time.time() - t0
         ok_schema = sorted(spark_cols) == sorted(duck_cols)
-        a = normalize(spark_rows, spark_cols)
-        b = normalize(duck_rows, duck_cols)
+        a = normalize(spark_rows, spark_cols, strict)
+        b = normalize(duck_rows, duck_cols, strict)
         ok = ok_schema and a == b
         status = "OK " if ok else "FAIL"
         print(
