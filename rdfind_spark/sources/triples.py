@@ -132,23 +132,20 @@ def triple_view_sql() -> str:
 
 # --- N-Triples text path (reference S1-S6) -------------------------------
 
+# N-Triples line with an OPTIONAL 4th graph term (IRI or blank node)
+# before the terminating dot — i.e. N-Quads is a superset (reference
+# accepts ``.nq`` inputs, ``programs/RDFind.scala:221``).  Group 7/8
+# capture the graph label; a quad line without them would silently fail
+# every group and be DROPPED, which is data loss, not an error.
 _NT_PATTERN = (
     r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
-    r"(?:<([^>]*)>|(_:\S+)|(\".*\"(?:\^\^<[^>]*>|@[\w-]+)?))\s*\.\s*$"
+    r"(?:<([^>]*)>|(_:\S+)|(\".*\"(?:\^\^<[^>]*>|@[\w-]+)?))"
+    r"(?:\s+(?:<([^>]*)>|(_:\S+)))?\s*\.\s*$"
 )
 
 
-def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """Read N-Triples text file(s) into ``(subj, pred, obj)``.
-
-    Comment lines (``#``) are dropped (reference
-    ``programs/RDFind.scala:211-213``); ``.gz`` decompresses natively;
-    glob patterns in ``paths`` are expanded by Spark.  Literal objects
-    keep their quoted lexical form minus datatype/lang suffix, matching
-    the reference's use of plain string values.
-    """
-    lines = spark.read.text(paths)
-    parsed = (
+def _parsed_quads(lines: DataFrame) -> DataFrame:
+    return (
         lines.filter(~F.col("value").startswith("#"))
         .filter(F.trim(F.col("value")) != "")
         .select(
@@ -166,10 +163,35 @@ def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
                     r"$1",
                 ),
             ).alias("obj"),
+            F.coalesce(
+                F.nullif(F.regexp_extract("value", _NT_PATTERN, 7), F.lit("")),
+                F.regexp_extract("value", _NT_PATTERN, 8),
+            ).alias("graph"),
         )
         .filter((F.col("subj") != "") & (F.col("pred") != ""))
     )
-    return parsed
+
+
+def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read N-Triples/N-Quads text file(s) into ``(subj, pred, obj)``.
+
+    Comment lines (``#``) are dropped (reference
+    ``programs/RDFind.scala:211-213``); ``.gz`` decompresses natively;
+    glob patterns in ``paths`` are expanded by Spark.  Literal objects
+    keep their quoted lexical form minus datatype/lang suffix, matching
+    the reference's use of plain string values.  N-Quads lines parse
+    too — the graph term is accepted and dropped, mirroring the
+    reference's quad→triple conversion (``programs/RDFind.scala:221``);
+    use :func:`read_nquads` to keep the graph column.
+    """
+    return _parsed_quads(spark.read.text(paths)).drop("graph")
+
+
+def read_nquads(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read N-Quads file(s) into ``(subj, pred, obj, graph)``; plain
+    triple lines get ``graph = ''`` (empty-string discipline, SURVEY
+    §1.2)."""
+    return _parsed_quads(spark.read.text(paths))
 
 
 def read_tsv_triples(spark: SparkSession, paths: str | list[str]) -> DataFrame:

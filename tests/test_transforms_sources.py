@@ -87,6 +87,40 @@ def test_read_ntriples_plain_and_gz(spark, tmp_path):
         assert len(rows) == 5  # comment + blank line dropped
 
 
+_NQ = """# quad fixture: graph term is a 4th IRI/bnode before the dot
+<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o1> <http://ex.org/g1> .
+<http://ex.org/s2> <http://ex.org/p> "lit in graph" <http://ex.org/g1> .
+<http://ex.org/s3> <http://ex.org/p> "typed"^^<http://www.w3.org/2001/XMLSchema#string> _:g2 .
+<http://ex.org/s4> <http://ex.org/p> <http://ex.org/o4> .
+"""
+
+
+def test_read_nquads_and_quad_lines_in_ntriples(spark, tmp_path):
+    from rdfind_spark.sources.triples import read_nquads
+
+    path = tmp_path / "data.nq"
+    path.write_text(_NQ)
+    # quad lines must NOT be silently dropped by the triple reader
+    # (pre-fix behavior: the $-anchored pattern failed on the 4th term)
+    triples = {
+        (r.subj, r.pred, r.obj) for r in read_ntriples(spark, str(path)).collect()
+    }
+    assert triples == {
+        ("http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1"),
+        ("http://ex.org/s2", "http://ex.org/p", "lit in graph"),
+        ("http://ex.org/s3", "http://ex.org/p", "typed"),
+        ("http://ex.org/s4", "http://ex.org/p", "http://ex.org/o4"),
+    }
+    quads = {
+        (r.subj, r.pred, r.obj, r.graph)
+        for r in read_nquads(spark, str(path)).collect()
+    }
+    assert ("http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", "http://ex.org/g1") in quads
+    assert ("http://ex.org/s3", "http://ex.org/p", "typed", "_:g2") in quads
+    # plain triple line keeps empty-string graph (no nulls, SURVEY §1.2)
+    assert ("http://ex.org/s4", "http://ex.org/p", "http://ex.org/o4", "") in quads
+
+
 def test_parse_prefixes(spark, tmp_path):
     p = tmp_path / "prefixes.ttl"
     p.write_text("@prefix ex: <http://ex.org/> .\nnot a prefix line\n")
