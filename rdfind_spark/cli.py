@@ -6,7 +6,7 @@ The reference is driven by JCommander CLIs (``programs/RDFind.scala:
 A14-A17).  This module reproduces that surface on Spark::
 
     python -m rdfind_spark rdfind INPUT... [--support N]
-        [--traversal-strategy {0,1}] [--use-ar] [--no-minimal]
+        [--traversal-strategy {0,1,2,3}] [--use-ar] [--no-minimal]
         [--projection spo] [--distinct-triples] [--apply-hash]
         [--asciify] [--prefixes FILE] [--output DIR | --parquet DIR]
     python -m rdfind_spark count-triples INPUT...
@@ -20,8 +20,10 @@ triples (``sources.triples.triple_view``).
 
 Flag parity map (reference ``Parameters`` → here):
   ``--support``             → ``--support`` (default 10)
-  ``--traversal-strategy``  → 0 = all-at-once, 1 = small-to-large
-                              (default 1, like the reference)
+  ``--traversal-strategy``  → 0 = all-at-once, 1 = small-to-large,
+                              2 = approximate-then-verify, 3 = LateBB
+                              (= the sketch path, see plans facade);
+                              default 1, like the reference
   ``--use-ar``              → ``--use-ar`` (G17 filter)
   ``--projection``          → ``--projection`` (subset of "spo")
   ``--distinct-triples``    → ``--distinct-triples`` (T4)
@@ -117,8 +119,7 @@ def _emit(df: DataFrame, args: argparse.Namespace, pretty=None) -> None:
 
 
 def _cmd_rdfind(args: argparse.Namespace) -> int:
-    from rdfind_spark.operators.cind import discover_cinds
-    from rdfind_spark.operators.staged import discover_cinds_staged
+    from rdfind_spark.plans import traversal
     from rdfind_spark.sources.sinks import cind_pretty
 
     spark = _build_session(args)
@@ -150,22 +151,14 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
             _emit(capture_supports(dcap), args)
         return 0
 
-    if args.traversal_strategy in (0, 2):
-        cinds = discover_cinds(
-            triples,
-            min_support=args.support,
-            minimal=not args.no_minimal,
-            ar_filter=args.use_ar,
-            projection=args.projection,
-            sketch_filter=args.traversal_strategy == 2,
-        )
-    else:
-        cinds = discover_cinds_staged(
-            triples,
-            min_support=args.support,
-            ar_filter=args.use_ar,
-            projection=args.projection,
-        )
+    cinds = traversal(
+        triples,
+        strategy=args.traversal_strategy,
+        min_support=args.support,
+        minimal=not args.no_minimal,
+        ar_filter=args.use_ar,
+        projection=args.projection,
+    )
     if args.ar_output:
         from rdfind_spark.operators.rules import association_rules
         from rdfind_spark.sources.sinks import ar_pretty, write_text
@@ -197,6 +190,10 @@ def _cmd_rdfind(args: argparse.Namespace) -> int:
     if args.collect_result:
         from rdfind_spark.sources.sinks import collect_rows
 
+        # --collect-result prints to the driver but must not swallow an
+        # explicitly requested file sink (--output/--parquet).
+        if getattr(args, "parquet", None) or getattr(args, "output", None):
+            _emit(cinds, args, pretty=cind_pretty)
         for row in collect_rows(cind_pretty(cinds)):
             print(row[0])
         return 0
@@ -268,9 +265,12 @@ def make_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("rdfind", help="CIND discovery (programs/RDFind.scala)")
     common(p)
     p.add_argument("--support", type=int, default=10)
-    p.add_argument("--traversal-strategy", type=int, choices=(0, 1, 2), default=1,
+    p.add_argument("--traversal-strategy", type=int, choices=(0, 1, 2, 3),
+                   default=1,
                    help="0=all-at-once, 1=small-to-large, "
-                        "2=approximate-then-verify (Bloom sketches, exact result)")
+                        "2=approximate-then-verify (Bloom sketches, exact "
+                        "result), 3=LateBB (same sketch path as 2 here; see "
+                        "rdfind_spark.plans)")
     p.add_argument("--use-ar", action="store_true")
     p.add_argument("--no-minimal", action="store_true")
     p.add_argument("--projection", default=None, help='subset of "spo"')

@@ -8,11 +8,16 @@ and subclasses), mapping each strategy id to its Spark implementation:
  0    AllAtOnceTraversalStrategy      ``operators.cind.discover_cinds``
  1    SmallToLargeTraversalStrategy   ``operators.staged.discover_cinds_staged``
  2    ApproximateAllAtOnce...         ``discover_cinds(sketch_filter=True)``
- 3    LateBBTraversalStrategy         subsumed by 2: LateBB only staggers WHEN
-                                      ref-sets become Bloom bits to bound
-                                      reducer memory — a concern the relational
-                                      formulation does not have (no per-key
-                                      ref arrays; Spark hash aggs spill)
+ 3    LateBBTraversalStrategy         ``discover_cinds(sketch_filter=True)`` —
+                                      LateBB is the approximate family's
+                                      variant that staggers WHEN ref-sets
+                                      become Bloom bits to bound reducer
+                                      memory (``plan/LateBBTraversal
+                                      Strategy.scala``), a concern the
+                                      relational formulation does not have
+                                      (no per-key ref arrays; Spark hash
+                                      aggs spill), so it degenerates to the
+                                      sketch-prefilter path like strategy 2
 ====  ==============================  =========================================
 
 All strategies return the identical exact CIND set (cross-checked by the
@@ -20,6 +25,8 @@ driver oracle and the property tests in ``tests/test_cind_engine.py``).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -37,16 +44,25 @@ def traversal(
 ) -> DataFrame:
     """Dispatch like the reference's ``--traversal-strategy`` switch
     (``programs/RDFind.scala:50-56,652-653``; default 1)."""
-    if strategy in (0, 2):
+    if strategy in (0, 2, 3):
         return discover_cinds(
             triples,
             min_support=min_support,
             minimal=minimal,
             ar_filter=ar_filter,
             projection=projection,
-            sketch_filter=strategy == 2,
+            sketch_filter=strategy in (2, 3),
         )
-    if strategy in (1, 3):
+    if strategy == 1:
+        if not minimal:
+            # The staged lattice traversal prunes non-minimal CINDs as it
+            # climbs (that IS the strategy); it cannot emit the full set.
+            warnings.warn(
+                "traversal strategy 1 (small-to-large) always returns the "
+                "minimal CIND set; minimal=False is ignored — use strategy "
+                "0/2/3 for the full set",
+                stacklevel=2,
+            )
         return discover_cinds_staged(
             triples,
             min_support=min_support,

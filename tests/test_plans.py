@@ -72,6 +72,36 @@ def test_pair_join_is_not_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin" in p
 
 
+def test_traversal_dispatch(spark):
+    """Strategy 3 (LateBB) must route to the sketch path like strategy 2
+    — the reference's LateBBTraversalStrategy is an approximate-family
+    variant (plan/LateBBTraversalStrategy.scala), NOT small-to-large —
+    and every strategy must agree on the tiny fixture."""
+    import warnings
+
+    from rdfind_spark.plans import traversal
+    from tests.test_cind_engine import TINY
+
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    results = {
+        s: {tuple(r) for r in traversal(df, strategy=s, min_support=2).collect()}
+        for s in (0, 1, 2, 3)
+    }
+    assert results[0], "fixture must produce CINDs"
+    assert results[3] == results[2] == results[1] == results[0]
+    # minimal=False is meaningless for the staged strategy → warn loudly
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        traversal(df, strategy=1, min_support=2, minimal=False)
+        assert any("minimal" in str(w.message) for w in caught)
+    # but strategy 3 honors it (sketch path supports the full set)
+    full = {
+        tuple(r)
+        for r in traversal(df, strategy=3, min_support=2, minimal=False).collect()
+    }
+    assert full >= results[3] and len(full) > len(results[3])
+
+
 def test_bucketed_capture_table_joins_without_shuffle(spark, sf_dir, tmp_path):
     """A capture table bucketed on join_value must self-join with no
     Exchange under the join (bucket pruning of the shuffle — the
