@@ -41,6 +41,15 @@ CAPTURE_KEY = ["code", "v1", "v2"]
 HOT_LINE_K = 512
 N_SALT = 32
 
+# Cap on the number of hot lines handled by the bitmask decomposition:
+# each masked line costs one bit per capture (n/64 mask columns) and one
+# driver-collected tuple, so a pathological hub distribution (tens of
+# thousands of hot lines) would mean hundreds of mask columns and an
+# unbounded collect.  Beyond the cap, only the MAX_HOT_MASK *hottest*
+# lines get masks; the overflow lines stay exact through the salted
+# triangle join (graceful degradation, no driver blow-up).
+MAX_HOT_MASK = 4096
+
 
 def _pair_parallelism(df: DataFrame) -> int:
     """Partition count for the pair-explosion stages: a multiple of the
@@ -214,16 +223,36 @@ def capture_overlaps(
       product over N_SALT(N_SALT+1)/2 join keys) remains as the
       enumerator for the deep hot-only capture subset above.
     """
-    sizes = capf.groupBy("jv1", "jv2").agg(F.count("*").alias("line_k"))
+    hot_sizes = (
+        capf.groupBy("jv1", "jv2")
+        .agg(F.count("*").alias("line_k"))
+        .filter(F.col("line_k") > HOT_LINE_K)
+    )
+    # Bounded collect: only the MAX_HOT_MASK hottest lines come to the
+    # driver (deterministic tie-break so reruns mask the same lines).
     hot_values = [
         (r.jv1, r.jv2)
-        for r in sizes.filter(F.col("line_k") > HOT_LINE_K)
+        for r in hot_sizes.orderBy(
+            F.col("line_k").desc(), "jv1", "jv2"
+        )
+        .limit(MAX_HOT_MASK)
         .select("jv1", "jv2")
         .collect()
     ]
+    overflow = None
+    if len(hot_values) == MAX_HOT_MASK:
+        # possibly more hot lines than the cap — the remainder is
+        # handled exactly by the salted join, never materialized on the
+        # driver or as mask columns
+        top_df = capf.sparkSession.createDataFrame(
+            hot_values, "jv1 long, jv2 int"
+        )
+        overflow = hot_sizes.select("jv1", "jv2").join(
+            F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti"
+        )
     if hot_values:
         ov = _cold_pair_counts_with_hot_masks(
-            capf, hot_values, min_overlap, sketches
+            capf, hot_values, min_overlap, sketches, overflow=overflow
         )
     else:
         ov = _salted_pair_counts(capf, hot_values, min_overlap, sketches)
@@ -235,6 +264,7 @@ def _cold_pair_counts_with_hot_masks(
     hot_values: list,
     min_overlap: int,
     sketches: DataFrame | None = None,
+    overflow: DataFrame | None = None,
 ) -> DataFrame:
     """Pair overlap counts = cold-line pair counts + per-pair hot-line
     contribution from broadcast bitmasks (see capture_overlaps).
@@ -281,25 +311,36 @@ def _cold_pair_counts_with_hot_masks(
         F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"], how="left_anti"
     )
     n_pair = _pair_parallelism(capf)
-    a = cold.select(
-        "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
-    ).repartition(n_pair, "jv1", "jv2")
-    b = cold.select(
-        "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
-    ).repartition(n_pair, "jv1", "jv2")
-    pairs = a.hint("shuffle_hash").join(
-        b.hint("shuffle_hash"), on=["jv1", "jv2"]
-    ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))
-    if sketches is not None:
-        pairs = _apply_sketch_filter(pairs, sketches)
     pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
-    ov_cold = (
-        pairs.select(*pkey)
-        .repartition(n_pair, *pkey)
-        .groupBy(*pkey)
-        .agg(F.count("*").alias("cold_overlap"))
-        .filter(F.col("cold_overlap") >= max(1, min_overlap - n_hot))
-    )
+    cold_floor = max(1, min_overlap - n_hot)
+    if overflow is not None:
+        # Mask-cap overflow: hot lines beyond MAX_HOT_MASK stay in the
+        # "cold" side but their k² pair product must not land on one
+        # task — enumerate all cold pairs through the salted triangle
+        # join with the overflow lines as its hot set (exact counts,
+        # same semantics as the plain join below).
+        ov_cold = _salted_pair_counts(
+            cold, overflow, cold_floor, sketches
+        ).withColumnRenamed("overlap", "cold_overlap")
+    else:
+        a = cold.select(
+            "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
+        ).repartition(n_pair, "jv1", "jv2")
+        b = cold.select(
+            "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
+        ).repartition(n_pair, "jv1", "jv2")
+        pairs = a.hint("shuffle_hash").join(
+            b.hint("shuffle_hash"), on=["jv1", "jv2"]
+        ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))
+        if sketches is not None:
+            pairs = _apply_sketch_filter(pairs, sketches)
+        ov_cold = (
+            pairs.select(*pkey)
+            .repartition(n_pair, *pkey)
+            .groupBy(*pkey)
+            .agg(F.count("*").alias("cold_overlap"))
+            .filter(F.col("cold_overlap") >= cold_floor)
+        )
     ma = masks.select(
         F.col("h1").alias("a_h1"),
         F.col("h2").alias("a_h2"),
@@ -383,17 +424,20 @@ def _cold_pair_counts_with_hot_masks(
 
 def _salted_pair_counts(
     capf: DataFrame,
-    hot_values: list,
+    hot_values: list | DataFrame,
     min_overlap: int,
     sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Pair overlap counts via the salted triangle self-join (see
-    capture_overlaps)."""
+    capture_overlaps).  ``hot_values`` may be a driver-side list of
+    (jv1, jv2) tuples or a DataFrame with those columns (the mask-cap
+    overflow set, which is deliberately never collected)."""
     spark = capf.sparkSession
-    hot_df = spark.createDataFrame(
-        list(hot_values), "jv1 long, jv2 int"
-    ).select("jv1", "jv2", F.lit(True).alias("is_hot"))
-    hot = hot_df
+    if isinstance(hot_values, DataFrame):
+        hot_df = hot_values.select("jv1", "jv2")
+    else:
+        hot_df = spark.createDataFrame(list(hot_values), "jv1 long, jv2 int")
+    hot = hot_df.select("jv1", "jv2", F.lit(True).alias("is_hot"))
     # Cell (i, j), i <= j, joins bucket-i captures (side A) with
     # bucket-j captures (side B): side A is replicated to cells (b,
     # b..N-1), side B to cells (0..b, b).  Off-diagonal cells produce

@@ -221,6 +221,56 @@ def test_hot_line_mask_path_matches_brute_force(spark, monkeypatch):
     assert (hot[0].jv1, hot[0].jv2) == (hub_row.jv1, hub_row.jv2)
 
 
+def test_hot_line_overflow_cap_matches_brute_force(spark, monkeypatch):
+    """More hot lines than MAX_HOT_MASK: only the hottest get bitmask
+    columns, the overflow routes through the salted join — the result
+    must stay exact and the driver collect/mask width bounded by the
+    cap.  (At production thresholds this is the >4k-hub regime.)"""
+    from rdfind_spark.operators import cind as cind_mod
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 2)
+    monkeypatch.setattr(cind_mod, "N_SALT", 4)
+    monkeypatch.setattr(cind_mod, "MAX_HOT_MASK", 4)
+    rng = random.Random(11)
+    # small value domains -> many join lines wider than HOT_LINE_K=2,
+    # far more than the capped 4 mask slots
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(8)}",
+                f"p{rng.randrange(3)}",
+                f"o{rng.randrange(5)}",
+            )
+            for _ in range(300)
+        }
+    )
+    # sanity: the overflow regime is actually hit
+    from rdfind_spark.operators.captures import capture_candidates
+    from rdfind_spark.operators.cind import (
+        capture_supports,
+        distinct_captures,
+        frequent_captures,
+        pruned_captures,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    dcap = distinct_captures(capture_candidates(df))
+    freq = frequent_captures(capture_supports(dcap), 3)
+    n_hot = (
+        pruned_captures(dcap, freq)
+        .groupBy("jv1", "jv2")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 2)
+        .count()
+    )
+    assert n_hot > 4, f"fixture must exceed the mask cap (got {n_hot} hot lines)"
+    for minimal in (False, True):
+        expected = brute_cinds(triples, min_support=3, minimal=minimal)
+        got = spark_cinds(spark, triples, min_support=3, minimal=minimal)
+        assert got == expected, f"minimal={minimal}"
+
+
 def test_duplicate_triples_do_not_change_result(spark):
     dup = TINY + TINY[:7]
     assert spark_cinds(spark, dup, 2) == brute_cinds(TINY, 2)
