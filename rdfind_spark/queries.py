@@ -268,10 +268,15 @@ def text_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_text(_docs(spark, sf_dir))
 
 
-@register("dedup_embedding_cosine", dedup.embedding_cosine_pairs_sql())
-def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= threshold, brute force)."""
-    return dedup.embedding_cosine_pairs(_embs(spark, sf_dir))
+@register("dedup_embedding_ivf", dedup.embedding_cosine_pairs_sql())
+def dedup_embedding_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, bucketed (IVF multi-assignment pair
+    generation + exact cosine rescore — no full-table crossJoin).  The
+    oracle side IS the brute-force all-pairs SQL: the check verifies
+    the bucketed plan reproduces the exact brute-force pair set
+    (``dedup.embedding_cosine_pairs`` stays available as the in-engine
+    correctness baseline but is no longer the registered default)."""
+    return similarity.embedding_dedup_pairs_ivf(_embs(spark, sf_dir))
 
 
 # ----------------------------------- training-data pipeline: similarity

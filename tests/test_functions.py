@@ -121,6 +121,30 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_embedding_dedup_ivf_matches_brute_force(spark, sf_dir):
+    """The bucketed default must reproduce the exact brute-force pair
+    set on the real embeddings, and its plan must not cross-join the
+    full table (only the 8-row broadcast centroid table)."""
+    import contextlib
+    import io
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in dedup.embedding_cosine_pairs(embs).collect()
+    }
+    bucketed_df = similarity.embedding_dedup_pairs_ivf(embs)
+    bucketed = {(r["a_id"], r["b_id"], r["cosine"]) for r in bucketed_df.collect()}
+    assert brute, "fixture must produce near-dup pairs"
+    assert bucketed == brute
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed_df.explain(mode="simple")
+    assert "CartesianProduct" not in buf.getvalue(), (
+        "bucketed embedding dedup must not cartesian-join the table"
+    )
+
+
 def _events_df(spark, rows):
     return spark.createDataFrame(
         [
