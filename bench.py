@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "cind_minimal",
     "cind_small_to_large",
+    "cind_approx_verify",
     "cind_all",
     "capture_overlaps",
     "capture_supports",
@@ -35,11 +36,15 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",
     "events_sessionize",
     "events_hourly_counts",
+    "events_asof_join",
+    "events_range_join",
+    "multimodal_features",
     "text_fingerprints",
 ]
 
@@ -74,7 +79,7 @@ def main() -> int:
 
     # Warmup: touch every input once (JVM/codegen spin-up + OS page
     # cache) so the first timed query isn't charged for session start.
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:

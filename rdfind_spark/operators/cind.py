@@ -22,6 +22,7 @@ residual hub values; `salt` splitting is available for extreme hubs.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark import StorageLevel
@@ -83,6 +84,38 @@ def _with_capture_hash(df: DataFrame) -> DataFrame:
         F.xxhash64("code", "v1", "v2").alias("h1"),
         F.hash("code", "v1", "v2").alias("h2"),
     )
+
+
+def assert_hash_injective(cand: DataFrame) -> None:
+    """Loud-failure guard for the 96-bit dictionary compression: the
+    hashed pipeline silently merges two captures (or two join values)
+    if their (xxhash64, murmur3) pairs collide — support counts corrupt
+    and ``F.first`` restores an arbitrary colliding string.  At
+    ~n²/2⁹⁷ that's negligible, but "negligible" should fail loudly,
+    not corrupt: this one-pass census compares exact vs hashed distinct
+    counts and raises on any collision.  Run in debug/test jobs or by
+    setting ``RDFIND_SPARK_CHECK_HASHES=1`` (adds one full aggregation
+    pass over the capture candidates — not for production hot paths)."""
+    row = cand.select(
+        F.count_distinct(F.col("join_value")).alias("nv"),
+        F.count_distinct(
+            F.xxhash64("join_value"), F.hash("join_value")
+        ).alias("nvh"),
+        F.count_distinct(F.col("code"), F.col("v1"), F.col("v2")).alias("nc"),
+        F.count_distinct(
+            F.xxhash64("code", "v1", "v2"), F.hash("code", "v1", "v2")
+        ).alias("nch"),
+    ).collect()[0]
+    if row.nv != row.nvh:
+        raise RuntimeError(
+            f"96-bit join-value hash collision: {row.nv} distinct values "
+            f"but {row.nvh} distinct (jv1, jv2) pairs"
+        )
+    if row.nc != row.nch:
+        raise RuntimeError(
+            f"96-bit capture-key hash collision: {row.nc} distinct captures "
+            f"but {row.nch} distinct (h1, h2) pairs"
+        )
 
 
 def pruned_captures(dcap: DataFrame, frequent: DataFrame) -> DataFrame:
@@ -721,6 +754,8 @@ def discover_cinds(
     # only.  This is the reference's dictionary compression (T7-T9,
     # ``operators/ConditionCompressor.scala``) applied wholesale.
     cand = capture_candidates(triples, projection)
+    if os.environ.get("RDFIND_SPARK_CHECK_HASHES"):
+        assert_hash_injective(cand)
     caph = cand.select(
         F.xxhash64("join_value").alias("jv1"),
         F.hash("join_value").alias("jv2"),

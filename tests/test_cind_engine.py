@@ -489,3 +489,18 @@ def test_property_random_triples_all_strategies_agree(spark):
         assert got2 == expected
 
     check()
+
+
+def test_hash_injectivity_census(spark, monkeypatch):
+    """The 96-bit dictionary compression (jv/capture hash pairs) has a
+    loud-failure collision census: it passes on real capture data, and
+    RDFIND_SPARK_CHECK_HASHES=1 wires it into discover_cinds without
+    changing the result."""
+    from rdfind_spark.operators.captures import capture_candidates
+    from rdfind_spark.operators.cind import assert_hash_injective
+
+    df = spark.createDataFrame(TINY, ["subj", "pred", "obj"])
+    assert_hash_injective(capture_candidates(df))  # collision-free: no raise
+    monkeypatch.setenv("RDFIND_SPARK_CHECK_HASHES", "1")
+    got = spark_cinds(spark, TINY, min_support=2, minimal=True)
+    assert got == brute_cinds(TINY, min_support=2, minimal=True)

@@ -48,6 +48,75 @@ def test_streaming_sessionize_runs_and_emits_closed_sessions(spark, sf_dir):
         assert key in batch, f"streamed session not in batch result: {key}"
 
 
+def test_streaming_sessionize_exact_equality_deterministic(spark, tmp_path):
+    """Pin the ``applyInPandasWithState`` sessionizer the same way the
+    batch operators are pinned: a deterministic micro-batch source
+    (3 time-sliced parquet files, one per trigger) whose last slice
+    carries a far-future sentinel per user, so EVERY real session is
+    closed by a gap and the streamed output must equal the batch
+    sessionization of the non-sentinel events as full frames — same
+    rows, same instants, same counts, nothing extra."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rdfind_spark.functions.events import sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # (user_id, minutes-after-t0): sessions = u1 [0,10,20] then [60];
+    # u2 [5] then [100]; u3 [25, 45] spans the slice boundary so the
+    # open session must be carried in state across micro-batches.
+    events = [
+        (1, 0), (1, 10), (1, 20), (1, 60),
+        (2, 5), (2, 100),
+        (3, 25), (3, 45),
+    ]
+    sentinels = [(u, 24 * 60) for u in (1, 2, 3)]
+    slices = [
+        [e for e in events if e[1] < 40],
+        [e for e in events if e[1] >= 40],
+        sentinels,
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, rows in enumerate(slices):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [u for u, _ in rows],
+                "ts": [pd.Timestamp(t0 + mins * m) for _, mins in rows],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / f"batch_{i:03d}.parquet", index=False)
+    sdf = streaming_sessionize(
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(sdf, "sessions_exact_test", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_exact_test").collect()
+    }
+    batch_events = spark.createDataFrame(
+        [(u, t0 + mins * m, i) for i, (u, mins) in enumerate(events)],
+        "user_id LONG, ts TIMESTAMP, event_id LONG",
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_events).collect()
+    }
+    assert batch == {
+        (1, t0, t0 + 20 * m, 3),
+        (1, t0 + 60 * m, t0 + 60 * m, 1),
+        (2, t0 + 5 * m, t0 + 5 * m, 1),
+        (2, t0 + 100 * m, t0 + 100 * m, 1),
+        (3, t0 + 25 * m, t0 + 45 * m, 2),
+    }
+    assert got == batch
+
+
 def test_attach_blobs_schema_and_payload(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     blobs = multimodal.attach_blobs(docs)
