@@ -5,11 +5,13 @@ The reference's default strategy (``plan/SmallToLargeTraversalStrategy
 class to *generate candidates* for the next, so the expensive evidence
 collection only runs for captures that can still participate:
 
-    1/1 overlaps → 1/1 CINDs + proper overlaps          (G2/A6/G16)
-    1/1 CINDs sharing a dep   → 1/2 candidates → verify (G6 + G10/A5)
-    proper overlaps sharing a ref → 2/1 candidates → verify (G7 + G11)
-    (exact ∪ inferred) 2/1s sharing a dep → 2/2 candidates,
-        pruned by 1/2 CINDs → verify                    (G9/G8/J7/G12)
+    1/1 overlaps → 1/1 CINDs + proper overlaps            (G2/A6/G16)
+    1/1 CINDs sharing a dep → 1/2 candidates              (G6)
+    (1/1 CINDs ∪ proper overlaps) sharing a ref → 2/1
+        candidates, provenance-tagged exact/inferred      (G7/G9)
+    1/2 ∪ exact-2/1 candidates → ONE evidence join        (G10/G11/A5)
+    (verified ∪ inferred) 2/1s sharing a dep → 2/2
+        candidates, pruned by 1/2 CINDs → verify          (G8/J7/G12)
 
 Here each "verify" is a relational evidence join *restricted by
 semi-joins to the candidate captures* — the Spark-native replacement for
@@ -20,10 +22,11 @@ positives; SURVEY §4).  The stage-1 pair join reuses the skew-hardened
 Equivalence contract: after the minimality pass, the staged result
 equals ``discover_cinds(minimal=True)`` — the reference implicitly
 relies on the same cross-strategy agreement (SURVEY §5).  Pre-
-minimality outputs differ by construction: the staged path never
-generates 2/1 candidates whose dep generalization is already included
-in the ref (those are non-minimal; the reference drops them the same
-way by generating 2/1 candidates from *proper* overlaps only).
+minimality outputs can differ by result-set-bounded non-minimal rows
+(verified 2/1s whose dep generalization is a 1/1 CIND — admitted by
+the consolidated candidate merge below and killed by
+``remove_implied_cinds``); the cross-strategy property tests pin the
+post-minimality agreement.
 
 Scale notes: candidate tables are result-sized (bounded by the CIND
 output, orders of magnitude below the data), so the semi-join
@@ -31,6 +34,24 @@ restrictions broadcast; every evidence join is an equi-join on
 ``join_value`` over the *restricted* capture tables — strictly smaller
 than the all-at-once pair join.  The one quadratic stage (1/1) runs on
 the shared hot-line/salting machinery.
+
+Cost structure vs the all-at-once plan (sf0.1, local[32], stage wall
+clock via SPARK_GRAFT_STAGE_TIMING; this VM benches ±40% run-to-run,
+so figures are cross-run medians): unary pair join ~18s, 2/1
+candidate merge ~21s, combined 1/2+2/1 evidence join ~13s, 2/2
+evidence join ~12s, shared cache builds + minimality ~25s → ~102s
+total vs ~73s all-at-once.  The consolidation that got it there
+(three evidence joins → two by verifying 1/2 ∪ 2/1 in one call; two
+quadratic merge joins → one provenance-tagged merge over cind11 ∪
+proper11; hashed ref keys in the merge; 10 → 8 stage barriers) cut
+~35% off the strategy (155s before).  The residual gap is inherent:
+the staged lattice re-scans the instance table per evidence round and
+serializes candidate → verify dependencies the all-at-once plan fuses
+into its single pair join.  The strategy remains the right tool in
+the regime the reference built it for — overlap-explosion inputs
+where all-at-once pair output (all arities at once) dwarfs the staged
+candidate classes — and for bounding plan/driver memory (each stage
+is checkpoint-truncated).
 """
 
 from __future__ import annotations
@@ -274,38 +295,107 @@ def _merged_dep_candidates(
     two unary deps into a canonical binary dep.
 
     ``allowed_deps``: result-sized (dep_code, dep_v1, dep_v2) whitelist
-    (the frequent binary captures) semi-joined BEFORE the dedup — a
-    merged dep that is not frequent can never verify (its support is
-    below min_support by definition), and filtering first keeps the
-    distinct shuffle result-bounded instead of explosion-bounded (the
-    per-ref pair join is quadratic in deps sharing a ref)."""
-    l = left.select(
-        *_REF_KEY,
+    (the frequent binary captures) — a merged dep that is not frequent
+    can never verify (its support is below min_support by definition).
+    Both inputs are pre-restricted to deps that generalize SOME
+    whitelisted binary (shrinking the quadratic per-ref pair join
+    itself), and the whitelist semi-join runs BEFORE the dedup so the
+    distinct shuffle is result-bounded, not explosion-bounded.
+
+    Join-shape note: the per-ref self-join (quadratic in deps sharing a
+    hub ref) measured FASTER at sf0.1 than the tempting whitelist-
+    decomposition probe (map each unary half to the frequent binaries
+    it opens, then semi-join the other half): a popular unary opens one
+    binary per frequent value of its field, so that probe's fan-out
+    (rows × binaries-per-unary, measured 47s) dwarfs the pair join
+    (~18s) on Zipfian predicates."""
+    gen_branches = []
+    for bcode, gens in cc.GENERALIZATION_MAP.items():
+        for ucode, value_index in gens:
+            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
+            gen_branches.append(
+                allowed_deps.filter(F.col("dep_code") == bcode).select(
+                    F.lit(ucode).alias("dep_code"), kept.alias("dep_v1")
+                )
+            )
+    gen_deps = gen_branches[0]
+    for g in gen_branches[1:]:
+        gen_deps = gen_deps.unionByName(g)
+    gen_deps = gen_deps.distinct()
+
+    def _mergeable(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(gen_deps), on=["dep_code", "dep_v1"], how="left_semi"
+        )
+
+    # The pair join, dedup, and whitelist all run on a 64-bit hash of
+    # the ref key instead of its three (long URI) strings — the strings
+    # are restored at the end from the result-sized distinct-ref map.
+    # An rh collision can only MANUFACTURE a pair (two different refs
+    # colliding), never drop one; manufactured candidates are killed by
+    # the exact verification downstream, so this is a pure
+    # shuffle-width optimization with no correctness exposure (unlike
+    # the instance tables, where a collision corrupts counts — hence
+    # their 96 bits).
+    tagged = "is_cind" in left.columns and "is_cind" in right.columns
+    tag_l = [F.col("l_cind")] if tagged else []
+    tag_r = [F.col("r_cind")] if tagged else []
+    refmap = (
+        left.select(*_REF_KEY)
+        .unionByName(right.select(*_REF_KEY))
+        .distinct()
+        .select(F.xxhash64(*_REF_KEY).alias("rh"), *_REF_KEY)
+    )
+    l = _mergeable(left).select(
+        F.xxhash64(*_REF_KEY).alias("rh"),
         F.col("dep_code").alias("l_code"),
         F.col("dep_v1").alias("l_v1"),
+        *([F.col("is_cind").alias("l_cind")] if tagged else []),
     )
-    r = right.select(
-        *_REF_KEY,
+    r = _mergeable(right).select(
+        F.xxhash64(*_REF_KEY).alias("rh"),
         F.col("dep_code").alias("r_code"),
         F.col("dep_v1").alias("r_v1"),
+        *([F.col("is_cind").alias("r_cind")] if tagged else []),
     )
-    both = l.join(r, on=_REF_KEY)
+    both = l.join(r, on="rh")
     fwd = both.filter(_merge_ok(F.col("l_code"), F.col("r_code"))).select(
         F.col("l_code").bitwiseOR(F.col("r_code")).alias("dep_code"),
         F.col("l_v1").alias("dep_v1"),
         F.col("r_v1").alias("dep_v2"),
-        *_REF_KEY,
+        "rh",
+        *tag_l,
+        *tag_r,
     )
     bwd = both.filter(_merge_ok(F.col("r_code"), F.col("l_code"))).select(
         F.col("r_code").bitwiseOR(F.col("l_code")).alias("dep_code"),
         F.col("r_v1").alias("dep_v1"),
         F.col("l_v1").alias("dep_v2"),
-        *_REF_KEY,
+        "rh",
+        *tag_r,
+        *tag_l,
     )
     merged = fwd.unionByName(bwd).join(
         F.broadcast(allowed_deps), on=_DEP_KEY, how="left_semi"
     )
-    return merged.distinct()
+    hkey = [*_DEP_KEY, "rh"]
+    if not tagged:
+        deduped = merged.select(*hkey).distinct()
+    else:
+        # Provenance per candidate (a candidate can arise from many
+        # pairs): ``exact`` — SOME generating pair had neither side a
+        # full 1/1 CIND (the reference's proper × proper candidates,
+        # the only ones it verifies); ``inferred`` — SOME pair involved
+        # a 1/1 CIND (true but non-minimal 2/1s, used only to seed 2/2
+        # candidates).
+        deduped = merged.groupBy(*hkey).agg(
+            F.max(~F.col("l_cind") & ~F.col("r_cind")).alias("exact"),
+            F.max(F.col("l_cind") | F.col("r_cind")).alias("inferred"),
+        )
+    extra = ["exact", "inferred"] if tagged else []
+    return deduped.join(F.broadcast(refmap), on="rh").select(
+        *_CIND_KEY, *extra
+    )
 
 
 def discover_cinds_staged(
@@ -445,12 +535,18 @@ def discover_cinds_staged(
             F.col("r2_v1").alias("ref_v2"),
         )
     )
-    cind12 = _materialize(_verify_candidates(capu, capb, cand12, "12", hot_shared), "cind12")
-
-    # ---- stage 3: 2/1 — candidate deps from pairs of proper overlaps
-    # with the same ref (G7), verified exactly.  Only frequent binary
-    # deps can verify (overlap == dep_support >= min_support), so the
-    # merge is whitelist-restricted up front.
+    # ---- stage 3 candidates: 2/1 — candidate deps merged from pairs of
+    # directional rows sharing a ref.  ONE merge over partners = 1/1
+    # CINDs ∪ proper overlaps covers both the exact 2/1 candidates
+    # (proper × proper, G7) and the reference's "inferred 2/1s"
+    # (cind11 × partner, G9, which the reference keeps unverified and
+    # uses only to seed 2/2 candidates): the union replaces what were
+    # two quadratic per-ref merge joins with one (measured: 17.9s +
+    # 17.7s → ~21s at sf0.1).  The extra verified rows this admits —
+    # true but non-minimal 2/1s whose dep generalization is a 1/1 CIND —
+    # are exactly the rows ``remove_implied_cinds`` kills (their killer
+    # x ⊆ r is in cind11 by construction of the merge), so the
+    # post-minimality contract is unchanged.
     freq_bdep = frequent.filter(
         F.col("code").isin(list(cc.VALID_BINARY_CODES))
     ).select(
@@ -458,41 +554,48 @@ def discover_cinds_staged(
         F.col("v1").alias("dep_v1"),
         F.col("v2").alias("dep_v2"),
     )
-    # A unary dep can only contribute to a whitelisted merge if it
-    # generalizes SOME frequent binary — semi-joining both merge inputs
-    # against that (result-sized, broadcast) set shrinks the quadratic
-    # per-ref pair join itself, not just its output.
-    gen_branches = []
-    for bcode, gens in cc.GENERALIZATION_MAP.items():
-        for ucode, value_index in gens:
-            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
-            gen_branches.append(
-                freq_bdep.filter(F.col("dep_code") == bcode).select(
-                    F.lit(ucode).alias("dep_code"), kept.alias("dep_v1")
-                )
-            )
-    gen_deps = gen_branches[0]
-    for g in gen_branches[1:]:
-        gen_deps = gen_deps.unionByName(g)
-    gen_deps = gen_deps.distinct()
+    partners = cind11.select(*_CIND_KEY).withColumn(
+        "is_cind", F.lit(True)
+    ).unionByName(
+        proper11.select(*_CIND_KEY).withColumn("is_cind", F.lit(False))
+    )
+    cand21 = _materialize(
+        _merged_dep_candidates(partners, partners, freq_bdep), "cand:21"
+    )
 
-    def _mergeable(df: DataFrame) -> DataFrame:
-        return df.join(
-            F.broadcast(gen_deps), on=["dep_code", "dep_v1"], how="left_semi"
-        )
+    # ---- one combined evidence join for the 1/2 + 2/1 candidate
+    # classes: both are known before any verification, and each
+    # _verify_candidates call pays fixed costs (two capf semi-join
+    # scans, the hot-mask build, the jv co-occurrence shuffle, a
+    # checkpoint barrier) that dwarf the marginal rows — verifying the
+    # union halves that overhead (measured: two ~15s calls → one ~13s
+    # call at sf0.1).  Only ``exact`` 2/1 candidates verify (the
+    # reference verifies proper × proper merges only); the classes are
+    # split back by dep arity, which determines the class uniquely.
+    cind12_21 = _materialize(
+        _verify_candidates(
+            capf,
+            capf,
+            cand12.unionByName(
+                cand21.filter("exact").select(*_CIND_KEY)
+            ),
+            "12+21",
+            hot_shared,
+        ),
+        "cind12_21",
+    )
+    unary_dep = F.col("dep_code").isin(list(cc.VALID_UNARY_CODES))
+    cind12 = cind12_21.filter(unary_dep)
+    cind21 = cind12_21.filter(~unary_dep)
 
-    proper11_m = _mergeable(proper11)
-    cand21 = _merged_dep_candidates(proper11_m, proper11_m, freq_bdep)
-    # consumed twice (result union + 2/2 candidate seeding)
-    cind21 = _materialize(_verify_candidates(capb, capu, cand21, "21", hot_shared), "cind21")
-
-    # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8)
-    # Inferred 2/1s: x ⊆ r merged with any overlap partner y of r is a
-    # (non-minimal but true) 2/1; they exist only to seed 2/2 candidates.
-    partners = cind11.select(*_CIND_KEY).unionByName(proper11.select(*_CIND_KEY))
-    inf21 = _merged_dep_candidates(_mergeable(cind11), _mergeable(partners), freq_bdep)
+    # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8):
+    # verified exact 2/1s plus the inferred rows read off the cand21
+    # provenance tags — the reference's seed set, with no second merge
+    # join.
     all21 = _materialize(
-        cind21.select(*_CIND_KEY).unionByName(inf21.select(*_CIND_KEY)).distinct(),
+        cind21.select(*_CIND_KEY)
+        .unionByName(cand21.filter("inferred").select(*_CIND_KEY))
+        .distinct(),
         "all21",
     )
     # Trivial refinements again (G8): a 2/2 ref may refine one of the
