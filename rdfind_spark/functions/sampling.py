@@ -1,0 +1,175 @@
+"""Corpus curation operators over the ``documents`` table: deterministic
+train/val/test splits, stratified per-source sampling, and eval-set
+contamination checks — the selection/leakage layer every training-data
+pipeline needs between dedup and export.
+
+Everything is hash-derived and deterministic: no RNG state, so the same
+corpus always yields the same split/sample (reproducible pipelines,
+resumable backfills), and every operator has an exact DuckDB oracle.
+
+Hash discipline: ``md5`` only (bit-identical across Spark and DuckDB),
+matching ``functions.text`` / ``functions.dedup``.  Counts and ranks are
+emitted as integers — never engine-rounded floats — so oracle value
+hashes are bit-stable (the ``events_retention`` lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions.text import SHINGLE_K, tokens_col
+
+# Split fractions are encoded as boundaries on the first byte of
+# md5("split:" || doc_id): 0x00-0xcc train (205/256 ≈ 80.1%),
+# 0xcd-0xe5 val (25/256 ≈ 9.8%), 0xe6-0xff test (26/256 ≈ 10.2%).
+# Byte-boundary arithmetic keeps the comparison a plain string compare
+# in BOTH engines (lowercase hex is ASCII-ordered).
+TRAIN_BOUND = "cd"
+VAL_BOUND = "e6"
+
+SAMPLE_K = 20  # stratified sample size per source
+SAMPLE_SALT_BUCKETS = 64
+
+CONTAM_EVAL_MOD = 50  # doc_id % MOD == 0 → held-out eval document
+
+
+def train_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment: the split is a pure
+    function of ``md5('split:' || doc_id)``, so membership is stable
+    under reruns, repartitioning, and incremental ingestion (a new
+    document never moves an old one between splits — the property
+    random-number splits lose).
+
+    Scale: a stateless projection — no shuffle, whole-stage codegen,
+    trivially parallel at any corpus size."""
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return documents.select(
+        "doc_id",
+        "source",
+        F.when(bucket < TRAIN_BOUND, F.lit("train"))
+        .when(bucket < VAL_BOUND, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def train_split_sql() -> str:
+    return f"""SELECT doc_id, source,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_BOUND}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_BOUND}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def stratified_sample(documents: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Deterministic stratified sample: the k documents per source with
+    the smallest ``md5('samp:' || doc_id)`` — a hash-ordered "reservoir"
+    that is reproducible and uniformly random with respect to content.
+
+    Scale: a naive ``row_number() OVER (PARTITION BY source)`` puts each
+    stratum on ONE task — with few large strata (the common case: a
+    handful of crawl sources at billions of docs) that is a straggler by
+    construction.  Two-phase top-k instead: per (source, salt) local
+    top-k over ``SAMPLE_SALT_BUCKETS`` hash-salt buckets spreads every
+    stratum across that many tasks, then the global top-k runs over the
+    result-sized k × buckets survivors.  Same exact result."""
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    salted = documents.select("doc_id", "source", h.alias("h")).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(SAMPLE_SALT_BUCKETS))
+    )
+    w_local = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    local = (
+        salted.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w_global = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        local.withColumn("sample_rank", F.row_number().over(w_global))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def stratified_sample_sql(k: int = SAMPLE_K) -> str:
+    return f"""SELECT doc_id, source,
+       CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= {k}"""
+
+
+def _doc_shingles(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle-md5) pairs: SHINGLE_K-token rolling
+    windows, whole-text fallback for short documents — the same shingle
+    definition as ``text.fingerprints`` so the two operators agree on
+    what "content overlap" means."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    win = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_K))),
+    )
+    sh = F.when(n >= SHINGLE_K, win).otherwise(
+        F.array(F.md5(F.concat_ws(" ", toks)))
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
+def contamination_check(documents: DataFrame) -> DataFrame:
+    """Train-on-test leakage detector: for each held-out eval document
+    (``doc_id % CONTAM_EVAL_MOD == 0``), how many of its distinct
+    shingles also occur anywhere in the training corpus (all other
+    documents).  ``n_contaminated / n_shingles`` is the contamination
+    fraction; emitting the integer pair keeps the result bit-stable
+    across engines.
+
+    Scale: the corpus side collapses to DISTINCT shingles before the
+    join (map-side partial agg), and the join itself is an equi-semi
+    join on the shingle hash — an inverted-index probe, never a doc ×
+    doc comparison.  The eval side is a small fraction by construction,
+    so at 100× the probe stays eval-sized while the corpus index
+    shuffles once."""
+    sh = _doc_shingles(documents)
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    ev = sh.filter(is_eval)
+    corpus = sh.filter(~is_eval).select("sh").distinct()
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        ev.join(corpus, on="sh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+    )
+
+
+def contamination_check_sql() -> str:
+    k = SHINGLE_K
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= {k}
+           THEN list_transform(range(1, len(toks) - {k - 2}),
+                               i -> md5(array_to_string(toks[i:i+{k - 1}], ' ')))
+           ELSE [md5(array_to_string(toks, ' '))] END)) AS sh
+  FROM t
+),
+ev AS (SELECT * FROM s WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+corpus AS (SELECT DISTINCT sh FROM s WHERE doc_id % {CONTAM_EVAL_MOD} <> 0)
+SELECT ev.doc_id, COUNT(*) AS n_shingles,
+       COUNT(corpus.sh) AS n_contaminated
+FROM ev LEFT JOIN corpus ON ev.sh = corpus.sh
+GROUP BY ev.doc_id"""

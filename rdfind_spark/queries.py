@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdfind_spark import oracle
-from rdfind_spark.functions import dedup, events, multimodal, similarity, text
+from rdfind_spark.functions import (
+    dedup,
+    events,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from rdfind_spark.operators import census, rules, transforms
 from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
@@ -277,6 +284,27 @@ def dedup_embedding_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.embedding_cosine_pairs`` stays available as the in-engine
     correctness baseline but is no longer the registered default)."""
     return similarity.embedding_dedup_pairs_ivf(_embs(spark, sf_dir))
+
+
+# ------------------------------------ training-data pipeline: curation
+
+
+@register("docs_train_split", sampling.train_split_sql())
+def docs_train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-derived train/val/test split assignment."""
+    return sampling.train_split(_docs(spark, sf_dir))
+
+
+@register("docs_stratified_sample", sampling.stratified_sample_sql())
+def docs_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic top-k sample (two-phase salted top-k)."""
+    return sampling.stratified_sample(_docs(spark, sf_dir))
+
+
+@register("docs_contamination", sampling.contamination_check_sql())
+def docs_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set shingle contamination counts vs the training corpus."""
+    return sampling.contamination_check(_docs(spark, sf_dir))
 
 
 # ----------------------------------- training-data pipeline: similarity

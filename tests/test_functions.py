@@ -258,3 +258,71 @@ def test_range_join_counts_boundaries(spark):
     df = _events_df(spark, rows)
     got = {(r.event_id, r.n_clicks) for r in events.range_join_counts(df).collect()}
     assert got == {(3, 2), (4, 0)}
+
+
+# ----------------------------------------------------- curation ops
+
+
+def test_train_split_deterministic_and_ratioed(spark, sf_dir):
+    from rdfind_spark.functions.sampling import train_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r.doc_id, r.split) for r in train_split(docs).collect()}
+    b = {(r.doc_id, r.split) for r in train_split(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    frac = {
+        s: n / len(a)
+        for s, n in __import__("collections").Counter(s for _, s in a).items()
+    }
+    # md5-derived byte boundaries: 205/25/26 out of 256 (±8% abs at n=500)
+    assert abs(frac["train"] - 205 / 256) < 0.08
+    assert abs(frac.get("val", 0) - 25 / 256) < 0.08
+    assert abs(frac.get("test", 0) - 26 / 256) < 0.08
+
+
+def test_stratified_sample_matches_naive_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.sampling import SAMPLE_K, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_id, r.source, r.sample_rank)
+        for r in stratified_sample(docs).collect()
+    }
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    naive = (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+    expected = {
+        (r.doc_id, r.source, r.sample_rank) for r in naive.collect()
+    }
+    assert got == expected and got
+
+
+def test_contamination_check_fixture(spark):
+    from rdfind_spark.functions.sampling import contamination_check
+
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-shingle
+    docs = spark.createDataFrame(
+        [
+            # doc 0 (eval: 0 % 50 == 0): 2 distinct shingles, one shared
+            (0, f"{shared} zeta"),
+            # doc 1 (corpus) carries the shared shingle
+            (1, f"{shared} other words here"),
+            # doc 50 (eval): short doc, whole-text fallback, no overlap
+            (50, "tiny doc"),
+            # doc 2 (corpus), unrelated
+            (2, "completely different content entirely unrelated text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in contamination_check(docs).collect()
+    }
+    assert got == {0: (2, 1), 50: (1, 0)}
