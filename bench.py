@@ -79,6 +79,9 @@ def main() -> int:
 
     # Warmup: touch every input once (JVM/codegen spin-up + OS page
     # cache) so the first timed query isn't charged for session start.
+    # (events.parquet may be TIMESTAMP(NANOS); without this conf the
+    # warmup read would throw and silently skip the file.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
