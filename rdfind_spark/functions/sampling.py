@@ -104,6 +104,87 @@ FROM documents
 QUALIFY sample_rank <= {k}"""
 
 
+# Export-gate thresholds (sf-profiled so the gate is selective but not
+# degenerate: at sf0.01 n_tokens p05=16/p50=56, distinct_ratio p05=0.31).
+EXPORT_MIN_TOKENS = 20
+EXPORT_MIN_DISTINCT_RATIO = 0.34
+EXPORT_MAX_PUNCT_RATIO = 0.2
+
+
+def export_train_corpus(documents: DataFrame) -> DataFrame:
+    """The composed end-of-pipeline export: documents that (a) pass the
+    cheap quality gates, (b) are the canonical member of their exact-
+    duplicate group, and (c) fall in the train split — i.e. the row set
+    a training job would actually read.  Composes the quality, dedup,
+    and split operators in one plan to show they fuse.
+
+    Scale: the gates are a stateless projection over one scan; the
+    dedup canonical needs the one hash-groupBy exact dedup always needs;
+    the split is hash-derived (no shuffle).  Catalyst pushes the gate
+    filters below the canonical join, so the expensive side of the join
+    carries only surviving docs."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    gated = documents.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        bucket.alias("bucket"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("text_hash"),
+    ).filter(
+        (F.col("n_tokens") >= EXPORT_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= EXPORT_MIN_DISTINCT_RATIO)
+        & (F.col("punct_ratio") <= EXPORT_MAX_PUNCT_RATIO)
+        & (F.col("bucket") < TRAIN_BOUND)
+    )
+    canon = (
+        documents.select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    return (
+        gated.join(canon, on="text_hash")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def export_train_corpus_sql() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, text_hash, len(toks) AS n_tokens
+  FROM t
+  WHERE len(toks) >= {EXPORT_MIN_TOKENS}
+    AND round(len(list_distinct(toks)) / len(toks), 6) >= {EXPORT_MIN_DISTINCT_RATIO}
+    AND round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 6) <= {EXPORT_MAX_PUNCT_RATIO}
+    AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_BOUND}'
+),
+canon AS (SELECT text_hash, MIN(doc_id) AS canonical_id FROM t GROUP BY text_hash)
+SELECT doc_id, source, n_tokens
+FROM gated JOIN canon USING (text_hash)
+WHERE doc_id = canonical_id"""
+
+
 def _doc_shingles(documents: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle-md5) pairs: SHINGLE_K-token rolling
     windows, whole-text fallback for short documents — the same shingle

@@ -307,6 +307,13 @@ def docs_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_check(_docs(spark, sf_dir))
 
 
+@register("docs_export_train", sampling.export_train_corpus_sql())
+def docs_export_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed export: quality gates ∘ exact-dedup canonical ∘ train
+    split in one fused plan."""
+    return sampling.export_train_corpus(_docs(spark, sf_dir))
+
+
 # ----------------------------------- training-data pipeline: similarity
 
 

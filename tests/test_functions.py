@@ -326,3 +326,39 @@ def test_contamination_check_fixture(spark):
         for r in contamination_check(docs).collect()
     }
     assert got == {0: (2, 1), 50: (1, 0)}
+
+
+def test_export_train_corpus_composition(spark, sf_dir):
+    """Export rows must be exactly: quality-gated ∩ train-split ∩
+    exact-dedup-canonical (cross-checked against the standalone ops)."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions import sampling
+    from rdfind_spark.functions.dedup import exact_dedup_map
+    from rdfind_spark.functions.text import token_stats, quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r.doc_id for r in sampling.export_train_corpus(docs).collect()}
+    train = {
+        r.doc_id
+        for r in sampling.train_split(docs).filter("split = 'train'").collect()
+    }
+    canon = {
+        r.doc_id
+        for r in exact_dedup_map(docs)
+        .filter("doc_id = canonical_id")
+        .collect()
+    }
+    stats = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    qual = {
+        r.doc_id: (r.distinct_ratio, r.punct_ratio)
+        for r in quality_scores(docs).collect()
+    }
+    expected = {
+        d
+        for d in train & canon
+        if stats[d] >= sampling.EXPORT_MIN_TOKENS
+        and qual[d][0] >= sampling.EXPORT_MIN_DISTINCT_RATIO
+        and qual[d][1] <= sampling.EXPORT_MAX_PUNCT_RATIO
+    }
+    assert got == expected and got
