@@ -406,6 +406,53 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.event_funnel(_events(spark, sf_dir))
 
 
+# ------------------------------------------------------- streaming
+# Streaming queries run to completion (Trigger.AvailableNow → memory
+# sink) and return the sink table, so the driver checks the STREAMING
+# execution path itself.  stream_hourly_counts is complete-mode equal
+# to the batch window aggregate by construction, so it carries the
+# batch SQL oracle (full three-check coverage of a streaming plan);
+# the stateful sessionizer emits only gap-closed sessions (open
+# sessions stay in state) — a proper subset of the batch result with
+# no SQL rendering, hence rows-only.
+
+
+@register("stream_hourly_counts", events.hourly_event_counts_sql())
+def stream_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts over readStream — equals the
+    batch ``events_hourly_counts`` result exactly (complete mode)."""
+    import uuid
+
+    from rdfind_spark.streaming import hourly_counts_stream, run_available_now, stream_events
+
+    # unique sink name: memory-sink queryNames cannot be reused within
+    # one session, and the driver may invoke a query more than once
+    name = run_available_now(
+        hourly_counts_stream(stream_events(spark, sf_dir)),
+        f"stream_hourly_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
+@register("stream_sessions", None)
+def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer (``applyInPandasWithState``) driven
+    to completion; rows-only check (exact batch-equality is pinned by
+    the deterministic micro-batch test in
+    tests/test_streaming_multimodal.py)."""
+    import uuid
+
+    from rdfind_spark.streaming import run_available_now, stream_events, streaming_sessionize
+
+    name = run_available_now(
+        streaming_sessionize(stream_events(spark, sf_dir)),
+        f"stream_sessions_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 # ------------------------------------------------------- multimodal
 
 
