@@ -362,3 +362,49 @@ def test_export_train_corpus_composition(spark, sf_dir):
         and qual[d][1] <= sampling.EXPORT_MAX_PUNCT_RATIO
     }
     assert got == expected and got
+
+
+def test_curation_ops_partitioning_invariant(spark):
+    """Hypothesis property: split assignment, sample membership, and
+    contamination counts are pure functions of content — invariant
+    under row order and partition count (the property RNG-based
+    sampling loses, and the one that makes backfills reproducible)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdfind_spark.functions import sampling
+
+    words = st.sampled_from(
+        "alpha beta gamma delta epsilon zeta eta theta".split()
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 300), st.lists(words, min_size=1, max_size=12)),
+            min_size=4,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ),
+        st.randoms(),
+    )
+    def check(rows, rng):
+        data = [
+            (doc_id, " ".join(toks), f"src{doc_id % 3}")
+            for doc_id, toks in rows
+        ]
+        shuffled = data[:]
+        rng.shuffle(shuffled)
+        a = spark.createDataFrame(data, "doc_id LONG, text STRING, source STRING")
+        b = spark.createDataFrame(
+            shuffled, "doc_id LONG, text STRING, source STRING"
+        ).repartition(7)
+        for op in (
+            sampling.train_split,
+            lambda d: sampling.stratified_sample(d, k=3),
+            sampling.contamination_check,
+        ):
+            ra = {tuple(r) for r in op(a).collect()}
+            rb = {tuple(r) for r in op(b).collect()}
+            assert ra == rb
+
+    check()
