@@ -185,6 +185,86 @@ FROM gated JOIN canon USING (text_hash)
 WHERE doc_id = canonical_id"""
 
 
+SEQ_LEN = 2048  # tokens per packed training sequence
+PACK_BUCKETS = 256  # prefix-sum parallelism per source
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in a deterministic
+    hash order per source and assign each to the training sequence
+    containing its start offset (``seq_id = start_offset // seq_len``)
+    — the contiguous-packing step of a pretraining data pipeline.
+
+    Scale: the natural formulation is a running ``SUM() OVER (PARTITION
+    BY source ORDER BY ...)`` — one task per source, a straggler when a
+    source holds billions of docs.  Hierarchical prefix sum instead:
+    the order key's first byte splits every source into
+    ``PACK_BUCKETS`` ranges (the bucket IS a prefix of the order key,
+    so bucket-then-hash order equals global hash order), local cumsums
+    run per (source, bucket) in parallel, and the per-bucket totals —
+    result-sized: sources × 256 rows — produce broadcast offsets that
+    lift local to global.  Exactly the classic two-pass parallel scan,
+    in three DataFrame ops."""
+    toks = tokens_col(F.col("text"))
+    h = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+    w_local = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .withColumn("off", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+        .select("source", "bucket", "off")
+    )
+    start = F.col("local_cum") + F.col("off") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), on=["source", "bucket"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.expr(f"(local_cum + off - n_tokens) div {int(seq_len)}").alias(
+                "seq_id"
+            ),
+        )
+    )
+
+
+def pack_sequences_sql(seq_len: int = SEQ_LEN) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // {int(seq_len)} AS seq_id
+FROM c"""
+
+
 def _doc_shingles(documents: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle-md5) pairs: SHINGLE_K-token rolling
     windows, whole-text fallback for short documents — the same shingle

@@ -307,6 +307,12 @@ def docs_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_check(_docs(spark, sf_dir))
 
 
+@register("docs_pack_sequences", sampling.pack_sequences_sql())
+def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via hierarchical (two-pass) parallel prefix sum."""
+    return sampling.pack_sequences(_docs(spark, sf_dir))
+
+
 @register("docs_export_train", sampling.export_train_corpus_sql())
 def docs_export_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed export: quality gates ∘ exact-dedup canonical ∘ train

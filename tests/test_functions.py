@@ -408,3 +408,57 @@ def test_curation_ops_partitioning_invariant(spark):
             assert ra == rb
 
     check()
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark, sf_dir):
+    """The hierarchical (bucketed) prefix sum must equal the naive
+    single-window cumsum exactly, and per-source start offsets must
+    tile [0, total_tokens) with no gaps or overlaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.sampling import SEQ_LEN, pack_sequences
+    from rdfind_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_id, r.source, r.n_tokens, r.start_offset, r.seq_id)
+        for r in pack_sequences(docs).collect()
+    }
+    h = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.expr(f"(cum - n_tokens) div {SEQ_LEN}").alias("seq_id"),
+        )
+    )
+    expected = {
+        (r.doc_id, r.source, r.n_tokens, r.start_offset, r.seq_id)
+        for r in naive.collect()
+    }
+    assert got == expected and got
+    # tiling: per source, sorted starts == cumulative token sums
+    by_src: dict = {}
+    for _, src, n, start, _ in got:
+        by_src.setdefault(src, []).append((start, n))
+    for src, rows in by_src.items():
+        rows.sort()
+        pos = 0
+        for start, n in rows:
+            assert start == pos, f"gap/overlap at {src}:{start} != {pos}"
+            pos += n
