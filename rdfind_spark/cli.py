@@ -13,6 +13,9 @@ A14-A17).  This module reproduces that surface on Spark::
     python -m rdfind_spark count-conditions INPUT...
     python -m rdfind_spark count-distinct-values INPUT...
     python -m rdfind_spark check-hash-collisions INPUT...
+    python -m rdfind_spark corpus DOCS.parquet --op
+        {split,sample,pack,export,contamination,dedup-exact,
+         dedup-clusters,quality,redact}   (beyond-reference curation)
 
 INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
 ``tpch:DIR`` to melt the driver's parquet star schema at DIR into
@@ -216,6 +219,42 @@ def _cmd_rules(args: argparse.Namespace) -> int:
     return 0
 
 
+_CORPUS_OP_NAMES = (
+    "split",
+    "sample",
+    "pack",
+    "export",
+    "contamination",
+    "dedup-exact",
+    "dedup-clusters",
+    "quality",
+    "redact",
+)
+
+
+def _cmd_corpus(args: argparse.Namespace) -> int:
+    """Corpus-curation surface (beyond-reference, SURVEY north star):
+    run one curation op over a documents parquet and emit it through
+    the standard sinks."""
+    from rdfind_spark.functions import dedup, sampling, text
+
+    ops = {
+        "split": lambda d: sampling.train_split(d),
+        "sample": lambda d: sampling.stratified_sample(d, args.k),
+        "pack": lambda d: sampling.pack_sequences(d, args.seq_len),
+        "export": lambda d: sampling.export_train_corpus(d),
+        "contamination": lambda d: sampling.contamination_check(d),
+        "dedup-exact": lambda d: dedup.exact_dedup_map(d),
+        "dedup-clusters": lambda d: dedup.dedup_clusters(d),
+        "quality": lambda d: text.quality_scores(d),
+        "redact": lambda d: text.redact_text(d),
+    }
+    spark = _build_session(args)
+    docs = spark.read.parquet(*args.input)
+    _emit(ops[args.op](docs), args)
+    return 0
+
+
 def _cmd_count_triples(args: argparse.Namespace) -> int:
     from rdfind_spark.operators.census import count_triples
 
@@ -301,6 +340,16 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--support", type=int, default=10)
     p.add_argument("--min-confidence", type=float, default=1.0)
     p.set_defaults(fn=_cmd_rules)
+
+    p = sub.add_parser(
+        "corpus", help="training-data curation ops over a documents parquet"
+    )
+    common(p)
+    p.add_argument("--op", required=True, choices=_CORPUS_OP_NAMES)
+    p.add_argument("--k", type=int, default=20, help="sample size per source")
+    p.add_argument("--seq-len", type=int, default=2048,
+                   help="tokens per packed sequence")
+    p.set_defaults(fn=_cmd_corpus)
 
     for name, fn in (
         ("count-triples", _cmd_count_triples),

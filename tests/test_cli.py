@@ -213,3 +213,48 @@ def test_cli_strategy2_and_plans_facade(spark, tmp_path):
 
     for s in (0, 1, 2, 3):
         assert {tuple(r) for r in traversal(df, s, min_support=2).collect()} == expected
+
+
+def test_cli_corpus_ops(spark, tmp_path):
+    """The corpus subcommand runs each curation op over a documents
+    parquet and writes through the standard sinks."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [
+                f"word{i} alpha beta gamma delta epsilon zeta token{i} "
+                f"extra{i % 7} filler{i % 5} more{i % 3} tail{i}"
+                for i in range(40)
+            ],
+            "source": [f"src{i % 2}" for i in range(40)],
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    docs.to_parquet(str(src), index=False)
+    out = tmp_path / "out"
+    assert main([
+        "corpus", str(src), "--op", "pack", "--seq-len", "64",
+        "--parquet", str(out / "pack"), "--master", "local[4]",
+    ]) == 0
+    packed = spark.read.parquet(str(out / "pack"))
+    assert packed.count() == 40
+    assert set(packed.columns) == {
+        "doc_id", "source", "n_tokens", "start_offset", "seq_id"
+    }
+    assert main([
+        "corpus", str(src), "--op", "split",
+        "--parquet", str(out / "split"), "--master", "local[4]",
+    ]) == 0
+    split = spark.read.parquet(str(out / "split"))
+    assert split.count() == 40
+    assert {r.split for r in split.collect()} <= {"train", "val", "test"}
+    assert main([
+        "corpus", str(src), "--op", "sample", "--k", "3",
+        "--parquet", str(out / "sample"), "--master", "local[4]",
+    ]) == 0
+    sample = spark.read.parquet(str(out / "sample"))
+    assert sample.groupBy("source").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 3
