@@ -100,7 +100,7 @@ s AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
-SELECT user_id, session_no, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
        make_timestamp(MIN(us)) AS session_start,
        make_timestamp(MAX(us)) AS session_end
 FROM s GROUP BY 1, 2"""
@@ -295,7 +295,7 @@ j AS (
   LEFT JOIN active n ON n.user_id = a.user_id AND n.day = a.day + 1
 )
 SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_active,
-       SUM(ret) AS n_retained,
+       CAST(SUM(ret) AS BIGINT) AS n_retained,
        CAST((CAST(SUM(ret) AS BIGINT) * 1000000) // COUNT(*) AS DOUBLE)
          / 1000000.0 AS retention
 FROM j GROUP BY day"""

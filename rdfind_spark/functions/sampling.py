@@ -260,8 +260,8 @@ c AS (
   FROM t
 )
 SELECT doc_id, source, n_tokens,
-       cum - n_tokens AS start_offset,
-       (cum - n_tokens) // {int(seq_len)} AS seq_id
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {int(seq_len)} AS BIGINT) AS seq_id
 FROM c"""
 
 

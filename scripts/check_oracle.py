@@ -91,16 +91,37 @@ def main() -> int:
         t0 = time.time()
         res = con.execute(oracles[name])
         duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        bad_types = []
+        if strict:
+            # The driver's hash is type-sensitive (it reads results through
+            # pandas/arrow, where DuckDB HUGEINT → float/decimal and
+            # TIMESTAMP_NS keeps ns digits).  Flag oracle columns whose
+            # arrow type would not round-trip identically to Spark's:
+            # cast SUMs to BIGINT and timestamps through µs in the SQL.
+            tbl = res.arrow()
+            import pyarrow as pa
+
+            for field in tbl.schema:
+                t = field.type
+                if pa.types.is_decimal(t) or (
+                    pa.types.is_timestamp(t) and t.unit != "us"
+                ):
+                    bad_types.append(f"{field.name}:{t}")
+            duck_rows = [
+                tuple(col[i].as_py() for col in tbl.columns)
+                for i in range(tbl.num_rows)
+            ]
+        else:
+            duck_rows = res.fetchall()
         t_duck = time.time() - t0
-        ok_schema = sorted(spark_cols) == sorted(duck_cols)
+        ok_schema = sorted(spark_cols) == sorted(duck_cols) and not bad_types
         a = normalize(spark_rows, spark_cols, strict)
         b = normalize(duck_rows, duck_cols, strict)
         ok = ok_schema and a == b
         status = "OK " if ok else "FAIL"
         print(
             f"  {name:32s} {status} rows={len(a)}/{len(b)} "
-            f"schema={'ok' if ok_schema else f'{sorted(spark_cols)} vs {sorted(duck_cols)}'} "
+            f"schema={'ok' if ok_schema else (f'types:{bad_types}' if bad_types else f'{sorted(spark_cols)} vs {sorted(duck_cols)}')} "
             f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]"
         )
         if not ok:
