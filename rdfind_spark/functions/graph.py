@@ -1,0 +1,224 @@
+"""Graph analytics over the RDF triple graph.
+
+The reference's data model IS a graph (RDF triples), but its engine
+only mines CINDs from it; any real RDF/knowledge-graph pipeline also
+wants structural analytics.  Edges here are the entity→entity triples
+(object starts with an entity prefix — the FK predicates of the triple
+view; literal-valued triples carry no edge).
+
+Determinism discipline: PageRank runs in *integer fixed-point*
+(RANK_SCALE units).  Every per-iteration operation is integer division
+or integer sum — both exact and order-independent — so Spark and the
+DuckDB oracle produce bit-identical ranks with no float-drift exposure
+even after many iterations (unlike a double-valued PageRank, where
+aggregation order drifts ULPs per iteration).
+
+Scale notes: one shuffle per PageRank iteration (groupBy dst), the
+out-degree table joins broadcast when small / shuffle-hash when not,
+and the iteration count is fixed (no driver-side convergence collect).
+Edges are re-derived per iteration from a persisted, checkpoint-
+truncated edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfind_spark.sources.triples import triple_view_sql
+
+PR_ITERATIONS = 5
+PR_DAMPING_PCT = 85  # d = 0.85 as an integer percentage (exact arithmetic)
+RANK_SCALE = 1_000_000_000_000  # fixed-point units per unit of rank
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """Distinct entity→entity edges: triples whose object is an entity
+    reference (contains the ``prefix:`` marker used by every entity in
+    the triple view, e.g. ``nation:7``).  Literal objects (names,
+    statuses, flags) are not edges."""
+    is_entity = F.col("obj").rlike("^[a-z]+:")
+    return (
+        triples.filter(is_entity)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+
+
+ENTITY_EDGES_SQL = """SELECT DISTINCT subj AS src, obj AS dst
+FROM triples WHERE regexp_matches(obj, '^[a-z]+:')"""
+
+
+def degree_distribution(triples: DataFrame) -> DataFrame:
+    """Degree histogram of the entity graph: for each (direction,
+    degree) the number of nodes with that degree — the first sanity
+    check on any graph at scale (hub detection, skew planning).  Two
+    aggregations, each one shuffle."""
+    edges = entity_edges(triples)
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return (
+        out_deg.withColumn("direction", F.lit("out"))
+        .unionByName(in_deg.withColumn("direction", F.lit("in")))
+        .groupBy("direction", "degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def degree_distribution_sql() -> str:
+    return f"""WITH triples AS (
+{triple_view_sql()}
+),
+edges AS ({ENTITY_EDGES_SQL}),
+deg AS (
+  SELECT 'out' AS direction, src AS node, COUNT(*) AS degree
+  FROM edges GROUP BY src
+  UNION ALL
+  SELECT 'in' AS direction, dst AS node, COUNT(*) AS degree
+  FROM edges GROUP BY dst
+)
+SELECT direction, degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY direction, degree"""
+
+
+def pagerank(
+    triples: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    top_k: int = 50,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the entity graph, in integer
+    fixed-point (see module docstring).  Dangling nodes (no out-edges)
+    leak their rank mass, as in the classic simplified formulation —
+    the oracle reproduces the identical recurrence:
+
+        r0(v)     = RANK_SCALE // N
+        r_{k+1}(v) = ((100 - d) * (RANK_SCALE // N)) // 100
+                     + (d * Σ_{u→v} (r_k(u) // outdeg(u))) // 100
+
+    Returns the ``top_k`` nodes by final rank (ties broken by node id),
+    rank also as a double for human consumption.
+
+    Scale shape: the rank table is node-sized; each iteration is one
+    equi-join (rank ⋈ edges on src, outdeg pre-attached to the edge
+    table so the join carries no extra columns) and one groupBy(dst) —
+    partial aggregation makes the shuffle per-node, not per-edge.  The
+    loop body is lazily composed and the rank table localCheckpoint-ed
+    per round so the plan stays iteration-local (same pattern as the
+    near-dup label propagation, functions/dedup.py)."""
+    spark = triples.sparkSession
+    edges = entity_edges(triples).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    base = RANK_SCALE // n_nodes
+    teleport = (100 - PR_DAMPING_PCT) * base // 100
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg attached once; edge table re-used every iteration
+    edges_d = edges.join(out_deg, on="src").persist()
+    edges_d.count()
+    edges.unpersist()
+
+    ranks = nodes.select("node", F.lit(base).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges_d.join(
+                ranks.select(F.col("node").alias("src"), "rank"), on="src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_DAMPING_PCT} * coalesce(inflow, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges_d.unpersist()
+    nodes.unpersist()
+    # Global top-k via orderBy + limit — Catalyst plans
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), NOT a single-partition window sort of the node-sized rank
+    # table.  row_number then runs over the k-row result only.
+    from pyspark.sql import Window
+
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(top_k)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return top.select(
+        "node",
+        "rank",
+        F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 9).alias("pr"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def pagerank_sql(iterations: int = PR_ITERATIONS, top_k: int = 50) -> str:
+    """The identical integer recurrence as chained CTEs (one per
+    iteration) — DuckDB arithmetic on BIGINTs matches Spark's exactly,
+    so ranks are bit-identical by construction."""
+    d = PR_DAMPING_PCT
+    parts = [
+        f"""WITH triples AS (
+{triple_view_sql()}
+),
+edges AS ({ENTITY_EDGES_SQL}),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+params AS (
+  SELECT {RANK_SCALE} // COUNT(*) AS base,
+         ((100 - {d}) * ({RANK_SCALE} // COUNT(*))) // 100 AS teleport
+  FROM nodes
+),
+edges_d AS (
+  SELECT e.src, e.dst, o.outdeg
+  FROM edges e
+  JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) o
+    ON o.src = e.src
+),
+r0 AS (
+  SELECT node, (SELECT base FROM params) AS rank FROM nodes
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""", r{i + 1} AS (
+  SELECT n.node,
+         (SELECT teleport FROM params)
+         + ({d} * COALESCE(c.inflow, 0)) // 100 AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // e.outdeg) AS inflow
+    FROM edges_d e JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank, round(CAST(rank AS DOUBLE) / {RANK_SCALE}.0, 9) AS pr, pos
+FROM (
+  SELECT node, CAST(rank AS BIGINT) AS rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos
+  FROM r{iterations}
+) WHERE pos <= {top_k}"""
+    )
+    return "".join(parts)

@@ -217,6 +217,173 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.alias("fingerprint"))
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF over the corpus.
+
+    Classic two-aggregate shape: explode tokens → term frequency per
+    (doc, term) [one shuffle, partial-aggregated], document frequency
+    per term [second shuffle, term-sized], idf = ln(N/df) attached by a
+    broadcast join (the term dictionary is vocabulary-sized, orders of
+    magnitude below the corpus).  Ranking happens on the ROUNDED score
+    (6 decimals) with term tie-break, so cross-engine ULP drift in
+    ``ln`` cannot flip ranks.  Stopwords and bare punctuation are
+    excluded from keyword candidacy."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        tokens_col(F.lower(F.col("text"))),
+        lambda t: ~F.array_contains(stop_arr, t) & t.rlike("[a-z0-9]"),
+    )
+    n_docs = documents.count()
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), on="term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "pos")
+    )
+
+
+def tfidf_keywords_sql(k: int = TFIDF_TOP_K) -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+  WHERE t.term NOT IN ({stoplist}) AND regexp_matches(t.term, '[a-z0-9]')
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((SELECT COUNT(*) FROM documents) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS INT) AS pos
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, pos FROM ranked WHERE pos <= {k}"""
+
+
+# Gopher/C4-style corpus filter thresholds (compared on ROUNDED ratios
+# so Spark and the oracle take the same branch at the boundary).
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_TOKEN_LEN = 2.0
+QF_MAX_MEAN_TOKEN_LEN = 12.0
+QF_MAX_PUNCT_RATIO = 0.3
+QF_MIN_DISTINCT_RATIO = 0.2
+QF_MAX_TOP_TOKEN_RATIO = 0.2
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Combined rule-based corpus filter (the Gopher/C4 recipe shape):
+    each document gets every signal, a per-rule verdict, and the final
+    ``keep`` bit with a compact reason string for audit — the decision
+    operator a cleaning pipeline runs before training-data export.
+
+    The repetition signal (most-common-token share) is computed by
+    explode + two aggregations, NOT a per-row O(tokens × distinct)
+    array expression — at corpus scale the shuffle is per-(doc, term)
+    with map-side combine, which is the plan that survives 100×."""
+    toks = tokens_col(F.lower(F.col("text")))
+    n = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    top_tok = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    sig = documents.join(top_tok, on="doc_id").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round((F.length("text") - n + 1) / n, 6).alias("mean_token_len"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
+        F.round(F.col("top_token_count") / n, 6).alias("top_token_ratio"),
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < QF_MIN_TOKENS),
+        ("too_long", F.col("n_tokens") > QF_MAX_TOKENS),
+        ("bad_token_len", (F.col("mean_token_len") < QF_MIN_MEAN_TOKEN_LEN)
+         | (F.col("mean_token_len") > QF_MAX_MEAN_TOKEN_LEN)),
+        ("too_much_punct", F.col("punct_ratio") > QF_MAX_PUNCT_RATIO),
+        ("repetitive", (F.col("distinct_ratio") < QF_MIN_DISTINCT_RATIO)
+         | (F.col("top_token_ratio") > QF_MAX_TOP_TOKEN_RATIO)),
+    ]
+    fails = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return sig.select(
+        "*",
+        fails.alias("fail_reasons"),
+        (fails == "").alias("keep"),
+    )
+
+
+def quality_filter_sql() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+top_tok AS (
+  SELECT doc_id, MAX(c) AS top_token_count FROM (
+    SELECT doc_id, term, COUNT(*) AS c
+    FROM t, UNNEST(toks) AS u(term) GROUP BY doc_id, term
+  ) GROUP BY doc_id
+),
+sig AS (
+  SELECT t.doc_id,
+         len(toks) AS n_tokens,
+         round((length(text) - len(toks) + 1) / len(toks), 6) AS mean_token_len,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 6) AS punct_ratio,
+         round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+         round(top_token_count / len(toks), 6) AS top_token_ratio
+  FROM t JOIN top_tok ON t.doc_id = top_tok.doc_id
+),
+flagged AS (
+  SELECT *, concat_ws(',',
+    CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+    CASE WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long' END,
+    CASE WHEN mean_token_len < {QF_MIN_MEAN_TOKEN_LEN}
+           OR mean_token_len > {QF_MAX_MEAN_TOKEN_LEN} THEN 'bad_token_len' END,
+    CASE WHEN punct_ratio > {QF_MAX_PUNCT_RATIO} THEN 'too_much_punct' END,
+    CASE WHEN distinct_ratio < {QF_MIN_DISTINCT_RATIO}
+           OR top_token_ratio > {QF_MAX_TOP_TOKEN_RATIO} THEN 'repetitive' END
+  ) AS fail_reasons
+  FROM sig
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, distinct_ratio,
+       top_token_ratio, fail_reasons, fail_reasons = '' AS keep
+FROM flagged"""
+
+
 def fingerprints_sql() -> str:
     k = SHINGLE_K
     return f"""WITH t AS (

@@ -17,6 +17,7 @@ from rdfind_spark import oracle
 from rdfind_spark.functions import (
     dedup,
     events,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -284,6 +285,36 @@ def dedup_embedding_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.embedding_cosine_pairs`` stays available as the in-engine
     correctness baseline but is no longer the registered default)."""
     return similarity.embedding_dedup_pairs_ivf(_embs(spark, sf_dir))
+
+
+@register("text_tfidf_keywords", text.tfidf_keywords_sql())
+def text_tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (explode → tf, df aggs,
+    broadcast idf join; ranks on rounded scores)."""
+    return text.tfidf_keywords(_docs(spark, sf_dir))
+
+
+@register("docs_quality_filter", text.quality_filter_sql())
+def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style combined rule filter with per-rule audit
+    reasons and the final keep bit."""
+    return text.quality_filter(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------- graph analytics (RDF)
+
+
+@register("graph_degree_distribution", graph.degree_distribution_sql())
+def graph_degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree histogram of the entity graph."""
+    return graph.degree_distribution(triple_view(spark, sf_dir))
+
+
+@register("graph_pagerank", graph.pagerank_sql())
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer fixed-point PageRank over the entity
+    graph (bit-identical to the oracle's chained-CTE recurrence)."""
+    return graph.pagerank(triple_view(spark, sf_dir))
 
 
 # ------------------------------------ training-data pipeline: curation

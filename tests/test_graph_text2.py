@@ -1,0 +1,114 @@
+"""Tests for graph analytics (degree distribution, integer PageRank)
+and the round-2 text operators (TF-IDF keywords, quality filter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions import graph, text
+
+
+def _toy_triples(spark):
+    # a tiny two-hub graph: a->b, a->c, b->c, c->a plus literal rows
+    rows = [
+        ("n:a", "linksTo", "n:b"),
+        ("n:a", "linksTo", "n:c"),
+        ("n:b", "linksTo", "n:c"),
+        ("n:c", "linksTo", "n:a"),
+        ("n:a", "hasName", "Alpha"),  # literal: not an edge
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_entity_edges_excludes_literals(spark):
+    edges = graph.entity_edges(_toy_triples(spark)).collect()
+    assert len(edges) == 4
+    assert all(r.dst.startswith("n:") for r in edges)
+
+
+def test_degree_distribution_counts(spark):
+    rows = {
+        (r.direction, r.degree): r.n_nodes
+        for r in graph.degree_distribution(_toy_triples(spark)).collect()
+    }
+    # out-degrees: a=2, b=1, c=1 -> {2:1 node, 1:2 nodes}
+    assert rows[("out", 2)] == 1
+    assert rows[("out", 1)] == 2
+    # in-degrees: b=1, c=2, a=1
+    assert rows[("in", 2)] == 1
+    assert rows[("in", 1)] == 2
+
+
+def test_pagerank_matches_hand_recurrence(spark):
+    """One iteration by hand, in the exact integer recurrence."""
+    pr = graph.pagerank(_toy_triples(spark), iterations=1, top_k=10)
+    got = {r.node: r.rank for r in pr.collect()}
+    base = graph.RANK_SCALE // 3
+    teleport = (100 - graph.PR_DAMPING_PCT) * base // 100
+    d = graph.PR_DAMPING_PCT
+    # outdeg: a=2, b=1, c=1. contributions: a: from c (base//1);
+    # b: from a (base//2); c: from a (base//2) + b (base//1)
+    exp_a = teleport + d * (base // 1) // 100
+    exp_b = teleport + d * (base // 2) // 100
+    exp_c = teleport + d * ((base // 2) + (base // 1)) // 100
+    assert got == {"n:a": exp_a, "n:b": exp_b, "n:c": exp_c}
+
+
+def test_pagerank_mass_is_order_independent(spark):
+    """Repartitioned input gives bit-identical ranks (integer
+    arithmetic has no aggregation-order drift)."""
+    t = _toy_triples(spark)
+    a = {r.node: r.rank for r in graph.pagerank(t, iterations=3).collect()}
+    b = {
+        r.node: r.rank
+        for r in graph.pagerank(t.repartition(7), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_tfidf_keywords_basic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_keywords(docs, k=2)
+    rows = {(r.doc_id, r.term): r for r in out.collect()}
+    # 'apple' appears in 1 doc -> idf = ln(3/1); tf=2
+    r = rows[(1, "apple")]
+    assert r.tf == 2 and r.df == 1 and r.pos == 1
+    # per-doc top-k respected
+    assert max(r.pos for r in rows.values()) <= 2
+    # stopwords never emitted
+    docs2 = spark.createDataFrame(
+        [(1, "the the the word")], "doc_id long, text string"
+    )
+    terms = {r.term for r in text.tfidf_keywords(docs2, k=5).collect()}
+    assert "the" not in terms and "word" in terms
+
+
+def test_quality_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),  # too short
+            (2, "spam " * 50),  # repetitive (one distinct token)
+            (3, "the quick brown fox jumps over a lazy dog near the river "
+                "bank while birds sing softly today"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.quality_filter(docs).collect()}
+    assert not rows[1].keep and "too_short" in rows[1].fail_reasons
+    assert not rows[2].keep and "repetitive" in rows[2].fail_reasons
+    assert rows[3].keep and rows[3].fail_reasons == ""
+
+
+def test_pagerank_plan_has_no_global_single_partition_sort(spark):
+    """The top-k must plan as TakeOrderedAndProject, not a global
+    window sort over the full rank table."""
+    pr = graph.pagerank(_toy_triples(spark), iterations=1, top_k=5)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
