@@ -1,0 +1,60 @@
+"""JSONL/CSV corpus I/O round-trips."""
+
+from __future__ import annotations
+
+import json
+
+from rdfind_spark.sources import docs_io
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    docs_io.write_documents_jsonl(docs.select("doc_id", "source", "lang", "text"), out)
+    back = docs_io.read_documents_jsonl(spark, out)
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in back.collect()}
+    b = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_dropped(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "source": "s", "lang": "en", "text": "hello"}),
+        "{not json at all",
+        json.dumps({"source": "no-id", "text": "dropped"}),
+        json.dumps({"doc_id": 2, "source": "s", "lang": "en", "text": "world"}),
+    ]
+    p.write_text("\n".join(lines))
+    got = docs_io.read_documents_jsonl(spark, str(p)).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_jsonl_partitioned_write_prunes(spark, tmp_path):
+    rows = [(1, "web", "en", "a"), (2, "book", "en", "b"), (3, "web", "en", "c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = str(tmp_path / "parts")
+    docs_io.write_documents_jsonl(df, out, partition_by="source")
+    web = docs_io.read_documents_jsonl(spark, out + "/source=web")
+    assert sorted(r.doc_id for r in web.collect()) == [1, 3]
+
+
+def test_csv_roundtrip_with_quoted_newlines(spark, tmp_path):
+    rows = [(1, "s", "en", 'line one\nline "two"'), (2, "s", "en", "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
+    back = docs_io.read_documents_csv(spark, out)
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == {1: 'line one\nline "two"', 2: "plain"}
+
+
+def test_parquet_export_partitioned(spark, tmp_path):
+    rows = [(1, "web", "en", "a"), (2, "book", "en", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = str(tmp_path / "pq")
+    docs_io.write_documents_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert sorted(r.source for r in back.select("source").collect()) == ["book", "web"]
