@@ -289,7 +289,13 @@ def capture_overlaps(
         )
     else:
         ov = _salted_pair_counts(capf, hot_values, min_overlap, sketches)
-    return _restore_capture_keys(ov, frequent).distinct()
+    # ov is already unique per pair: the salted path ends in a
+    # groupBy(pair), and the decomposition dedupes its part1 ∪ part2
+    # union on the fixed-width hash keys before any strings exist — so
+    # no distinct on the restored (long URI string) table is needed
+    # (that string-key distinct measured as a significant share of
+    # capture_overlaps at sf0.1).
+    return _restore_capture_keys(ov, frequent)
 
 
 def _cold_pair_counts_with_hot_masks(
@@ -452,7 +458,10 @@ def _cold_pair_counts_with_hot_masks(
         )
         .filter(F.col("overlap") >= min_overlap)
     )
-    return part1.unionByName(part2)
+    # A pair can be emitted by BOTH sources (its totals agree, see
+    # docstring) — dedupe here on the fixed-width hash keys, while no
+    # capture strings are attached yet.
+    return part1.unionByName(part2).dropDuplicates(pkey)
 
 
 def _salted_pair_counts(

@@ -35,23 +35,29 @@ restrictions broadcast; every evidence join is an equi-join on
 than the all-at-once pair join.  The one quadratic stage (1/1) runs on
 the shared hot-line/salting machinery.
 
-Cost structure vs the all-at-once plan (sf0.1, local[32], stage wall
-clock via SPARK_GRAFT_STAGE_TIMING; this VM benches ±40% run-to-run,
-so figures are cross-run medians): unary pair join ~18s, 2/1
-candidate merge ~21s, combined 1/2+2/1 evidence join ~13s, 2/2
-evidence join ~12s, shared cache builds + minimality ~25s → ~102s
-total vs ~73s all-at-once.  The consolidation that got it there
-(three evidence joins → two by verifying 1/2 ∪ 2/1 in one call; two
-quadratic merge joins → one provenance-tagged merge over cind11 ∪
-proper11; hashed ref keys in the merge; 10 → 8 stage barriers) cut
-~35% off the strategy (155s before).  The residual gap is inherent:
-the staged lattice re-scans the instance table per evidence round and
-serializes candidate → verify dependencies the all-at-once plan fuses
-into its single pair join.  The strategy remains the right tool in
-the regime the reference built it for — overlap-explosion inputs
-where all-at-once pair output (all arities at once) dwarfs the staged
-candidate classes — and for bounding plan/driver memory (each stage
-is checkpoint-truncated).
+Cost structure vs the all-at-once plan (sf0.1, local[32], warm-JIT
+stage wall clock via SPARK_GRAFT_STAGE_TIMING; this VM benches ±40%
+run-to-run, so figures are cross-run medians): shared cache builds
+~25s (dcap distinct 10s, frequent-string recovery 9s, capf 3s, hot
+census 3s — identical prefix to all-at-once), unary pair join ~10s,
+2/1 candidate merge ~8s, combined 1/2+2/1 evidence join ~10s, 2/2
+evidence join ~9s, lattice/minimality remainder ~12s → ~80s total vs
+~45s all-at-once.  Optimization history: 155s → 102s (three evidence
+joins → two; two quadratic merge joins → one provenance-tagged merge;
+hashed ref keys; 10 → 8 barriers) → ~80s (bipartite lower/higher-code
+merge enumeration generating ONLY valid-orientation pairs — 4.3B →
+sub-1B generated rows, see _merged_dep_candidates; one shared
+capture→hot-line mask table and freq_h-derived supports replacing
+per-call mask builds and distinct passes; overlap dedup moved onto
+fixed-width hash keys pre-restore).  The residual ~1.7× gap vs
+all-at-once is structural, not slack: the lattice serializes
+candidate → verify rounds the all-at-once plan fuses into one pair
+join, and each round re-touches the instance table (two semi-join
+scans + one jv co-occurrence shuffle minimum).  The strategy remains
+the right tool in the regime the reference built it for —
+overlap-explosion inputs where all-at-once pair output (all arities
+at once) dwarfs the staged candidate classes — and for bounding
+plan/driver memory (each stage is checkpoint-truncated).
 """
 
 from __future__ import annotations
@@ -129,12 +135,47 @@ _REF_H = ["ref_h1", "ref_h2"]
 _PAIR_H = _DEP_H + _REF_H
 
 
+def _hot_mask_table(capf: DataFrame, hot_values: list) -> DataFrame | None:
+    """Per-capture hot-line membership bitmask over the FULL capf table
+    (one 64-bit word column per 64 hot lines), checkpoint-truncated.
+
+    Mask values are a pure function of (capture, hot line set) — they
+    do not depend on any candidate restriction — so ONE table serves
+    every verification call in a staged run (each call previously built
+    its own dep- and ref-side masks: 2 aggregation jobs per call, 4+
+    per run, all computing subsets of the same values)."""
+    if not hot_values:
+        return None
+    spark = capf.sparkSession
+    n_chunks = (len(hot_values) + 63) // 64
+    hot_df = spark.createDataFrame(
+        [(x, y, i) for i, (x, y) in enumerate(hot_values)],
+        "jv1 long, jv2 int, idx int",
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
+    return (
+        capf.join(F.broadcast(hot_df), on=["jv1", "jv2"])
+        .groupBy("h1", "h2")
+        .agg(
+            *[
+                F.bit_or(
+                    F.when(F.floor(F.col("idx") / 64) == c, bit).otherwise(F.lit(0))
+                ).alias(f"m{c}")
+                for c in range(n_chunks)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _verify_candidates(
     dep_caps: DataFrame,
     ref_caps: DataFrame,
     cands: DataFrame,
     label: str = "",
     hot_values: list | None = None,
+    hot_masks: DataFrame | None = None,
+    supports: DataFrame | None = None,
 ) -> DataFrame:
     """Exact evidence check for candidate CINDs: count join values where
     dep and ref co-occur, restricted to candidate captures up front
@@ -211,7 +252,19 @@ def _verify_candidates(
             .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
         )
         hot_values = [(r.jv1, r.jv2) for r in sz.select(*jv).collect()]
-    dsup = a.select(*_DEP_H, "dep_support").distinct()
+    if supports is not None:
+        # candidate dep supports straight off the cached frequent table
+        # (hash-keyed, result-bounded) — no distinct pass over the
+        # restricted instance rows
+        dsup = supports.select(
+            F.col("h1").alias("dep_h1"),
+            F.col("h2").alias("dep_h2"),
+            F.col("support").alias("dep_support"),
+        ).join(
+            F.broadcast(ch.select(*_DEP_H).distinct()), on=_DEP_H, how="left_semi"
+        )
+    else:
+        dsup = a.select(*_DEP_H, "dep_support").distinct()
 
     def _restore(verified: DataFrame) -> DataFrame:
         return verified.join(F.broadcast(ch), on=_PAIR_H).select(
@@ -231,26 +284,26 @@ def _verify_candidates(
         [(x, y, i) for i, (x, y) in enumerate(hot_values)],
         "jv1 long, jv2 int, idx int",
     )
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
-
-    def _masks(df: DataFrame, keys: list[str], prefix: str) -> DataFrame:
-        return (
-            df.join(F.broadcast(hot_df), on=jv)
-            .groupBy(*keys)
-            .agg(
-                *[
-                    F.bit_or(
-                        F.when(
-                            F.floor(F.col("idx") / 64) == c, bit
-                        ).otherwise(F.lit(0))
-                    ).alias(f"{prefix}{c}")
-                    for c in range(n_chunks)
-                ]
-            )
+    if hot_masks is None:
+        hot_masks = _hot_mask_table(
+            dep_caps.select("jv1", "jv2", "h1", "h2").unionByName(
+                ref_caps.select("jv1", "jv2", "h1", "h2")
+            ).dropDuplicates(["jv1", "jv2", "h1", "h2"]),
+            hot_values,
         )
-
-    amask = _masks(a, _DEP_H, "am")
-    bmask = _masks(b, _REF_H, "bm")
+    # the shared mask table is keyed by capture hash; rename per side
+    # (values for captures outside the restriction are simply never
+    # probed — pair_keys drives the joins)
+    amask = hot_masks.select(
+        F.col("h1").alias("dep_h1"),
+        F.col("h2").alias("dep_h2"),
+        *[F.col(f"m{c}").alias(f"am{c}") for c in range(n_chunks)],
+    )
+    bmask = hot_masks.select(
+        F.col("h1").alias("ref_h1"),
+        F.col("h2").alias("ref_h2"),
+        *[F.col(f"m{c}").alias(f"bm{c}") for c in range(n_chunks)],
+    )
     hot_names = hot_df.select(*jv)
     cold_a = a.join(F.broadcast(hot_names), on=jv, how="left_anti")
     cold_b = b.join(F.broadcast(hot_names), on=jv, how="left_anti")
@@ -293,6 +346,12 @@ def _merged_dep_candidates(
 ) -> DataFrame:
     """Join two directional (dep → ref) sets on their ref and merge the
     two unary deps into a canonical binary dep.
+
+    Contract: ``left`` and ``right`` must be the SAME logical set (the
+    single call site passes ``partners`` twice) — the bipartite
+    lower/higher-code enumeration below draws side A from ``left`` and
+    side B from ``right`` only, which covers all unordered pairs
+    exactly when both sides are equal.
 
     ``allowed_deps``: result-sized (dep_code, dep_v1, dep_v2) whitelist
     (the frequent binary captures) — a merged dep that is not frequent
@@ -337,46 +396,64 @@ def _merged_dep_candidates(
     # shuffle-width optimization with no correctness exposure (unlike
     # the instance tables, where a collision corrupts counts — hence
     # their 96 bits).
+    #
+    # Bipartite enumeration: _merge_ok admits a pair only when both
+    # deps project the SAME field (equal secondary mask) and the left
+    # dep's condition-field bit is the LOWER of that projection's two
+    # valid condition fields.  Those two constraints fully partition
+    # the valid pairs, so instead of joining all ordered pairs per ref
+    # and filtering (k² generated rows per ref group — measured 4.3B
+    # at sf0.1, with a 21k-partner hub ref contributing 441M from one
+    # key), the join puts lower-bit codes {10, 17, 33} on side A,
+    # higher-bit codes {12, 20, 34} on side B, and keys on (rh, sec):
+    # every generated row IS a valid merge in canonical orientation
+    # (Σ ka×kb per (ref, projection) cell — an order of magnitude
+    # fewer rows, and the hub key splits across its projection cells).
     tagged = "is_cind" in left.columns and "is_cind" in right.columns
-    tag_l = [F.col("l_cind")] if tagged else []
-    tag_r = [F.col("r_cind")] if tagged else []
     refmap = (
         left.select(*_REF_KEY)
         .unionByName(right.select(*_REF_KEY))
         .distinct()
         .select(F.xxhash64(*_REF_KEY).alias("rh"), *_REF_KEY)
     )
-    l = _mergeable(left).select(
-        F.xxhash64(*_REF_KEY).alias("rh"),
-        F.col("dep_code").alias("l_code"),
-        F.col("dep_v1").alias("l_v1"),
-        *([F.col("is_cind").alias("l_cind")] if tagged else []),
+    lower_codes, higher_codes = [], []
+    for sec_field in cc.FIELDS:
+        lo, hi = sorted(f for f in cc.FIELDS if f != sec_field)
+        lower_codes.append(cc.create_condition_code(lo, sec_field))
+        higher_codes.append(cc.create_condition_code(hi, sec_field))
+    sec = F.col("dep_code").bitwiseAND(F.lit(cc.SECONDARY_MASK)).alias("sec")
+    l = (
+        _mergeable(left)
+        .filter(F.col("dep_code").isin(lower_codes))
+        .select(
+            F.xxhash64(*_REF_KEY).alias("rh"),
+            sec,
+            F.col("dep_code").alias("l_code"),
+            F.col("dep_v1").alias("l_v1"),
+            *([F.col("is_cind").alias("l_cind")] if tagged else []),
+        )
     )
-    r = _mergeable(right).select(
-        F.xxhash64(*_REF_KEY).alias("rh"),
-        F.col("dep_code").alias("r_code"),
-        F.col("dep_v1").alias("r_v1"),
-        *([F.col("is_cind").alias("r_cind")] if tagged else []),
+    r = (
+        _mergeable(right)
+        .filter(F.col("dep_code").isin(higher_codes))
+        .select(
+            F.xxhash64(*_REF_KEY).alias("rh"),
+            sec,
+            F.col("dep_code").alias("r_code"),
+            F.col("dep_v1").alias("r_v1"),
+            *([F.col("is_cind").alias("r_cind")] if tagged else []),
+        )
     )
-    both = l.join(r, on="rh")
-    fwd = both.filter(_merge_ok(F.col("l_code"), F.col("r_code"))).select(
-        F.col("l_code").bitwiseOR(F.col("r_code")).alias("dep_code"),
-        F.col("l_v1").alias("dep_v1"),
-        F.col("r_v1").alias("dep_v2"),
-        "rh",
-        *tag_l,
-        *tag_r,
-    )
-    bwd = both.filter(_merge_ok(F.col("r_code"), F.col("l_code"))).select(
-        F.col("r_code").bitwiseOR(F.col("l_code")).alias("dep_code"),
-        F.col("r_v1").alias("dep_v1"),
-        F.col("l_v1").alias("dep_v2"),
-        "rh",
-        *tag_r,
-        *tag_l,
-    )
-    merged = fwd.unionByName(bwd).join(
-        F.broadcast(allowed_deps), on=_DEP_KEY, how="left_semi"
+    merged = (
+        l.join(r, on=["rh", "sec"])
+        .select(
+            F.col("l_code").bitwiseOR(F.col("r_code")).alias("dep_code"),
+            F.col("l_v1").alias("dep_v1"),
+            F.col("r_v1").alias("dep_v2"),
+            "rh",
+            *([F.col("l_cind"), F.col("r_cind")] if tagged else []),
+        )
+        .join(F.broadcast(allowed_deps), on=_DEP_KEY, how="left_semi")
     )
     hkey = [*_DEP_KEY, "rh"]
     if not tagged:
@@ -461,7 +538,8 @@ def discover_cinds_staged(
     )
     capf.count()
     # one full-line hot census shared by all three verification stages
-    # (superset of any restricted-side hot set; see _verify_candidates)
+    # (superset of any restricted-side hot set; see _verify_candidates),
+    # and ONE capture→hot-line bitmask table reused by every consumer
     hot_shared = [
         (r.jv1, r.jv2)
         for r in capf.groupBy("jv1", "jv2")
@@ -470,6 +548,7 @@ def discover_cinds_staged(
         .select("jv1", "jv2")
         .collect()
     ]
+    hot_masks = _hot_mask_table(capf, hot_shared)
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     freq_b = frequent.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
@@ -581,6 +660,8 @@ def discover_cinds_staged(
             ),
             "12+21",
             hot_shared,
+            hot_masks=hot_masks,
+            supports=freq_h,
         ),
         "cind12_21",
     )
@@ -659,7 +740,13 @@ def discover_cinds_staged(
         F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
     ).select(*_CIND_KEY)
     cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
-    cind22 = _materialize(_verify_candidates(capb, capb, cand22, "22", hot_shared), "cind22")
+    cind22 = _materialize(
+        _verify_candidates(
+            capb, capb, cand22, "22", hot_shared,
+            hot_masks=hot_masks, supports=freq_h,
+        ),
+        "cind22",
+    )
 
     # ---- union + minimality (shared with the all-at-once engine)
     out = (
