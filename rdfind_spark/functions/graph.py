@@ -126,8 +126,18 @@ def pagerank(
     edges_d.count()
     edges.unpersist()
 
+    # Nodes with no in-edges sit at exactly `teleport` after every
+    # round — precompute them once and UNION them in, instead of a
+    # node-table left join per iteration (one fewer join shuffle per
+    # round; the union is a no-shuffle concat).
+    no_in = nodes.join(
+        edges_d.select(F.col("dst").alias("node")).distinct(),
+        on="node",
+        how="left_anti",
+    ).persist()
+    no_in.count()
     ranks = nodes.select("node", F.lit(base).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             edges_d.join(
                 ranks.select(F.col("node").alias("src"), "rank"), on="src"
@@ -139,19 +149,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({PR_DAMPING_PCT} * coalesce(inflow, 0L)) div 100"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = contrib.select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({PR_DAMPING_PCT} * inflow) div 100")
+            ).alias("rank"),
+        ).unionByName(no_in.select("node", F.lit(teleport).alias("rank")))
+        # The iteration chain is LINEAR (ranks feeds the next round
+        # exactly once), so plan size grows only linearly and several
+        # rounds can fuse into one job — checkpoint every third round
+        # just to bound plan depth for large iteration counts, instead
+        # of forcing one barrier job per round.
+        if (i + 1) % 3 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    no_in.unpersist()
     edges_d.unpersist()
     nodes.unpersist()
     # Global top-k via orderBy + limit — Catalyst plans
