@@ -731,6 +731,76 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
     return cinds.join(bad, on=all_cols, how="left_anti")
 
 
+def build_capture_tables(
+    triples: DataFrame, min_support: int = 10, projection: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared hashed-prefix pipeline of every CIND engine entry:
+    returns ``(cand, dcap_h, freq_h, frequent, capf)`` with the last
+    four PERSISTED (MEMORY_AND_DISK) and built eagerly in dependency
+    order.  Callers unpersist what they took when done.
+
+    The whole bulk pipeline (distinct, support counts, pair join) runs
+    on 96-bit hashes of BOTH the join value and the capture key:
+    shuffles move fixed-width integer rows instead of URI strings
+    (measured 2.5x on the distinct+support stages at sf0.1), and
+    strings are recovered once, for the result-sized frequent set only.
+    This is the reference's dictionary compression (T7-T9,
+    ``operators/ConditionCompressor.scala``) applied wholesale.
+
+    Eager count()s build the stacked caches in dependency order:
+    leaving them lazy lets the first downstream job's AQE materialize
+    the TableCacheQueryStages CONCURRENTLY, and since each cache's
+    build plan contains the previous cache, the builds can
+    circular-wait — a race-dependent driver deadlock (observed)."""
+    cand = capture_candidates(triples, projection)
+    if os.environ.get("RDFIND_SPARK_CHECK_HASHES"):
+        assert_hash_injective(cand)
+    caph = cand.select(
+        F.xxhash64("join_value").alias("jv1"),
+        F.hash("join_value").alias("jv2"),
+        F.xxhash64("code", "v1", "v2").alias("h1"),
+        F.hash("code", "v1", "v2").alias("h2"),
+    )
+    dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dcap_h.count()
+    freq_h = (
+        dcap_h.groupBy("h1", "h2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Recover the strings of the (result-sized) frequent captures with
+    # one more streaming pass over the raw candidates — a broadcast
+    # semi-restriction plus a partial-aggregated first(): no wide
+    # shuffle touches strings.
+    frequent = (
+        cand.select(
+            "code",
+            "v1",
+            "v2",
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        )
+        .join(F.broadcast(freq_h), on=["h1", "h2"])
+        .groupBy("h1", "h2", "support")
+        .agg(
+            F.first("code").alias("code"),
+            F.first("v1").alias("v1"),
+            F.first("v2").alias("v2"),
+        )
+        .select(*CAPTURE_KEY, "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frequent.count()
+    capf = (
+        dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
+        .select("jv1", "jv2", "h1", "h2", "support")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    capf.count()
+    return cand, dcap_h, freq_h, frequent, capf
+
+
 def discover_cinds(
     triples: DataFrame,
     min_support: int = 10,
@@ -755,75 +825,8 @@ def discover_cinds(
     exact count verifies the survivors — same exact result set (the
     sketch test has false positives only, like the reference's Bloom
     round)."""
-    # The whole bulk pipeline (distinct, support counts, pair join) runs
-    # on 96-bit hashes of BOTH the join value and the capture key:
-    # shuffles move fixed-width integer rows instead of URI strings
-    # (measured 2.5x on the distinct+support stages at sf0.1), and
-    # strings are recovered once, for the result-sized frequent set
-    # only.  This is the reference's dictionary compression (T7-T9,
-    # ``operators/ConditionCompressor.scala``) applied wholesale.
-    cand = capture_candidates(triples, projection)
-    if os.environ.get("RDFIND_SPARK_CHECK_HASHES"):
-        assert_hash_injective(cand)
-    caph = cand.select(
-        F.xxhash64("join_value").alias("jv1"),
-        F.hash("join_value").alias("jv2"),
-        F.xxhash64("code", "v1", "v2").alias("h1"),
-        F.hash("code", "v1", "v2").alias("h2"),
-    )
-    # dcap_h is consumed by several branches (support counts, the
-    # hot-line census, both self-join sides); persisting it turns 3-4
-    # full scan+explode+distinct passes into one.  Built eagerly, in
-    # dependency order: letting the first downstream job's AQE
-    # materialize stacked TableCacheQueryStages concurrently can
-    # circular-wait (a race-dependent driver deadlock observed under
-    # the staged strategy's identical cache stack).
-    dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    dcap_h.count()
-    # freq_h is result-sized but feeds every capf consumer (census,
-    # masks, both pair sides) through broadcast builds — persist, or
-    # the support aggregation over dcap_h re-runs for each (measured
-    # +35s at sf0.1).  It materializes inside the frequent.count() job
-    # below (the first and only cache built by that job, so the
-    # concurrent-cache-build deadlock cannot trigger).
-    freq_h = (
-        dcap_h.groupBy("h1", "h2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= min_support)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Recover the strings of the (result-sized) frequent captures with
-    # one more streaming pass over the raw candidates — a broadcast
-    # semi-restriction plus a partial-aggregated first(): no wide
-    # shuffle touches strings.  frequent feeds many broadcast builds
-    # (restore joins, extraction); persist so the agg runs once.
-    frequent = (
-        cand.select(
-            "code",
-            "v1",
-            "v2",
-            F.xxhash64("code", "v1", "v2").alias("h1"),
-            F.hash("code", "v1", "v2").alias("h2"),
-        )
-        .join(F.broadcast(freq_h), on=["h1", "h2"])
-        .groupBy("h1", "h2", "support")
-        .agg(
-            F.first("code").alias("code"),
-            F.first("v1").alias("v1"),
-            F.first("v2").alias("v2"),
-        )
-        .select(*CAPTURE_KEY, "support")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    frequent.count()
-    # capf feeds 4+ jobs inside capture_overlaps (census, masks, both
-    # pair sides); persist the pruned fixed-width table (~28 B/row)
-    # instead of re-running the dcap_h scan + pruning join per consumer.
-    # Materializes during the (single-job, eager) census pass.
-    capf = (
-        dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
-        .select("jv1", "jv2", "h1", "h2", "support")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand, dcap_h, freq_h, frequent, capf = build_capture_tables(
+        triples, min_support, projection
     )
     # sketches are result-sized (#frequent × 44 B) and feed two
     # broadcast builds per pair enumerator — materialize once with

@@ -64,15 +64,13 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from rdfind_spark import condition_codes as cc
-from rdfind_spark.operators.captures import capture_candidates
 from rdfind_spark.operators.cind import (
-    CAPTURE_KEY,
     HOT_LINE_K,
     _side,
+    build_capture_tables,
     capture_overlaps,
     remove_implied_cinds,
     structural_implies,
@@ -485,58 +483,13 @@ def discover_cinds_staged(
     Same output schema and (post-minimality) same result set as
     ``discover_cinds(..., minimal=True)``."""
     spark = triples.sparkSession
-    # Same hashed bulk pipeline as the all-at-once engine (see
-    # operators.cind.discover_cinds): distinct / support counts / every
-    # verify join move only 96-bit hash pairs; capture strings are
-    # restored once for the result-sized frequent set, and candidate
-    # strings live only in the result-sized lattice tables.
-    cand = capture_candidates(triples, projection)
-    caph = cand.select(
-        F.xxhash64("join_value").alias("jv1"),
-        F.hash("join_value").alias("jv2"),
-        F.xxhash64("code", "v1", "v2").alias("h1"),
-        F.hash("code", "v1", "v2").alias("h2"),
+    # Same hashed bulk pipeline as the all-at-once engine: distinct /
+    # support counts / every verify join move only 96-bit hash pairs;
+    # capture strings are restored once for the result-sized frequent
+    # set, and candidate strings live only in the lattice tables.
+    _cand, dcap_h, freq_h, frequent, capf = build_capture_tables(
+        triples, min_support, projection
     )
-    # Eager count()s build the stacked caches in dependency order.
-    # Leaving them lazy lets the first downstream job's AQE materialize
-    # the TableCacheQueryStages CONCURRENTLY, and since each cache's
-    # build plan contains the previous cache, the builds can
-    # circular-wait (observed: buildBuffers holding the capf cache lock
-    # while its inner AdaptiveSparkPlan waits forever on the frequent
-    # stage) — a race-dependent driver deadlock.
-    dcap_h = caph.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    dcap_h.count()
-    freq_h = (
-        dcap_h.groupBy("h1", "h2")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= min_support)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    frequent = (
-        cand.select(
-            "code",
-            "v1",
-            "v2",
-            F.xxhash64("code", "v1", "v2").alias("h1"),
-            F.hash("code", "v1", "v2").alias("h2"),
-        )
-        .join(F.broadcast(freq_h), on=["h1", "h2"])
-        .groupBy("h1", "h2", "support")
-        .agg(
-            F.first("code").alias("code"),
-            F.first("v1").alias("v1"),
-            F.first("v2").alias("v2"),
-        )
-        .select(*CAPTURE_KEY, "support")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    frequent.count()
-    capf = (
-        dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
-        .select("jv1", "jv2", "h1", "h2", "support")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    capf.count()
     # one full-line hot census shared by all three verification stages
     # (superset of any restricted-side hot set; see _verify_candidates),
     # and ONE capture→hot-line bitmask table reused by every consumer

@@ -123,23 +123,15 @@ def capture_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("capture_overlaps", oracle.capture_overlaps_sql(MIN_SUPPORT))
 def capture_overlaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise overlap counts of frequent captures (G2/A6).
+    """Pairwise overlap counts of frequent captures (G2/A6), on the
+    same hashed persisted prefix as the CIND engines (the string-keyed
+    distinct this used before measured ~20s slower at sf0.1)."""
+    from rdfind_spark.operators.cind import build_capture_tables
 
-    dcap feeds the hot-line census, the support agg, and both pair-join
-    sides; frequent feeds the pruning + two restore joins — persist both
-    or each consumer re-runs the full scan+explode+distinct (measured
-    4× slower unpersisted at sf0.01)."""
-    from pyspark import StorageLevel
-
-    dcap = _dcap(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    dcap.count()  # build stacked caches in order (AQE deadlock dodge)
-    freq = frequent_captures(capture_supports(dcap), MIN_SUPPORT).persist(
-        StorageLevel.MEMORY_AND_DISK
+    _, _, _, frequent, capf = build_capture_tables(
+        triple_view(spark, sf_dir), MIN_SUPPORT
     )
-    freq.count()
-    return capture_overlaps(
-        pruned_captures(dcap, freq), freq, min_overlap=MIN_SUPPORT
-    )
+    return capture_overlaps(capf, frequent, min_overlap=MIN_SUPPORT)
 
 
 # ------------------------------------------------------------- census
