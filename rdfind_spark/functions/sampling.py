@@ -185,6 +185,171 @@ FROM gated JOIN canon USING (text_hash)
 WHERE doc_id = canonical_id"""
 
 
+SPAN_K = 10  # tokens per dedup span (C4 dedupes 3-sentence spans)
+
+
+def span_dedup(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Cross-corpus span-level dedup (the C4 recipe adapted to
+    unpunctuated text): each document is cut into NON-overlapping
+    ``k``-token spans (plus a final short remainder), every span keeps
+    only its globally-first occurrence (ordered by ``(doc_id,
+    span_idx)``), and documents are reassembled from their surviving
+    spans.  Emits per-document span counts for audit plus the cleaned
+    text.
+
+    Scale shape: explode → first-occurrence via groupBy(span hash) +
+    min(struct) + equi-join (NOT a row_number window per hash — a
+    mega-duplicated span would serialize one task) → per-document
+    reassembly with an ordered array_sort(collect_list) aggregate.
+    Three shuffles, all partial-aggregated; span text rides the shuffle
+    only as (hash → span) pairs bounded by the corpus itself."""
+    toks = tokens_col(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k)),
+            )
+        ).alias("pos", "span"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("span_idx"),
+        "span",
+        F.md5("span").alias("sh"),
+    )
+    first = spans.groupBy("sh").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_occ")
+    )
+    marked = spans.join(first, on="sh").select(
+        "doc_id",
+        "span_idx",
+        "span",
+        (
+            F.struct("doc_id", "span_idx") == F.col("first_occ")
+        ).alias("keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dup_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def span_dedup_sql(k: int = SPAN_K) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(toks[(i - 1) * {k} + 1 : i * {k}], ' ') AS span
+  FROM t, UNNEST(range(1, CAST(ceil(len(toks) / {k}.0) AS BIGINT) + 1)) AS u(i)
+),
+first AS (
+  SELECT md5(span) AS sh,
+         MIN(ROW(doc_id, span_idx)) AS first_occ
+  FROM spans GROUP BY md5(span)
+),
+marked AS (
+  SELECT s.doc_id, s.span_idx, s.span,
+         ROW(s.doc_id, s.span_idx) = f.first_occ AS keep
+  FROM spans s JOIN first f ON md5(s.span) = f.sh
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans,
+       COALESCE(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_idx), '')
+         AS clean_text
+FROM marked GROUP BY doc_id"""
+
+
+# Source-mixture weights for the registered example query: a
+# deterministic function of the source index so the mixture is
+# reproducible without configuration (real pipelines pass their own).
+MIX_FRACTIONS = (1.0, 0.5, 0.25, 0.125)
+
+
+def mix_weight_of(source_index: int) -> float:
+    return MIX_FRACTIONS[source_index % len(MIX_FRACTIONS)]
+
+
+def _hex_bound(w: float) -> str:
+    """4-hex-digit keep bound for weight ``w``; weights ≥ 1 use a
+    sentinel that sorts above every hex string ('g' > 'f'), since the
+    5-char '10000' would compare lexicographically BELOW e.g. 'ffff'."""
+    if w >= 1.0:
+        return "g000"
+    return format(max(0, int(w * 65536)), "04x")
+
+
+def mix_sources(
+    documents: DataFrame, weights: dict[str, float] | None = None, default: float = 1.0
+) -> DataFrame:
+    """Deterministic source-mixture subsampling: keep each document of
+    source ``s`` with probability ``weights[s]`` — decided by a pure
+    hash of the doc id, so the mixture is reproducible, stable under
+    reruns/repartitioning, and a document's fate never depends on scan
+    order (the domain-weighting step of pretraining data recipes).
+
+    The keep test compares the first 4 hex chars of ``md5('mix:' ||
+    doc_id)`` against ``floor(weight × 65536)`` in hex — a plain string
+    compare in both engines, no float RNG.  Stateless projection: no
+    shuffle, fully codegen."""
+    if weights is None:
+        weights = {
+            f"src{i}": mix_weight_of(i) for i in range(20)
+        }
+    h = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    frac = F.lit(default)
+    bound = F.lit(_hex_bound(default))
+    for src, w in sorted(weights.items()):
+        cond = F.col("source") == src
+        frac = F.when(cond, F.lit(float(w))).otherwise(frac)
+        bound = F.when(cond, F.lit(_hex_bound(w))).otherwise(bound)
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.round(frac, 6).alias("target_frac"),
+            h.alias("h"),
+            bound.alias("bound"),
+        )
+        .filter(F.col("h") < F.col("bound"))
+        .select("doc_id", "source", "target_frac")
+    )
+
+
+def mix_sources_sql(weights: dict[str, float] | None = None, default: float = 1.0) -> str:
+    if weights is None:
+        weights = {f"src{i}": mix_weight_of(i) for i in range(20)}
+    frac_cases = " ".join(
+        f"WHEN source = '{s}' THEN {float(w)}" for s, w in sorted(weights.items())
+    )
+    bound_cases = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex_bound(w)}'"
+        for s, w in sorted(weights.items())
+    )
+    dflt = _hex_bound(default)
+    return f"""SELECT doc_id, source,
+       round(CAST(CASE {frac_cases} ELSE {float(default)} END AS DOUBLE), 6)
+         AS target_frac
+FROM documents
+WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE {bound_cases} ELSE '{dflt}' END"""
+
+
 SEQ_LEN = 2048  # tokens per packed training sequence
 PACK_BUCKETS = 256  # prefix-sum parallelism per source
 

@@ -343,6 +343,20 @@ def docs_export_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.export_train_corpus(_docs(spark, sf_dir))
 
 
+@register("docs_span_dedup", sampling.span_dedup_sql())
+def docs_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus span dedup: non-overlapping k-token spans
+    keep their globally-first occurrence; documents reassembled."""
+    return sampling.span_dedup(_docs(spark, sf_dir))
+
+
+@register("docs_mix_sources", sampling.mix_sources_sql())
+def docs_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-derived source-mixture subsampling (domain
+    weighting)."""
+    return sampling.mix_sources(_docs(spark, sf_dir))
+
+
 # ----------------------------------- training-data pipeline: similarity
 
 

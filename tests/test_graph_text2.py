@@ -112,3 +112,51 @@ def test_pagerank_plan_has_no_global_single_partition_sort(spark):
     pr = graph.pagerank(_toy_triples(spark), iterations=1, top_k=5)
     plan = pr._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from rdfind_spark.functions import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "en", "a b c d e f g h i j K L M"),  # spans: [a..j], [K L M]
+            (2, "s", "en", "a b c d e f g h i j X Y Z"),  # first span is a dup
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in sampling.span_dedup(docs, k=10).collect()}
+    assert rows[1].n_spans == 2 and rows[1].n_dup_spans == 0
+    assert rows[1].clean_text == "a b c d e f g h i j K L M"
+    assert rows[2].n_spans == 2 and rows[2].n_dup_spans == 1
+    assert rows[2].clean_text == "X Y Z"
+
+
+def test_span_dedup_within_document(spark):
+    from rdfind_spark.functions import sampling
+
+    text = " ".join(["w"] * 20)  # two identical 10-token spans
+    docs = spark.createDataFrame(
+        [(1, "s", "en", text)], "doc_id long, source string, lang string, text string"
+    )
+    r = sampling.span_dedup(docs, k=10).collect()[0]
+    assert r.n_spans == 2 and r.n_dup_spans == 1
+    assert r.clean_text == " ".join(["w"] * 10)
+
+
+def test_mix_sources_weights_and_determinism(spark):
+    from rdfind_spark.functions import sampling
+
+    rows = [(i, "keep_all" if i % 2 else "keep_none", "en", "t") for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = sampling.mix_sources(
+        docs, weights={"keep_all": 1.0, "keep_none": 0.0}
+    ).collect()
+    assert {r.source for r in out} == {"keep_all"}
+    assert len(out) == 100
+    # half-weight keeps roughly half, deterministically
+    out1 = sampling.mix_sources(docs, weights={}, default=0.5).collect()
+    out2 = sampling.mix_sources(docs.repartition(7), weights={}, default=0.5).collect()
+    assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+    assert 60 <= len(out1) <= 140
