@@ -228,7 +228,11 @@ _CORPUS_OP_NAMES = (
     "dedup-exact",
     "dedup-clusters",
     "quality",
+    "quality-filter",
     "redact",
+    "span-dedup",
+    "mix",
+    "tfidf",
 )
 
 
@@ -247,11 +251,24 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "dedup-exact": lambda d: dedup.exact_dedup_map(d),
         "dedup-clusters": lambda d: dedup.dedup_clusters(d),
         "quality": lambda d: text.quality_scores(d),
+        "quality-filter": lambda d: text.quality_filter(d),
         "redact": lambda d: text.redact_text(d),
+        "span-dedup": lambda d: sampling.span_dedup(d),
+        "mix": lambda d: sampling.mix_sources(d),
+        "tfidf": lambda d: text.tfidf_keywords(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)
     _emit(ops[args.op](docs), args)
+    return 0
+
+
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the registered table/triple/capture views."""
+    from rdfind_spark.sql import run_sql
+
+    spark = _build_session(args)
+    _emit(run_sql(spark, args.sf_dir, args.query), args)
     return 0
 
 
@@ -350,6 +367,16 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-len", type=int, default=2048,
                    help="tokens per packed sequence")
     p.set_defaults(fn=_cmd_corpus)
+
+    p = sub.add_parser("sql", help="ad-hoc Spark SQL over the registered views")
+    p.add_argument("sf_dir", help="parquet table dir (tables + triples/captures views)")
+    p.add_argument("query", help="SQL to run")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--output", help="write results as text to DIR")
+    p.add_argument("--parquet", help="write results as parquet to DIR")
+    p.add_argument("--show", type=int, default=50)
+    p.set_defaults(fn=_cmd_sql)
 
     for name, fn in (
         ("count-triples", _cmd_count_triples),

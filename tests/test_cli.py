@@ -258,3 +258,24 @@ def test_cli_corpus_ops(spark, tmp_path):
     assert sample.groupBy("source").count().agg(
         F.max("count")
     ).collect()[0][0] <= 3
+
+
+def test_sql_surface_views_and_cli(spark, sf_dir, tmp_path, capsys):
+    from rdfind_spark.cli import main
+    from rdfind_spark.sql import run_sql
+
+    df = run_sql(
+        spark, sf_dir,
+        "SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred ORDER BY pred",
+    )
+    preds = {r.pred: r.n for r in df.collect()}
+    assert "inRegion" in preds and preds["inRegion"] > 0
+    # captures view exists and is distinct
+    cap = run_sql(spark, sf_dir, "SELECT COUNT(*) AS n FROM captures").collect()[0]
+    assert cap.n > 0
+    # CLI: run a query, write parquet
+    out = str(tmp_path / "sqlout")
+    assert main(
+        ["sql", sf_dir, "SELECT COUNT(*) AS n FROM region", "--parquet", out]
+    ) == 0
+    assert spark.read.parquet(out).collect()[0].n > 0
