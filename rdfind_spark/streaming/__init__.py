@@ -5,10 +5,13 @@ watermarks, plus a custom stateful sessionizer
 (SURVEY §2.9); this is part of the beyond-reference pipeline surface."""
 
 from rdfind_spark.streaming.windows import (  # noqa: F401
+    daily_purchase_totals_stream,
     hourly_counts_stream,
     run_available_now,
     stream_documents,
+    stream_error_click_join,
     stream_events,
+    stream_to_partitioned_parquet,
     streaming_exact_dedup,
     streaming_sessionize,
 )

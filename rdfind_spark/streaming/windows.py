@@ -195,6 +195,80 @@ def streaming_exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def stream_error_click_join(
+    events: DataFrame, window_s: int = 600, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each error event joins the click
+    events of the same user within the preceding ``window_s`` seconds —
+    the streaming rendering of the banded batch range join
+    (``functions.events.range_join_counts``), expressed as Spark's
+    native watermarked stream-stream join.
+
+    Both sides carry a watermark and the join condition bounds c_ts in
+    [e_ts - window, e_ts], so Spark can expire buffered state: click
+    state is held only ``window_s`` + watermark, error state only
+    watermark — bounded memory on unbounded streams.  Append-mode
+    output, one row per qualifying (error, click) pair."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"""c_user = user_id AND c_ts <= e_ts
+            AND c_ts > e_ts - INTERVAL {int(window_s)} SECONDS"""
+        ),
+        "inner",
+    ).select("event_id", "user_id", "e_ts", "c_ts")
+
+
+def daily_purchase_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-(day, user) purchase value totals as a watermarked windowed
+    aggregation — the streaming upstream of the batch top-k ranking
+    (ranking itself is not incremental; run it on the sink table or in
+    foreachBatch)."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("purchase_value"))
+        .select(F.col("w.start").alias("day"), "user_id", "purchase_value")
+    )
+
+
+def stream_to_partitioned_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: str | None = None,
+    name: str | None = None,
+):
+    """foreachBatch sink writing each micro-batch as (optionally
+    hive-partitioned) parquet — the pattern for sinks the native file
+    writer can't express (dynamic partitioning, merges, external
+    stores).  Returns the StreamingQuery; caller awaits/stops."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_by and partition_by in batch_df.columns:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+    writer = sdf.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if name:
+        writer = writer.queryName(name)
+    return writer.trigger(availableNow=True).start()
+
+
 def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to a memory sink with
     Trigger.AvailableNow and block until done; returns the sink table

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdfind_spark.functions import multimodal
 from rdfind_spark.functions.events import hourly_event_counts
@@ -198,3 +199,86 @@ def test_sample_frames_plumbing(spark, sf_dir):
     for doc_id, n_bytes in lens.items():
         expected = len(range(0, n_bytes // FRAME_SIZE, 2))
         assert got.get(doc_id, 0) == expected
+
+
+def test_stream_error_click_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join equals the plain batch join pair set."""
+    from rdfind_spark.functions.events import normalize_event_ts
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_error_click_join,
+        stream_events,
+    )
+
+    name = run_available_now(
+        stream_error_click_join(stream_events(spark, sf_dir)),
+        "t_scj",
+        output_mode="append",
+    )
+    got = {
+        (r.event_id, r.e_ts, r.c_ts)
+        for r in spark.table(name).collect()
+    }
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    exp = {
+        (r.event_id, r.e_ts, r.c_ts)
+        for r in errors.join(
+            clicks,
+            F.expr(
+                "c_user = user_id AND c_ts <= e_ts "
+                "AND c_ts > e_ts - INTERVAL 600 SECONDS"
+            ),
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_daily_purchase_totals_stream_matches_batch(spark, sf_dir):
+    from rdfind_spark.functions.events import normalize_event_ts
+    from rdfind_spark.streaming import (
+        daily_purchase_totals_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    name = run_available_now(
+        daily_purchase_totals_stream(stream_events(spark, sf_dir)), "t_dpt"
+    )
+    got = {
+        (r.day, r.user_id): r.purchase_value
+        for r in spark.table(name).collect()
+    }
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    exp = {
+        (r.day, r.user_id): r.purchase_value
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("purchase_value"))
+        .collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_stream_to_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    from rdfind_spark.streaming import stream_documents, stream_to_partitioned_parquet
+
+    out = str(tmp_path / "sinkout")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_partitioned_parquet(
+        stream_documents(spark, sf_dir), out, ckpt, partition_by="source"
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert back.count() == n_docs
+    assert "source" in back.columns
