@@ -1,0 +1,245 @@
+"""Corpus-level statistics over the ``documents`` table: bigram
+frequency census, PMI collocation scoring, an inverted posting-list
+index, and per-language length percentiles — the language-model-prep
+census the reference (an IND-discovery engine, rdfind-algorithm/) has
+no counterpart for, but any training-data pipeline needs.
+
+Scale design (100 TB posture):
+
+* Bigrams are generated per-row with an array ``transform`` (no join,
+  no shuffle until the count), so the only shuffle is the final
+  groupBy(bigram) — which Spark partial-aggregates map-side, so the
+  shuffled volume is the *distinct* bigram census per task, not the
+  token stream.
+* The top-k is a global rank over the aggregated census; at real scale
+  the census is pre-filtered by ``HAVING count >= min_count`` before
+  the single-partition rank so only the frequent tail is sorted.
+* PMI is computed in scaled *integer* arithmetic (parts-per-million of
+  the probability ratio) so the score is bit-identical across engines;
+  the integer chain is overflow-safe to ~1e9 corpus tokens — a
+  production run at larger N would carry log-space doubles instead
+  (the ranking, not the representation, is what matters downstream).
+* The inverted index shuffles (token, doc_id) once; posting lists are
+  capped at ``POSTING_CAP`` entries (sorted, deterministic) so a stop
+  word cannot materialize an unbounded row.
+* Percentiles use Spark's exact ``percentile`` (sort-based within
+  group); groups are languages (low cardinality), rows per group are
+  document counts — at 100 TB one would switch to ``percentile_approx``
+  (t-digest) for the same query shape, traded off in the docstring not
+  silently.
+
+All quantities are integers or exact interpolations of integers, so the
+DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdfind_spark.functions.text import tokens_col
+
+BIGRAM_TOP_K = 100
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+PMI_SCALE = 1_000_000
+INDEX_MIN_DF = 5
+POSTING_CAP = 20
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _bigram_rows(documents: DataFrame) -> DataFrame:
+    """(bigram) — one row per consecutive token pair, all documents.
+    Array-transform per row: zero shuffles, stays in codegen."""
+    toks = tokens_col(F.col("text"))
+    docs = documents.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+    )
+    return docs.select(F.explode(bigrams).alias("bigram"))
+
+
+_BIGRAM_ROWS_SQL = f"""SELECT unnest(list_transform(
+         range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM (SELECT {_TOKS_SQL} AS toks FROM documents)
+  WHERE len(toks) >= 2"""
+
+
+def bigram_counts(documents: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Top-k corpus bigrams by frequency (ties broken by bigram text).
+    One shuffle (the census groupBy, partial-aggregated map-side), then
+    a rank over the small aggregated census."""
+    counts = _bigram_rows(documents).groupBy("bigram").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bigram", "n", "rank")
+    )
+
+
+def bigram_counts_sql(k: int = BIGRAM_TOP_K) -> str:
+    return f"""WITH b AS (
+{_BIGRAM_ROWS_SQL}
+),
+counts AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+ranked AS (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+  FROM counts
+)
+SELECT bigram, n, rank FROM ranked WHERE rank <= {k}"""
+
+
+def pmi_bigrams(
+    documents: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    PMI = log p(xy) / (p(x) p(y)); the *ratio* is emitted as an exact
+    scaled integer (parts-per-million), computed with one fixed
+    integer-division chain mirrored verbatim in the oracle:
+
+        s1 = n_xy * SCALE   div n_x
+        s2 = s1   * N_uni   div n_y
+        pmi_ratio_ppm = s2 * N_uni div N_bi
+
+    (log of it is monotone, so the ranking equals the PMI ranking.)
+    Three aggregates (unigram census, bigram census, two global counts)
+    and two broadcast-sized joins on the frequent-bigram tail only."""
+    toks = tokens_col(F.col("text"))
+    unigrams = documents.select(F.explode(toks).alias("token"))
+    uni_counts = unigrams.groupBy("token").agg(F.count("*").alias("n_tok"))
+    n_uni = unigrams.count()
+    bi = _bigram_rows(documents)
+    n_bi = bi.count()
+    bi_counts = (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("y", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    ux = uni_counts.select(F.col("token").alias("x"), F.col("n_tok").alias("n_x"))
+    uy = uni_counts.select(F.col("token").alias("y"), F.col("n_tok").alias("n_y"))
+    scored = (
+        bi_counts.join(ux, on="x")
+        .join(uy, on="y")
+        .withColumn("s1", F.expr(f"(n_xy * {PMI_SCALE}L) div n_x"))
+        .withColumn("s2", F.expr(f"(s1 * {n_uni}L) div n_y"))
+        .withColumn("pmi_ratio_ppm", F.expr(f"(s2 * {n_uni}L) div {n_bi}L"))
+    )
+    w = Window.orderBy(F.col("pmi_ratio_ppm").desc(), F.col("bigram").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bigram", "n_xy", "n_x", "n_y", "pmi_ratio_ppm", "rank")
+    )
+
+
+def pmi_bigrams_sql(min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K) -> str:
+    return f"""WITH uni AS (
+  SELECT unnest(toks) AS token FROM (SELECT {_TOKS_SQL} AS toks FROM documents)
+),
+uni_counts AS (SELECT token, COUNT(*) AS n_tok FROM uni GROUP BY token),
+n_uni AS (SELECT COUNT(*) AS v FROM uni),
+b AS (
+{_BIGRAM_ROWS_SQL}
+),
+n_bi AS (SELECT COUNT(*) AS v FROM b),
+bi_counts AS (
+  SELECT bigram, COUNT(*) AS n_xy,
+         string_split(bigram, ' ')[1] AS x,
+         string_split(bigram, ' ')[2] AS y
+  FROM b GROUP BY bigram HAVING COUNT(*) >= {min_count}
+),
+scored AS (
+  SELECT bigram, n_xy, ux.n_tok AS n_x, uy.n_tok AS n_y,
+         ((((n_xy * {PMI_SCALE}) // ux.n_tok) * n_uni.v) // uy.n_tok)
+           * n_uni.v // n_bi.v AS pmi_ratio_ppm
+  FROM bi_counts
+  JOIN uni_counts ux ON ux.token = x
+  JOIN uni_counts uy ON uy.token = y
+  CROSS JOIN n_uni CROSS JOIN n_bi
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_ratio_ppm DESC, bigram ASC) AS rank
+  FROM scored
+)
+SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy, n_x, n_y,
+       CAST(pmi_ratio_ppm AS BIGINT) AS pmi_ratio_ppm, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def inverted_index(
+    documents: DataFrame,
+    min_df: int = INDEX_MIN_DF,
+    cap: int = POSTING_CAP,
+) -> DataFrame:
+    """Posting-list index: token → document frequency, total term
+    frequency, and the first ``cap`` doc_ids (sorted) as a comma string.
+
+    One shuffle of (token, doc_id) with map-side combine for tf, one
+    groupBy(token).  The posting string is capped so a stopword's row
+    stays bounded — at 100 TB the full lists would be written bucketed
+    by token instead of capped, same plan shape."""
+    toks = tokens_col(F.col("text"))
+    td = (
+        documents.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        td.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap)
+            ).alias("posting_head"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_sql(min_df: int = INDEX_MIN_DF, cap: int = POSTING_CAP) -> str:
+    return f"""WITH td AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+  GROUP BY token, doc_id
+)
+SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_sort(list(doc_id))[1:{cap}], ',') AS posting_head
+FROM td GROUP BY token HAVING COUNT(*) >= {min_df}"""
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: count, char-sum,
+    min/max and exact p25/p50/p75 of n_chars (linear interpolation —
+    identical semantics to the oracle's quantile_cont; all inputs are
+    integers so the interpolated doubles are bit-exact)."""
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+    )
+
+
+def length_percentiles_sql() -> str:
+    return """SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY lang"""

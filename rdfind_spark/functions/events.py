@@ -398,3 +398,61 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON c.user_id = e.user_id AND c.ts <= e.ts
  AND epoch_us(c.ts) > epoch_us(e.ts) - {window_s} * 1000000
 GROUP BY e.event_id, e.user_id, e.ts"""
+
+
+# ------------------------------------------------- anomaly detection
+
+
+ANOMALY_Z = 3.0
+ANOMALY_MIN_EVENTS = 10
+
+
+def value_anomalies(
+    events: DataFrame,
+    z: float = ANOMALY_Z,
+    min_events: int = ANOMALY_MIN_EVENTS,
+) -> DataFrame:
+    """Per-user z-score outliers: events whose ``value`` exceeds the
+    user's mean by more than ``z`` sample standard deviations (users
+    with fewer than ``min_events`` events are skipped — no stable
+    baseline).
+
+    Plan shape: one groupBy(user_id) for the moment statistics (map-side
+    partial aggregation), then a broadcast join of the user-count-sized
+    stats table back onto the stream — the standard scalable
+    outlier-scan; no window, no sort."""
+    stats = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.stddev_samp("value").alias("sd_v"),
+    )
+    scored = events.join(F.broadcast(stats), on="user_id").filter(
+        (F.col("n") >= min_events)
+        & F.col("sd_v").isNotNull()
+        & (F.col("sd_v") > 0)
+        & (F.col("value") > F.col("mean_v") + F.lit(z) * F.col("sd_v"))
+    )
+    return scored.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("mean_v")) / F.col("sd_v"), 3).alias(
+            "zscore"
+        ),
+    )
+
+
+def value_anomalies_sql(
+    z: float = ANOMALY_Z, min_events: int = ANOMALY_MIN_EVENTS
+) -> str:
+    return f"""WITH stats AS (
+  SELECT user_id, COUNT(*) AS n, AVG(value) AS mean_v,
+         stddev_samp(value) AS sd_v
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       round((e.value - s.mean_v) / s.sd_v, 3) AS zscore
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.n >= {min_events} AND s.sd_v IS NOT NULL AND s.sd_v > 0
+  AND e.value > s.mean_v + {z} * s.sd_v"""

@@ -541,3 +541,71 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+# --------------------------------------------------------- SemDeDup
+
+
+SEMANTIC_DUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop members too close to the cluster representative.
+
+    Here: assign every vector to its nearest centroid (deterministic
+    seeded centroids, see ``ivf_assignments``), pick the lowest-id
+    member as the cluster representative, and mark members whose cosine
+    to the representative ≥ threshold as duplicates.
+
+    Scale shape: centroid assignment is one broadcast join + scan (the
+    IVF index build); the representative table is cluster-count-sized
+    (broadcast); the member→representative cosine is a single equi-join
+    on centroid_id — linear in the corpus, never pairwise.  Contrast
+    with pairwise near-dup (``embedding_dedup_pairs_ivf``): SemDeDup
+    trades pair completeness for a one-pass linear plan, which is why
+    it is the preferred first pass at the 100 TB tier."""
+    assign = ivf_assignments(embeddings, n_centroids, 1)
+    reps = assign.groupBy("centroid_id").agg(F.min("vec_id").alias("rep_id"))
+    emb = embeddings.select("vec_id", "embedding")
+    rep_emb = embeddings.select(
+        F.col("vec_id").alias("rep_id"), F.col("embedding").alias("r_emb")
+    )
+    joined = (
+        assign.join(F.broadcast(reps), on="centroid_id")
+        .join(emb, on="vec_id")
+        .join(F.broadcast(rep_emb), on="rep_id")
+    )
+    cos = cosine_col(F.col("embedding"), F.col("r_emb"))
+    return joined.select(
+        "vec_id",
+        "centroid_id",
+        "rep_id",
+        cos.alias("rep_cosine"),
+        (
+            (F.col("vec_id") != F.col("rep_id")) & (cos >= F.lit(threshold))
+        ).alias("is_dup"),
+    )
+
+
+def semantic_dedup_sql(
+    n_centroids: int = N_CENTROIDS,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+) -> str:
+    cos = COSINE_SQL.format(a="m.embedding", b="r.embedding")
+    return f"""WITH assign AS MATERIALIZED (
+{ivf_assignments_sql(n_centroids)}
+),
+reps AS (SELECT centroid_id, MIN(vec_id) AS rep_id FROM assign GROUP BY centroid_id)
+SELECT a.vec_id, a.centroid_id, reps.rep_id,
+       {cos} AS rep_cosine,
+       a.vec_id <> reps.rep_id AND {cos} >= {threshold} AS is_dup
+FROM assign a
+JOIN reps ON a.centroid_id = reps.centroid_id
+JOIN embeddings m ON m.vec_id = a.vec_id
+JOIN embeddings r ON r.vec_id = reps.rep_id"""

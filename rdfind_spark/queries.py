@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from rdfind_spark import oracle
 from rdfind_spark.functions import (
+    corpus_stats,
     dedup,
     events,
     graph,
@@ -293,6 +294,37 @@ def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(_docs(spark, sf_dir))
 
 
+# ------------------------------------- corpus statistics / LM prep
+
+
+@register("text_bigrams", corpus_stats.bigram_counts_sql())
+def text_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus bigram census (array-transform generation, one
+    map-side-combined shuffle)."""
+    return corpus_stats.bigram_counts(_docs(spark, sf_dir))
+
+
+@register("text_pmi_bigrams", corpus_stats.pmi_bigrams_sql())
+def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by PMI (exact scaled-integer probability
+    ratio — bit-identical across engines)."""
+    return corpus_stats.pmi_bigrams(_docs(spark, sf_dir))
+
+
+@register("docs_inverted_index", corpus_stats.inverted_index_sql())
+def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token posting-list index with df/tf and a capped sorted posting
+    head."""
+    return corpus_stats.inverted_index(_docs(spark, sf_dir))
+
+
+@register("docs_length_percentiles", corpus_stats.length_percentiles_sql())
+def docs_length_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length percentiles (p25/p50/p75 linear
+    interpolation, bit-exact vs quantile_cont)."""
+    return corpus_stats.length_percentiles(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------- graph analytics (RDF)
 
 
@@ -385,6 +417,13 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(_embs(spark, sf_dir))
 
 
+@register("dedup_semantic", similarity.semantic_dedup_sql())
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup (linear plan:
+    broadcast centroid assignment + representative cosine)."""
+    return similarity.semantic_dedup(_embs(spark, sf_dir))
+
+
 @register("knn_ivf", similarity.knn_ivf_sql())
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministic index)."""
@@ -441,6 +480,13 @@ def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: clicks within 10 min before each error."""
     return events.range_join_counts(_events(spark, sf_dir))
+
+
+@register("events_anomalies", events.value_anomalies_sql())
+def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score value outliers (moment stats + broadcast
+    rejoin; no window sort)."""
+    return events.value_anomalies(_events(spark, sf_dir))
 
 
 @register("events_funnel", events.event_funnel_sql())

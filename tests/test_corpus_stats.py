@@ -1,0 +1,104 @@
+"""Unit tests for corpus statistics (bigrams/PMI/inverted index/
+percentiles), SemDeDup, and event anomaly operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rdfind_spark.functions import corpus_stats, events, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bigram_counts_exact(spark):
+    df = _docs(spark, ["a b a b c", "a b", "x"])
+    out = {
+        r["bigram"]: (r["n"], r["rank"])
+        for r in corpus_stats.bigram_counts(df, k=10).collect()
+    }
+    # "a b" appears twice in doc0 + once in doc1; single-token doc yields none
+    assert out["a b"] == (3, 1)
+    assert out["b a"][0] == 1
+    assert out["b c"][0] == 1
+    assert "x" not in out and len(out) == 3
+
+
+def test_bigram_tie_break_is_lexicographic(spark):
+    df = _docs(spark, ["b c", "a b"])
+    rows = corpus_stats.bigram_counts(df, k=10).collect()
+    assert [r["bigram"] for r in rows] == ["a b", "b c"]
+
+
+def test_pmi_integer_chain(spark):
+    # 6 tokens, 4 bigrams; "a b" twice => n_xy=2, n_x(a)=2, n_y(b)=2
+    df = _docs(spark, ["a b c a b d"])
+    out = corpus_stats.pmi_bigrams(df, min_count=2, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bigram"], r["n_xy"], r["n_x"], r["n_y"]) == ("a b", 2, 2, 2)
+    # chain: s1 = 2*1e6 div 2 = 1e6; s2 = 1e6*6 div 2 = 3e6; ppm = 3e6*6 div 5
+    assert r["pmi_ratio_ppm"] == (((2 * 1_000_000) // 2) * 6 // 2) * 6 // 5
+
+
+def test_inverted_index_posting_cap_and_sort(spark):
+    df = _docs(spark, [f"tok filler{i}" for i in range(30)])
+    out = corpus_stats.inverted_index(df, min_df=5, cap=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["token"] == "tok"
+    assert r["df"] == 30 and r["tf_total"] == 30
+    assert r["posting_head"] == "0,1,2"
+
+
+def test_length_percentiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [(i, "t", "en", "web", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = corpus_stats.length_percentiles(df).collect()[0]
+    assert r["n_docs"] == 4 and r["sum_chars"] == 100
+    assert (r["p25"], r["p50"], r["p75"]) == (17.5, 25.0, 32.5)
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_semantic_dedup_marks_near_rep_members(spark):
+    # two well-separated clusters; centroid seeds are vec_id 0 and 1
+    df = _embs(
+        spark,
+        [[1, 0, 0], [0, 1, 0], [0.99, 0.01, 0], [0, 0.98, 0.02], [-1, 0, 0]],
+    )
+    rows = {r["vec_id"]: r for r in similarity.semantic_dedup(df, n_centroids=2).collect()}
+    assert len(rows) == 5
+    # representatives are never dups of themselves
+    assert not rows[0]["is_dup"] and not rows[1]["is_dup"]
+    assert rows[0]["rep_id"] == 0 and rows[0]["rep_cosine"] == pytest.approx(1.0)
+    # near-parallel members are flagged
+    assert rows[2]["rep_id"] == 0 and rows[2]["is_dup"]
+    assert rows[3]["rep_id"] == 1 and rows[3]["is_dup"]
+    # antipodal vector assigned somewhere but cosine ≤ 0 → kept
+    assert not rows[4]["is_dup"]
+
+
+def test_value_anomalies_flags_outlier(spark):
+    rows = [(i, "2024-01-01 00:00:00", 1, "view", 1.0 + (i % 3) * 0.1, "{}") for i in range(20)]
+    rows.append((99, "2024-01-01 01:00:00", 1, "view", 100.0, "{}"))
+    rows += [(200 + i, "2024-01-01 00:00:00", 2, "view", float(i), "{}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = events.value_anomalies(df).collect()
+    # only user 1's spike (user 2 has < min_events)
+    assert [(r["event_id"], r["user_id"]) for r in out] == [(99, 1)]
+    assert out[0]["zscore"] > 3.0
