@@ -524,6 +524,59 @@ def stream_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_interval_join",
+    """SELECT e.event_id, e.user_id, e.ts AS e_ts, c.ts AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts <= e.ts
+ AND epoch_us(c.ts) > epoch_us(e.ts) - 600 * 1000000""",
+)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (error ⋈ preceding
+    clicks) driven to completion — the emitted pair set equals the
+    batch range join exactly, so it carries a full SQL oracle."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_error_click_join,
+        stream_events,
+    )
+
+    name = run_available_now(
+        stream_error_click_join(stream_events(spark, sf_dir)),
+        f"stream_ivj_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+@register(
+    "stream_purchase_totals",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+       round(SUM(value), 6) AS purchase_value
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+)
+def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked per-(day, user) purchase totals over readStream
+    (complete mode ⇒ equals the batch daily aggregate exactly)."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        daily_purchase_totals_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    name = run_available_now(
+        daily_purchase_totals_stream(stream_events(spark, sf_dir)),
+        f"stream_ptot_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
 @register("stream_sessions", None)
 def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionizer (``applyInPandasWithState``) driven
