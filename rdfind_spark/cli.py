@@ -233,6 +233,10 @@ _CORPUS_OP_NAMES = (
     "span-dedup",
     "mix",
     "tfidf",
+    "bigrams",
+    "pmi",
+    "index",
+    "percentiles",
 )
 
 
@@ -240,7 +244,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     """Corpus-curation surface (beyond-reference, SURVEY north star):
     run one curation op over a documents parquet and emit it through
     the standard sinks."""
-    from rdfind_spark.functions import dedup, sampling, text
+    from rdfind_spark.functions import corpus_stats, dedup, sampling, text
 
     ops = {
         "split": lambda d: sampling.train_split(d),
@@ -256,6 +260,10 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "span-dedup": lambda d: sampling.span_dedup(d),
         "mix": lambda d: sampling.mix_sources(d),
         "tfidf": lambda d: text.tfidf_keywords(d),
+        "bigrams": lambda d: corpus_stats.bigram_counts(d),
+        "pmi": lambda d: corpus_stats.pmi_bigrams(d),
+        "index": lambda d: corpus_stats.inverted_index(d),
+        "percentiles": lambda d: corpus_stats.length_percentiles(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)
