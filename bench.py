@@ -117,6 +117,19 @@ def main() -> int:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
         print(f"# warmup (sf0.001, untimed): {time.time() - t0:.1f}s",
               file=sys.stderr)
+    def _drop_leftover_cache() -> None:
+        # Queries that persist intermediates (the CIND engines persist
+        # shared capture tables) release them on their own hot path,
+        # but anything still cached after a query returns would eat
+        # executor memory and poison the NEXT measurement (observed:
+        # capture_supports 1.3s → 14s when run after a query that
+        # leaked its persisted prefix).  Cleanup runs OUTSIDE the
+        # timers: each query still pays its own cache builds.
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:
@@ -126,6 +139,7 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.1f}s", file=sys.stderr)
+        _drop_leftover_cache()
 
     total = round(sum(timings.values()), 3)
     print(

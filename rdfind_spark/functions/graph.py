@@ -109,11 +109,27 @@ def pagerank(
     loop body is lazily composed and the rank table localCheckpoint-ed
     per round so the plan stays iteration-local (same pattern as the
     near-dup label propagation, functions/dedup.py)."""
-    spark = triples.sparkSession
-    edges = entity_edges(triples).persist()
+    # Dictionary-encode node URIs to 64-bit ids up front (the CIND
+    # engine's hashing discipline, cind.py build_capture_tables): every
+    # shuffle — the edge distinct, the node census, the iteration loop
+    # — moves fixed-width longs, not URI strings; strings never shuffle
+    # at all (restored map-side for the ~top_k result rows only).  An
+    # xxhash64 collision would merge two nodes — probability ~n²/2⁶⁵
+    # (~1e-8 at 640k nodes), and a merge perturbs ranks, so the
+    # driver's oracle comparison catches it loudly.
+    is_entity = F.col("obj").rlike("^[a-z]+:")
+    raw = triples.filter(is_entity).select(
+        F.col("subj").alias("src_s"), F.col("obj").alias("dst_s")
+    )
+    edges = (
+        raw.select(
+            F.xxhash64("src_s").alias("src"), F.xxhash64("dst_s").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
         .persist()
     )
@@ -131,31 +147,31 @@ def pagerank(
     # node-table left join per iteration (one fewer join shuffle per
     # round; the union is a no-shuffle concat).
     no_in = nodes.join(
-        edges_d.select(F.col("dst").alias("node")).distinct(),
-        on="node",
+        edges_d.select(F.col("dst").alias("id")).distinct(),
+        on="id",
         how="left_anti",
     ).persist()
     no_in.count()
-    ranks = nodes.select("node", F.lit(base).alias("rank"))
+    ranks = nodes.select("id", F.lit(base).alias("rank"))
     for i in range(iterations):
         contrib = (
             edges_d.join(
-                ranks.select(F.col("node").alias("src"), "rank"), on="src"
+                ranks.select(F.col("id").alias("src"), "rank"), on="src"
             )
             .select(
-                F.col("dst").alias("node"),
+                F.col("dst").alias("id"),
                 F.expr("rank div outdeg").alias("c"),
             )
-            .groupBy("node")
+            .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = contrib.select(
-            "node",
+            "id",
             (
                 F.lit(teleport)
                 + F.expr(f"({PR_DAMPING_PCT} * inflow) div 100")
             ).alias("rank"),
-        ).unionByName(no_in.select("node", F.lit(teleport).alias("rank")))
+        ).unionByName(no_in.select("id", F.lit(teleport).alias("rank")))
         # The iteration chain is LINEAR (ranks feeds the next round
         # exactly once), so plan size grows only linearly and several
         # rounds can fuse into one job — checkpoint every third round
@@ -163,22 +179,57 @@ def pagerank(
         # of forcing one barrier job per round.
         if (i + 1) % 3 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final rank table BEFORE unpersisting the loop
+    # inputs: the returned DataFrame executes later, and un-checkpointed
+    # trailing iterations would silently recompute edges_d/no_in from
+    # the raw triples at that point (measured as most of the query's
+    # wall-clock before this fix).
+    ranks = ranks.localCheckpoint(eager=True)
     no_in.unpersist()
     edges_d.unpersist()
     nodes.unpersist()
-    # Global top-k via orderBy + limit — Catalyst plans
-    # TakeOrderedAndProject (per-partition heap + driver merge of k
-    # rows), NOT a single-partition window sort of the node-sized rank
-    # table.  row_number then runs over the k-row result only.
+
+    # Top-k selection happens on hashed ids, string restoration on the
+    # candidate rows only — no node-sized string shuffle anywhere:
+    #  1. kth = the top_k-th largest rank (TakeOrdered on longs);
+    #  2. candidates = every node with rank >= kth (top_k + rank ties —
+    #     result-sized, a tie group can only add a handful of rows);
+    #  3. restore candidate strings map-side (broadcast id set filter
+    #     over the raw string edges, then a tiny distinct);
+    #  4. the exact (rank desc, node-STRING asc) tie-break ordering and
+    #     row_number run on the restored candidate rows only.
+    kth_rows = (
+        ranks.select("rank").orderBy(F.col("rank").desc()).limit(top_k).collect()
+    )
+    if not kth_rows:
+        return ranks.select(
+            F.lit("").alias("node"),
+            "rank",
+            F.lit(0.0).alias("pr"),
+            F.lit(0).alias("pos"),
+        ).limit(0)
+    kth = kth_rows[-1]["rank"]
+    cand = ranks.filter(F.col("rank") >= kth)
+    cand_ids = [r["id"] for r in cand.select("id").collect()]
+    node_strings = (
+        raw.select(F.explode(F.array("src_s", "dst_s")).alias("node"))
+        .withColumn("id", F.xxhash64("node"))
+        .filter(F.col("id").isin(cand_ids))
+        .distinct()
+    )
+    restored = cand.join(node_strings, on="id").select("node", "rank")
     from pyspark.sql import Window
 
-    top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(top_k)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
-    return top.select(
-        "node",
-        "rank",
-        F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 9).alias("pr"),
-        F.row_number().over(w).alias("pos"),
+    return (
+        restored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= top_k)
+        .select(
+            "node",
+            "rank",
+            F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 9).alias("pr"),
+            "pos",
+        )
     )
 
 

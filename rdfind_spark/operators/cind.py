@@ -848,8 +848,13 @@ def discover_cinds(
     cands = cands.coalesce(triples.sparkSession.sparkContext.defaultParallelism)
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
+    # All four shared tables are dead once the overlap table is
+    # materialized — leaking them was measured to slow the NEXT query
+    # in the same session >10x (executor memory pressure).
     dcap_h.unpersist()
     capf.unpersist()
+    freq_h.unpersist()
+    frequent.unpersist()
     cinds = extract_cinds(cands)
     if ar_filter:
         from rdfind_spark.operators.rules import (

@@ -712,4 +712,5 @@ def discover_cinds_staged(
     dcap_h.unpersist()
     capf.unpersist()
     freq_h.unpersist()
+    frequent.unpersist()
     return minimal
