@@ -414,6 +414,27 @@ def _merged_dep_candidates(
         .distinct()
         .select(F.xxhash64(*_REF_KEY).alias("rh"), *_REF_KEY)
     )
+    # The dep VALUE strings are hashed too: the quadratic row stream
+    # (ka×kb per ref cell) then carries 4 longs + 2 bools instead of
+    # two URI strings, the broadcast whitelist probe hashes fixed-width
+    # keys, and the dedup's map-side partial agg keys on longs
+    # (measured 28.4s → see commit for the delta).  Value strings are
+    # restored from the partner-sized value map onto the result-sized
+    # deduped candidates only.  A value-hash collision can only
+    # MANUFACTURE candidates (the restore join fans a colliding hash
+    # out to every matching string) — never drop one — and fabricated
+    # candidates die in exact verification, same argument as rh.
+    vmap = (
+        left.select("dep_v1")
+        .unionByName(right.select("dep_v1"))
+        .distinct()
+        .select(F.xxhash64("dep_v1").alias("vh"), F.col("dep_v1").alias("v"))
+    )
+    allowed_h = allowed_deps.select(
+        "dep_code",
+        F.xxhash64("dep_v1").alias("v1h"),
+        F.xxhash64("dep_v2").alias("v2h"),
+    )
     lower_codes, higher_codes = [], []
     for sec_field in cc.FIELDS:
         lo, hi = sorted(f for f in cc.FIELDS if f != sec_field)
@@ -427,7 +448,7 @@ def _merged_dep_candidates(
             F.xxhash64(*_REF_KEY).alias("rh"),
             sec,
             F.col("dep_code").alias("l_code"),
-            F.col("dep_v1").alias("l_v1"),
+            F.xxhash64("dep_v1").alias("l_vh"),
             *([F.col("is_cind").alias("l_cind")] if tagged else []),
         )
     )
@@ -438,7 +459,7 @@ def _merged_dep_candidates(
             F.xxhash64(*_REF_KEY).alias("rh"),
             sec,
             F.col("dep_code").alias("r_code"),
-            F.col("dep_v1").alias("r_v1"),
+            F.xxhash64("dep_v1").alias("r_vh"),
             *([F.col("is_cind").alias("r_cind")] if tagged else []),
         )
     )
@@ -446,14 +467,14 @@ def _merged_dep_candidates(
         l.join(r, on=["rh", "sec"])
         .select(
             F.col("l_code").bitwiseOR(F.col("r_code")).alias("dep_code"),
-            F.col("l_v1").alias("dep_v1"),
-            F.col("r_v1").alias("dep_v2"),
+            F.col("l_vh").alias("v1h"),
+            F.col("r_vh").alias("v2h"),
             "rh",
             *([F.col("l_cind"), F.col("r_cind")] if tagged else []),
         )
-        .join(F.broadcast(allowed_deps), on=_DEP_KEY, how="left_semi")
+        .join(F.broadcast(allowed_h), on=["dep_code", "v1h", "v2h"], how="left_semi")
     )
-    hkey = [*_DEP_KEY, "rh"]
+    hkey = ["dep_code", "v1h", "v2h", "rh"]
     if not tagged:
         deduped = merged.select(*hkey).distinct()
     else:
@@ -468,8 +489,17 @@ def _merged_dep_candidates(
             F.max(F.col("l_cind") | F.col("r_cind")).alias("inferred"),
         )
     extra = ["exact", "inferred"] if tagged else []
-    return deduped.join(F.broadcast(refmap), on="rh").select(
-        *_CIND_KEY, *extra
+    return (
+        deduped.join(
+            F.broadcast(vmap.select(F.col("vh").alias("v1h"), F.col("v").alias("dep_v1"))),
+            on="v1h",
+        )
+        .join(
+            F.broadcast(vmap.select(F.col("vh").alias("v2h"), F.col("v").alias("dep_v2"))),
+            on="v2h",
+        )
+        .join(F.broadcast(refmap), on="rh")
+        .select(*_CIND_KEY, *extra)
     )
 
 
