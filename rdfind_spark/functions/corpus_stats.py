@@ -75,11 +75,13 @@ def bigram_counts(documents: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
     counts = _bigram_rows(documents).groupBy("bigram").agg(
         F.count("*").alias("n")
     )
+    # orderBy+limit first → TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows); the global row_number window then sorts
+    # only the k-row result, not the whole census in one partition.
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("bigram", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "bigram", "n", "rank"
     )
 
 
@@ -135,11 +137,12 @@ def pmi_bigrams(
         .withColumn("s2", F.expr(f"(s1 * {n_uni}L) div n_y"))
         .withColumn("pmi_ratio_ppm", F.expr(f"(s2 * {n_uni}L) div {n_bi}L"))
     )
+    top = scored.orderBy(
+        F.col("pmi_ratio_ppm").desc(), F.col("bigram").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("pmi_ratio_ppm").desc(), F.col("bigram").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("bigram", "n_xy", "n_x", "n_y", "pmi_ratio_ppm", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "bigram", "n_xy", "n_x", "n_y", "pmi_ratio_ppm", "rank"
     )
 
 
