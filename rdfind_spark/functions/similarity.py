@@ -609,3 +609,182 @@ FROM assign a
 JOIN reps ON a.centroid_id = reps.centroid_id
 JOIN embeddings m ON m.vec_id = a.vec_id
 JOIN embeddings r ON r.vec_id = reps.rep_id"""
+
+
+# ------------------------------------------------- k-means (IVF train)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # Lloyd centroid-update rounds
+KM_SCALE = 1_000_000  # fixed-point units per embedding component
+
+
+def _quantized(col: F.Column | str):
+    """Embedding → integer fixed-point vector: floor(x·SCALE) per
+    component.  floor (not round) because floor is bit-identical across
+    engines for every double; all subsequent sums/divisions are integer
+    and therefore order-independent and exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * KM_SCALE).cast("long")
+    )
+
+
+def _km_cosine(qcol, cvec: list, nc: int):
+    """Cosine of an integer vector column against an integer literal
+    centroid: exact BIGINT dot/norms, ONE double division — the same
+    expression tree the oracle uses, so assignments are bit-identical."""
+    lit_c = F.array(*[F.lit(int(v)) for v in cvec])
+    dot = F.aggregate(
+        F.zip_with(qcol, lit_c, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(qcol, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dot.cast("double") / (
+        F.sqrt(nq.cast("double")) * F.sqrt(F.lit(float(nc)))
+    )
+
+
+def embedding_kmeans(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd k-means over the embeddings — the real IVF index training
+    step (``ivf_assignments`` seeds centroids but never refines them).
+
+    Determinism discipline (the PageRank trick, functions/graph.py,
+    applied to vectors): components are quantized to integer fixed-
+    point, every centroid update is an exact integer Σ//n per
+    dimension, and assignment cosines are one double expression over
+    identical integers — so Spark and the DuckDB oracle run the
+    IDENTICAL recurrence with zero float-drift exposure, iteration
+    after iteration.
+
+    Plan shape per round: one scan with a broadcast K-centroid argmax
+    (map-side, no shuffle), one groupBy(centroid) with per-dimension
+    integer sums (partial agg → K rows), and a model-sized (K × dim)
+    collect to rebuild the centroid literals — the standard scalable
+    k-means loop; nothing data-sized ever reaches the driver.  Clusters
+    that lose all members drop out (both engines derive the centroid
+    set from the same assignment table).
+
+    Output: final assignment (vec_id, centroid_id, cosine)."""
+    q = embeddings.select("vec_id", _quantized("embedding").alias("q"))
+    q = q.localCheckpoint(eager=True)  # quantize once, reuse per round
+    dim = len(q.select("q").first()["q"])
+    cents = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in q.filter(F.col("vec_id") < k).collect()
+    )
+
+    def _norm(cvec: list) -> int:
+        return sum(v * v for v in cvec)
+
+    def _argmax(frame: DataFrame) -> DataFrame:
+        # array_min of struct(-cos, cid): smallest negated cosine =
+        # largest cosine, ties broken by smallest centroid id
+        scored = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-_km_cosine(F.col("q"), cvec, _norm(cvec))).alias("neg"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cvec in cents
+                ]
+            )
+        )
+        return frame.select(
+            "vec_id",
+            "q",
+            scored["cid"].alias("centroid_id"),
+            (-scored["neg"]).alias("cosine"),
+        )
+
+    for _ in range(iters):
+        sums = (
+            _argmax(q)
+            .groupBy("centroid_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        def _tdiv(s: int, n: int) -> int:
+            # truncation-toward-zero, matching DuckDB's BIGINT `//` and
+            # Spark's `div` (Python's // floors, which differs for
+            # negative sums)
+            return abs(s) // n * (1 if s >= 0 else -1)
+
+        cents = sorted(
+            (
+                int(r["centroid_id"]),
+                [_tdiv(int(r[f"s{j}"]), int(r["n"])) for j in range(dim)],
+            )
+            for r in sums
+        )
+    return _argmax(q).select(
+        "vec_id", "centroid_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def embedding_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The identical integer recurrence as chained CTEs (assignment →
+    per-dimension integer centroid update, ``iters`` times, then the
+    final assignment)."""
+    dot = (
+        "list_sum(list_transform(range(1, len(v.q) + 1), "
+        "i -> v.q[i] * c.cvec[i]))"
+    )
+    cos = (
+        f"CAST({dot} AS DOUBLE) / "
+        "(sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE)) * "
+        "sqrt(CAST(list_sum(list_transform(c.cvec, x -> x * x)) AS DOUBLE)))"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, q, cid, cosine FROM (
+    SELECT v.vec_id, v.q, c.cid, {cos} AS cosine,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos} DESC, c.cid ASC) AS rn
+    FROM q v CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(s ORDER BY j) AS cvec FROM (
+    SELECT cid, j, SUM(q[j]) // COUNT(*) AS s
+    FROM (SELECT cid, q, unnest(generate_series(1, len(q))) AS j FROM {assign})
+    GROUP BY cid, j
+  ) GROUP BY cid
+)"""
+
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cvec FROM q WHERE vec_id < {k})"""
+    ]
+    for i in range(iters):
+        parts.append(", " + assign_cte(f"a{i}", f"c{i}"))
+        parts.append(", " + update_cte(f"c{i + 1}", f"a{i}"))
+    parts.append(", " + assign_cte("afinal", f"c{iters}"))
+    parts.append(
+        """
+SELECT vec_id, cid AS centroid_id, round(cosine, 6) AS cosine FROM afinal"""
+    )
+    return "".join(parts)

@@ -417,6 +417,13 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(_embs(spark, sf_dir))
 
 
+@register("embedding_kmeans", similarity.embedding_kmeans_sql())
+def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means IVF training in integer fixed-point (bit-identical
+    recurrence across engines); returns the final assignment."""
+    return similarity.embedding_kmeans(_embs(spark, sf_dir))
+
+
 @register("dedup_semantic", similarity.semantic_dedup_sql())
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune semantic dedup (linear plan:

@@ -102,3 +102,20 @@ def test_value_anomalies_flags_outlier(spark):
     # only user 1's spike (user 2 has < min_events)
     assert [(r["event_id"], r["user_id"]) for r in out] == [(99, 1)]
     assert out[0]["zscore"] > 3.0
+
+
+def test_embedding_kmeans_converges_to_blobs(spark):
+    # two tight blobs around orthogonal axes; seeds 0/1 start one in each
+    blob_a = [[1.0, 0.05 * i, 0.0] for i in range(5)]
+    blob_b = [[0.0, 1.0, 0.05 * i] for i in range(5)]
+    df = _embs(spark, [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])
+    out = similarity.embedding_kmeans(df, k=2, iters=2).collect()
+    assert len(out) == 10
+    by_vec = {r["vec_id"]: r["centroid_id"] for r in out}
+    a_ids = [0] + list(range(2, 6))
+    b_ids = [1] + list(range(6, 10))
+    assert len({by_vec[i] for i in a_ids}) == 1
+    assert len({by_vec[i] for i in b_ids}) == 1
+    assert by_vec[0] != by_vec[1]
+    # members sit close to their trained centroid
+    assert all(r["cosine"] > 0.9 for r in out)
