@@ -246,3 +246,28 @@ def length_percentiles_sql() -> str:
        quantile_cont(n_chars, 0.5) AS p50,
        quantile_cont(n_chars, 0.75) AS p75
 FROM documents GROUP BY lang"""
+
+
+def docs_cube_counts(documents: DataFrame) -> DataFrame:
+    """(lang × source) document census with CUBE subtotals — all four
+    grouping combinations in one pass (Spark expands grouping sets into
+    a single partial-aggregated shuffle); NULL dimensions rendered as
+    sentinel strings for stable cross-engine comparison."""
+    cubed = (
+        documents.select("lang", "source", "n_chars")
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+    return cubed.select(
+        F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+        "n_docs",
+        "sum_chars",
+    )
+
+
+def docs_cube_counts_sql() -> str:
+    return """SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)"""

@@ -456,3 +456,96 @@ SELECT e.event_id, e.user_id, e.event_type, e.value,
 FROM events e JOIN stats s ON e.user_id = s.user_id
 WHERE s.n >= {min_events} AND s.sd_v IS NOT NULL AND s.sd_v > 0
   AND e.value > s.mean_v + {z} * s.sd_v"""
+
+
+# --------------------------------------- moving windows / pivot
+
+
+MOVING_DAYS = 7
+VALUE_PPM = 1_000_000
+
+
+def moving_daily_value(events: DataFrame, days: int = MOVING_DAYS) -> DataFrame:
+    """Per-user trailing ``days``-day moving event count and value sum
+    over the daily series — the RANGE-frame window operator (frame =
+    RANGE BETWEEN days-1 PRECEDING AND CURRENT ROW on the day number).
+
+    Value sums are exact integers (floor(value·1e6) per event, summed)
+    so the frame aggregation is order-independent and bit-identical
+    across engines — double window sums are NOT (segment-tree vs
+    incremental summation order).  One shuffle (user_id), sorted once,
+    both window aggregates share the frame."""
+    day_num = F.unix_date(F.date_trunc("day", F.col("ts")).cast("date"))
+    daily = (
+        events.select(
+            "user_id",
+            day_num.alias("day_num"),
+            F.floor(F.col("value") * VALUE_PPM).cast("long").alias("v_ppm"),
+        )
+        .groupBy("user_id", "day_num")
+        .agg(F.count("*").alias("n"), F.sum("v_ppm").alias("sum_ppm"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_num").cast("int"))
+        .cast("string")
+        .alias("day"),
+        F.sum("n").over(w).alias(f"n_events_{days}d"),
+        F.sum("sum_ppm").over(w).alias(f"value_ppm_{days}d"),
+    )
+
+
+def moving_daily_value_sql(days: int = MOVING_DAYS) -> str:
+    return f"""WITH daily AS (
+  SELECT user_id,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(floor(value * {VALUE_PPM}) AS BIGINT)) AS BIGINT) AS sum_ppm
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(DATE '1970-01-01' + CAST(day_num AS INT) AS VARCHAR) AS day,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_events_{days}d,
+       CAST(SUM(sum_ppm) OVER w AS BIGINT) AS value_ppm_{days}d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+             RANGE BETWEEN {days - 1} PRECEDING AND CURRENT ROW)"""
+
+
+EVENT_TYPES = ("view", "click", "purchase", "error")
+
+
+def events_pivot_by_type(events: DataFrame) -> DataFrame:
+    """Per-day event counts pivoted to one column per event type
+    (explicit value list so the plan is a single groupBy — no extra
+    distinct pass to discover pivot values)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    pivoted = (
+        events.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def events_pivot_by_type_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       {cols}
+FROM events GROUP BY 1"""

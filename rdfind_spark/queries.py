@@ -318,6 +318,13 @@ def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.inverted_index(_docs(spark, sf_dir))
 
 
+@register("docs_cube_counts", corpus_stats.docs_cube_counts_sql())
+def docs_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang × source) census with CUBE subtotals in one grouping-sets
+    pass."""
+    return corpus_stats.docs_cube_counts(_docs(spark, sf_dir))
+
+
 @register("docs_length_percentiles", corpus_stats.length_percentiles_sql())
 def docs_length_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact length percentiles (p25/p50/p75 linear
@@ -494,6 +501,19 @@ def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score value outliers (moment stats + broadcast
     rejoin; no window sort)."""
     return events.value_anomalies(_events(spark, sf_dir))
+
+
+@register("events_moving_window", events.moving_daily_value_sql())
+def events_moving_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 7-day RANGE-frame moving count/value sum
+    (integer-exact frame aggregation)."""
+    return events.moving_daily_value(_events(spark, sf_dir))
+
+
+@register("events_pivot", events.events_pivot_by_type_sql())
+def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts pivoted to one column per event type."""
+    return events.events_pivot_by_type(_events(spark, sf_dir))
 
 
 @register("events_funnel", events.event_funnel_sql())
