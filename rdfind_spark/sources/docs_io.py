@@ -85,3 +85,32 @@ def write_documents_parquet(
     if partition_by and partition_by in df.columns:
         w = w.partitionBy(partition_by)
     w.parquet(path)
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC corpus reader (Spark-native columnar alternative when the
+    upstream warehouse is Hive/ORC).  ORC carries its own schema; an
+    explicit one is applied on top when given so downstream code sees
+    the same column contract as the other readers."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(paths)
+
+
+def write_documents_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC export (optionally hive-partitioned) — same layout discipline
+    as the parquet writer; zlib is ORC's widely-readable default."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by and partition_by in df.columns:
+        w = w.partitionBy(partition_by)
+    w.orc(path)

@@ -58,3 +58,26 @@ def test_parquet_export_partitioned(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert sorted(r.source for r in back.select("source").collect()) == ["book", "web"]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from rdfind_spark.sources.docs_io import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", "en", "hello world"), (2, "book", "fr", "bonjour")],
+        "doc_id long, source string, lang string, text string",
+    )
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(df, path, partition_by="source")
+    back = read_documents_orc(spark, path)
+    got = {
+        (r["doc_id"], r["source"], r["lang"], r["text"])
+        for r in back.collect()
+    }
+    assert got == {(1, "web", "en", "hello world"), (2, "book", "fr", "bonjour")}
+    # partitioned layout actually pruned on read
+    one = read_documents_orc(spark, path + "/source=web")
+    assert one.count() == 1
