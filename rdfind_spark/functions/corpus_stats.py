@@ -271,3 +271,35 @@ def docs_cube_counts_sql() -> str:
        COALESCE(source, '<all>') AS source,
        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE (lang, source)"""
+
+
+DIGEST_REL_TOL = 0.05
+
+
+def length_digest_eval(
+    documents: DataFrame, rel_tol: float = DIGEST_REL_TOL
+) -> DataFrame:
+    """Sketch-quality evaluation for approximate percentiles: the
+    t-digest median (``percentile_approx`` — the 100 TB replacement for
+    the exact sort-based percentile, see length_percentiles) must land
+    within ``rel_tol`` of the exact median per language.  Emits the
+    exact value + the pass bit; the digest value itself is
+    engine-specific and never compared directly."""
+    agg = documents.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("n_chars", F.lit(0.5)).alias("p50_digest"),
+    )
+    return agg.select(
+        "lang",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_digest") - F.col("p50_exact"))
+            <= F.lit(rel_tol) * F.col("p50_exact")
+        ).alias("within_tol"),
+    )
+
+
+def length_digest_eval_sql() -> str:
+    return """SELECT lang, quantile_cont(n_chars, 0.5) AS p50_exact,
+       TRUE AS within_tol
+FROM documents GROUP BY lang"""

@@ -549,3 +549,34 @@ def events_pivot_by_type_sql() -> str:
     return f"""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        {cols}
 FROM events GROUP BY 1"""
+
+
+def distinct_users_sketch(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
+    """Sketch-quality evaluation for approximate distinct counting: the
+    HyperLogLog++ estimate (``approx_count_distinct``, the 100 TB path
+    where an exact global distinct shuffles every key) must land within
+    ``rel_tol`` of the exact count, overall and per event type.
+
+    The sketch value itself is engine-specific, so the emitted columns
+    are the exact count plus the pass/fail bit (same pattern as the ANN
+    recall@k eval, similarity.knn_ivf_recall) — a sketch drifting out
+    of tolerance fails the oracle comparison loudly."""
+    per_type = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("n_approx"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.lit(rel_tol) * F.col("n_exact")
+        ).alias("within_tol"),
+    )
+
+
+def distinct_users_sketch_sql() -> str:
+    return """SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_tol
+FROM events GROUP BY event_type"""

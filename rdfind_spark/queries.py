@@ -318,6 +318,13 @@ def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.inverted_index(_docs(spark, sf_dir))
 
 
+@register("docs_length_digest", corpus_stats.length_digest_eval_sql())
+def docs_length_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest approximate median vs exact per language (the 100 TB
+    percentile path, accuracy-gated)."""
+    return corpus_stats.length_digest_eval(_docs(spark, sf_dir))
+
+
 @register("docs_cube_counts", corpus_stats.docs_cube_counts_sql())
 def docs_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang × source) census with CUBE subtotals in one grouping-sets
@@ -501,6 +508,13 @@ def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score value outliers (moment stats + broadcast
     rejoin; no window sort)."""
     return events.value_anomalies(_events(spark, sf_dir))
+
+
+@register("events_distinct_sketch", events.distinct_users_sketch_sql())
+def events_distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate vs exact, per event type
+    (sketch must land within tolerance or the oracle check fails)."""
+    return events.distinct_users_sketch(_events(spark, sf_dir))
 
 
 @register("events_moving_window", events.moving_daily_value_sql())
