@@ -119,3 +119,16 @@ def test_embedding_kmeans_converges_to_blobs(spark):
     assert by_vec[0] != by_vec[1]
     # members sit close to their trained centroid
     assert all(r["cosine"] > 0.9 for r in out)
+
+
+def test_sketch_evals_within_tolerance(spark):
+    df = _docs(spark, [f"doc {i} " + "word " * (i % 7) for i in range(200)])
+    out = corpus_stats.length_digest_eval(df).collect()
+    assert all(r["within_tol"] for r in out)
+    edf = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 37, "view", 1.0, "{}") for i in range(500)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = events.distinct_users_sketch(edf).collect()
+    assert rows and all(r["within_tol"] for r in rows)
+    assert rows[0]["n_exact"] == 37
