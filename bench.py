@@ -129,6 +129,15 @@ def main() -> int:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
             it.next()._2().unpersist(False)
+        # Broadcast and localCheckpoint blocks are reclaimed by the
+        # ContextCleaner only after a driver GC notices the dropped
+        # references; in a 25-query session the lag measurably slows
+        # later queries (heavy queries ran ~2x their isolated time by
+        # mid-bench).  Force the GC between timed queries.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # This VM benches with large run-to-run variance (±40% observed on
     # the heavy CIND queries); the heavy set runs twice and reports the

@@ -549,3 +549,49 @@ def embedding_cosine_pairs_sql(threshold: float = COSINE_DUP_THRESHOLD) -> str:
     return f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}"""
+
+
+INCREMENTAL_SPLIT_ID = 250
+
+
+def incremental_dedup(
+    documents: DataFrame, split_id: int = INCREMENTAL_SPLIT_ID
+) -> DataFrame:
+    """Incremental (cross-run) exact dedup: new documents (doc_id ≥
+    split_id, standing in for today's crawl) are admitted only if their
+    normalized-text hash does not appear in the prior corpus (doc_id <
+    split_id, standing in for the already-ingested fingerprint store).
+
+    Plan shape: the prior corpus contributes ONLY its distinct hash set
+    (at production scale: the persisted fingerprint table, bucketed by
+    hash — see sources/bucketed.py), and admission is one left_anti
+    equi-join on the hash — no rescan of prior text, no pairwise work.
+    Output: each new doc with its hash and the admission bit."""
+    hashed = documents.withColumn("text_hash", F.md5(normalized_text()))
+    prior = (
+        hashed.filter(F.col("doc_id") < split_id).select("text_hash").distinct()
+    )
+    new = hashed.filter(F.col("doc_id") >= split_id)
+    dup = new.join(prior, on="text_hash", how="left_semi").select(
+        "doc_id", F.lit(False).alias("admitted")
+    )
+    fresh = new.join(prior, on="text_hash", how="left_anti").select(
+        "doc_id", F.lit(True).alias("admitted")
+    )
+    return (
+        new.select("doc_id", "text_hash", "source")
+        .join(dup.unionByName(fresh), on="doc_id")
+        .select("doc_id", "text_hash", "source", "admitted")
+    )
+
+
+def incremental_dedup_sql(split_id: int = INCREMENTAL_SPLIT_ID) -> str:
+    return f"""WITH h AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+prior AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < {split_id})
+SELECT doc_id, text_hash, source,
+       text_hash NOT IN (SELECT text_hash FROM prior) AS admitted
+FROM h WHERE doc_id >= {split_id}"""

@@ -262,6 +262,14 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_docs(spark, sf_dir))
 
 
+@register("dedup_incremental", dedup.incremental_dedup_sql())
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run dedup: new docs admitted only if their
+    hash is absent from the prior-corpus fingerprint set (left_anti on
+    the hash — no pairwise work)."""
+    return dedup.incremental_dedup(_docs(spark, sf_dir))
+
+
 @register("text_redact", text.redact_text_sql())
 def text_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (emails/URLs/long digit runs) with audit

@@ -132,3 +132,47 @@ def test_sketch_evals_within_tolerance(spark):
     rows = events.distinct_users_sketch(edf).collect()
     assert rows and all(r["within_tol"] for r in rows)
     assert rows[0]["n_exact"] == 37
+
+
+def test_moving_window_trailing_range_frame(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-03 10:00:00", 2.0),
+        (3, "2024-01-20 10:00:00", 4.0),  # outside any 7-day frame
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, 7, "view", v, "{}") for i, ts, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["day"]: r for r in events.moving_daily_value(df).collect()}
+    ppm = 1_000_000
+    assert out["2024-01-01"]["n_events_7d"] == 1
+    assert out["2024-01-03"]["n_events_7d"] == 2  # day 1 within 6 preceding days
+    assert out["2024-01-03"]["value_ppm_7d"] == 3 * ppm
+    assert out["2024-01-20"]["n_events_7d"] == 1  # gap resets the RANGE frame
+    assert out["2024-01-20"]["value_ppm_7d"] == 4 * ppm
+
+
+def test_events_pivot_counts(spark):
+    rows = [("view", 3), ("click", 2), ("error", 1)]
+    data = []
+    i = 0
+    for t, n in rows:
+        for _ in range(n):
+            data.append((i, "2024-02-01 00:00:00", 1, t, 0.0, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = events.events_pivot_by_type(df).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"], r["n_error"]) == (3, 2, 0, 1)
+
+
+def test_cube_counts_all_grouping_sets(spark):
+    df = _docs(spark, ["aa", "bb", "cc"])
+    out = {(r["lang"], r["source"]): r["n_docs"] for r in corpus_stats.docs_cube_counts(df).collect()}
+    assert out[("en", "web")] == 3
+    assert out[("en", "<all>")] == 3
+    assert out[("<all>", "web")] == 3
+    assert out[("<all>", "<all>")] == 3
