@@ -1,0 +1,131 @@
+"""Property-based tests: condition-code lattice algebra (exhaustive
+over the valid-code domain + hypothesis pairs) and sessionization vs a
+pure-Python reference on random event streams."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from rdfind_spark import condition_codes as cc
+
+
+# ------------------------------------------------ code lattice algebra
+
+
+def test_every_binary_code_has_two_valid_unary_generalizations():
+    for code in cc.VALID_BINARY_CODES:
+        gens = cc.generalizations(code)
+        assert len(gens) == 2
+        kept = {vi for _, vi in gens}
+        assert kept == {1, 2}
+        for gcode, _ in gens:
+            assert gcode in cc.VALID_UNARY_CODES
+            assert cc.is_subcode(gcode, code)
+        # merging the two generalizations reconstructs the binary code
+        assert cc.merge_codes(gens[0][0], gens[1][0]) == code
+
+
+def test_unary_codes_have_no_generalizations():
+    for code in cc.VALID_UNARY_CODES:
+        assert cc.generalizations(code) == []
+
+
+@given(
+    st.sampled_from(sorted(cc.VALID_CODES)),
+    st.sampled_from(sorted(cc.VALID_CODES)),
+    st.sampled_from(sorted(cc.VALID_CODES)),
+)
+def test_subcode_is_a_partial_order(a, b, c):
+    assert cc.is_subcode(a, a)
+    if cc.is_subcode(a, b) and cc.is_subcode(b, a):
+        assert a == b
+    if cc.is_subcode(a, b) and cc.is_subcode(b, c):
+        assert cc.is_subcode(a, c)
+
+
+@given(
+    st.sampled_from(sorted(cc.VALID_CODES)),
+    st.text(alphabet="abc", min_size=1, max_size=2),
+    st.text(alphabet="abc", min_size=1, max_size=2),
+)
+def test_capture_implies_is_reflexive_and_needs_subcode(code, v1, v2):
+    v2 = v2 if cc.is_binary_condition(code) else ""
+    assert cc.capture_implies(code, v1, v2, code, v1, v2)
+    for ref in sorted(cc.VALID_CODES):
+        if not cc.is_subcode(ref, code):
+            assert not cc.capture_implies(code, v1, v2, ref, v1, v2)
+
+
+# --------------------------------------------------- sessionize model
+
+
+def _sessions_reference(events, gap_s):
+    """Pure-Python gap sessionizer: events = [(user, t_seconds)]."""
+    out = {}
+    by_user = {}
+    for u, t in sorted(events):
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        sessions = []
+        for t in ts:
+            if sessions and t - sessions[-1][-1] <= gap_s:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        out[u] = [
+            (len(s), min(s), max(s)) for s in sessions
+        ]
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=7200),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    from rdfind_spark.functions.events import sessionize
+
+    gap_min = 30
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id long, off long",
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit("2024-03-01 00:00:00").cast("timestamp").cast("long")
+            + F.col("off")
+        )
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    got = {}
+    for r in sessionize(df, gap_min).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["session_start"], r["session_end"])
+        )
+    ref = _sessions_reference(events, gap_min * 60)
+    assert set(got) == set(ref)
+    for u, sess in ref.items():
+        # compare per-session (n_events, start offset, duration) with all
+        # offsets taken relative to the user's earliest session start via
+        # timedelta arithmetic (timezone-independent)
+        first = min(s for _, s, _ in got[u])
+        norm = sorted(
+            (n, int((s - first).total_seconds()), int((e - s).total_seconds()))
+            for n, s, e in got[u]
+        )
+        ref_first = min(start for _, start, _ in sess)
+        ref_norm = sorted(
+            (n, start - ref_first, end - start) for n, start, end in sess
+        )
+        assert norm == ref_norm, (u, norm, ref_norm)
