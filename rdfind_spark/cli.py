@@ -237,6 +237,7 @@ _CORPUS_OP_NAMES = (
     "pmi",
     "index",
     "percentiles",
+    "vocab",
 )
 
 
@@ -264,6 +265,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "pmi": lambda d: corpus_stats.pmi_bigrams(d),
         "index": lambda d: corpus_stats.inverted_index(d),
         "percentiles": lambda d: corpus_stats.length_percentiles(d),
+        "vocab": lambda d: corpus_stats.vocab_coverage(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -303,3 +303,56 @@ def length_digest_eval_sql() -> str:
     return """SELECT lang, quantile_cont(n_chars, 0.5) AS p50_exact,
        TRUE AS within_tol
 FROM documents GROUP BY lang"""
+
+
+VOCAB_TOP_K = 200
+
+
+def vocab_coverage(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage: for each of the
+    k most frequent tokens, its count, rank, and the share of ALL token
+    occurrences covered by ranks 1..r (parts-per-million, exact integer
+    arithmetic) — the census that sizes an LM vocabulary.
+
+    Plan: one token-census shuffle (map-side combined), a TakeOrdered
+    top-k, then the cumulative window runs over the k-row result only;
+    the grand total is a scalar aggregate."""
+    toks = tokens_col(F.col("text"))
+    counts = (
+        documents.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 1
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    cum = F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_n", cum)
+        .select(
+            "token",
+            "n",
+            "rank",
+            F.expr(f"(cum_n * 1000000L) div {total}L").alias("cum_ppm"),
+        )
+    )
+
+
+def vocab_coverage_sql(k: int = VOCAB_TOP_K) -> str:
+    return f"""WITH counts AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+  GROUP BY token
+),
+total AS (SELECT SUM(n) AS t FROM counts),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, token ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM counts
+)
+SELECT token, n, rank,
+       CAST((cum_n * 1000000) // total.t AS BIGINT) AS cum_ppm
+FROM ranked CROSS JOIN total WHERE rank <= {k}"""

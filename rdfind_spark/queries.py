@@ -326,6 +326,13 @@ def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.inverted_index(_docs(spark, sf_dir))
 
 
+@register("docs_vocab_coverage", corpus_stats.vocab_coverage_sql())
+def docs_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary with exact cumulative corpus coverage (ppm) —
+    the LM vocab-sizing census."""
+    return corpus_stats.vocab_coverage(_docs(spark, sf_dir))
+
+
 @register("docs_length_digest", corpus_stats.length_digest_eval_sql())
 def docs_length_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest approximate median vs exact per language (the 100 TB

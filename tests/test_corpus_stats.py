@@ -176,3 +176,12 @@ def test_cube_counts_all_grouping_sets(spark):
     assert out[("en", "<all>")] == 3
     assert out[("<all>", "web")] == 3
     assert out[("<all>", "<all>")] == 3
+
+
+def test_vocab_coverage_cumulative_ppm(spark):
+    df = _docs(spark, ["a a a b", "b c"])  # a:3 b:2 c:1, total 6
+    out = {r["rank"]: r for r in corpus_stats.vocab_coverage(df, k=10).collect()}
+    assert (out[1]["token"], out[1]["n"]) == ("a", 3)
+    assert out[1]["cum_ppm"] == 3 * 1_000_000 // 6
+    assert out[2]["cum_ppm"] == 5 * 1_000_000 // 6
+    assert out[3]["cum_ppm"] == 1_000_000
