@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Disjoint-copy scaling probe: time minimal-CIND discovery on N×
+copies of the sf0.1 triple view, each copy value-prefixed so copies
+share no values (output must scale exactly ×N — checked).
+
+Usage: python scripts/scale_probe.py [N ...]   (default: 1 2 4)
+"""
+
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rdfind_spark.operators.cind import discover_cinds
+from rdfind_spark.sources.triples import triple_view
+
+
+def main() -> int:
+    ns = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen once, untimed
+    discover_cinds(
+        triple_view(spark, "/root/testdata/sf0.001"), 10, minimal=True
+    ).write.format("noop").mode("overwrite").save()
+
+    base = triple_view(spark, sf_dir)
+    cols = base.columns
+    results = {}
+    for n in ns:
+        copies = [
+            base.select(
+                *[F.concat(F.lit(f"c{i}|"), F.col(c)).alias(c) for c in cols]
+            )
+            for i in range(n)
+        ]
+        tri = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        out = discover_cinds(tri, 10, minimal=True)
+        rows = out.count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# {n}x: {dt:.1f}s rows={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x rows {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
