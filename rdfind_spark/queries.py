@@ -23,6 +23,7 @@ from rdfind_spark.functions import (
     sampling,
     similarity,
     text,
+    warehouse,
 )
 from rdfind_spark.operators import census, rules, transforms
 from rdfind_spark.operators.captures import capture_candidates
@@ -352,6 +353,35 @@ def docs_length_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact length percentiles (p25/p50/p75 linear
     interpolation, bit-exact vs quantile_cont)."""
     return corpus_stats.length_percentiles(_docs(spark, sf_dir))
+
+
+# ------------------------------------------- warehouse star joins
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register("warehouse_revenue_by_nation", warehouse.revenue_by_nation_sql())
+def warehouse_revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join: revenue per (region, nation) in exact
+    integer cents; dimensions broadcast, date filter pushed to scan."""
+    return warehouse.revenue_by_nation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register("warehouse_late_priority", warehouse.late_shipment_priority_sql())
+def warehouse_late_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join with a cross-table predicate: order counts by
+    priority among orders with a >90-days-late shipment."""
+    return warehouse.late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
 
 
 # ----------------------------------------------- graph analytics (RDF)
