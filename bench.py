@@ -41,16 +41,22 @@ BENCH_QUERIES = [
     "knn_ivf",
     "knn_lsh",
     "dedup_embedding_ivf",
+    "dedup_semantic",
+    "dedup_incremental",
+    "embedding_kmeans",
     "events_sessionize",
     "events_hourly_counts",
     "events_asof_join",
     "events_range_join",
+    "events_moving_window",
     "multimodal_features",
     "text_fingerprints",
     "text_tfidf_keywords",
+    "text_bigrams",
     "docs_quality_filter",
     "docs_pack_sequences",
     "docs_export_train",
+    "warehouse_revenue_by_nation",
     "graph_pagerank",
 ]
 
