@@ -791,13 +791,24 @@ def build_capture_tables(
         .select(*CAPTURE_KEY, "support")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    frequent.count()
     capf = (
         dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
         .select("jv1", "jv2", "h1", "h2", "support")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    capf.count()
+    # frequent and capf are independent consumers of the two caches
+    # materialized ABOVE (frequent scans the raw candidates, capf reads
+    # dcap_h) — build them concurrently from two driver threads.  The
+    # AQE cache-deadlock in the docstring needs a cache whose build plan
+    # CONTAINS another still-unbuilt cache; here both inputs are already
+    # built, so the two jobs share nothing unmaterialized.
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(frequent.count)
+        f2 = pool.submit(capf.count)
+        f1.result()
+        f2.result()
     return cand, dcap_h, freq_h, frequent, capf
 
 
