@@ -76,3 +76,38 @@ def null_sensitive_cmp(a, b) -> int:
     if b is None:
         return 1
     return (a > b) - (a < b)
+
+
+def salted_join(
+    left,
+    right,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+):
+    """Skew-hardened equi-join: the (large, skewed) ``left`` side gets a
+    random-ish but DETERMINISTIC salt derived from its row content, the
+    (smaller) ``right`` side is replicated ``salt`` ways, and the join
+    runs on (keys + salt) so one hot key spreads over ``salt`` reducer
+    partitions instead of melting a single task.
+
+    This is the generic form of the CIND engine's internal hub-line
+    handling (operators/cind.py `_salted_pair_counts`) exposed as a
+    reusable operator.  AQE's skew-join split handles moderate skew on
+    its own; explicit salting is for the regime where a single key
+    exceeds what one task can hold at all.  ``right`` is replicated
+    ``salt``× — keep it the smaller side.
+
+    Only inner/left joins are supported (for other types the replicated
+    right side would change multiplicities).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    lsalt = F.pmod(F.xxhash64(*on, F.monotonically_increasing_id()), F.lit(salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, on=[*on, "__salt"], how=how).drop("__salt")

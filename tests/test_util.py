@@ -57,3 +57,24 @@ def test_null_ordering():
     assert null_sensitive_cmp("a", "b") == -1
     assert null_sensitive_cmp("b", "a") == 1
     assert null_sensitive_cmp("a", "a") == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.util import salted_join
+
+    # one hot key (0) with 5k rows + a long tail
+    left = spark.range(0, 6000).selectExpr(
+        "CASE WHEN id < 5000 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (5500, "cold"), (9999, "absent-left")], "k long, tag string"
+    )
+    plain = left.join(right, on="k").groupBy("k", "tag").count()
+    salted = salted_join(left, right, on=["k"]).groupBy("k", "tag").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join multiplicities preserved too
+    pl = left.join(right, on="k", how="left").count()
+    sl = salted_join(left, right, on=["k"], how="left").count()
+    assert pl == sl == 6000
