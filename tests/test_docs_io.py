@@ -81,3 +81,32 @@ def test_orc_round_trip(spark, tmp_path):
     # partitioned layout actually pruned on read
     one = read_documents_orc(spark, path + "/source=web")
     assert one.count() == 1
+
+
+def test_upsert_snapshot_latest_wins_and_tombstones(spark):
+    from rdfind_spark.sources.snapshot import upsert_snapshot
+
+    prior = spark.createDataFrame(
+        [(1, "old-a"), (2, "old-b"), (3, "old-c")], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "new-b", False), (3, None, True), (4, "new-d", False)],
+        "doc_id long, text string, deleted boolean",
+    )
+    out = {r["doc_id"]: r["text"] for r in upsert_snapshot(prior, updates, "doc_id").collect()}
+    assert out == {1: "old-a", 2: "new-b", 4: "new-d"}  # 3 tombstoned
+
+
+def test_compact_snapshot_reduces_files(spark, tmp_path):
+    import os
+
+    from rdfind_spark.sources.snapshot import compact_snapshot
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(0, 1000).repartition(16).write.parquet(src)
+    n = compact_snapshot(spark, src, dst, target_files=2)
+    assert n == 1000
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) <= 2
+    assert spark.read.parquet(dst).count() == 1000
