@@ -663,6 +663,30 @@ def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("stream_anomalies", None)
+def stream_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online stateful z-score outliers (``applyInPandasWithState``,
+    Welford moments carried across micro-batches); rows-only — the
+    prior-prefix baseline is inherently streaming (exact parity with a
+    Python online reference is pinned in
+    tests/test_streaming_multimodal.py)."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_events,
+        streaming_anomalies,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    name = run_available_now(
+        streaming_anomalies(ev),
+        f"stream_anom_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 @register("stream_sessions", None)
 def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionizer (``applyInPandasWithState``) driven

@@ -12,6 +12,7 @@ from rdfind_spark.streaming.windows import (  # noqa: F401
     stream_error_click_join,
     stream_events,
     stream_to_partitioned_parquet,
+    streaming_anomalies,
     streaming_exact_dedup,
     streaming_sessionize,
 )

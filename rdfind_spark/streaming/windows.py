@@ -282,3 +282,67 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return name
+
+
+ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_seen", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+_ANOM_Z = 3.0
+_ANOM_MIN_SEEN = 10
+
+
+def _anomaly_fn(key, pdfs, state: GroupState):
+    """Online per-user outlier detection with Welford running moments
+    carried across micro-batches: an event is flagged when its value
+    exceeds mean + z·stddev of all PRIOR events of that user (≥ min
+    baseline).  State is three numbers per user — bounded regardless of
+    stream length."""
+    (user_id,) = key
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for ev, v in zip(rows["event_id"], rows["value"]):
+        v = float(v)
+        if n >= _ANOM_MIN_SEEN and m2 > 0.0:
+            sd = (m2 / (n - 1)) ** 0.5
+            if sd > 0.0 and v > mean + _ANOM_Z * sd:
+                out.append([user_id, int(ev), v, n, round((v - mean) / sd, 3)])
+        # Welford update AFTER the test: the baseline is prior events only
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+    state.update((n, mean, m2))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "value", "n_seen", "zscore"]
+        )
+
+
+def streaming_anomalies(events: DataFrame) -> DataFrame:
+    """Custom stateful operator #2: online z-score outliers via
+    ``applyInPandasWithState`` — the streaming counterpart of the batch
+    ``functions.events.value_anomalies`` (which scores against the
+    user's FULL history; online scoring uses the prior prefix, the
+    only causally-valid baseline on an unbounded stream)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType="n LONG, mean DOUBLE, m2 DOUBLE",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -282,3 +282,71 @@ def test_stream_to_partitioned_parquet_sink(spark, sf_dir, tmp_path):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert back.count() == n_docs
     assert "source" in back.columns
+
+
+def test_streaming_anomalies_match_python_online_reference(spark, tmp_path):
+    """Pin the stateful online anomaly detector with a deterministic
+    2-slice micro-batch source: flagged events must equal a pure-Python
+    Welford prefix-scoring reference over the globally ordered stream
+    (state carries the running moments across the slice boundary)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rdfind_spark.streaming import run_available_now, streaming_anomalies
+
+    t0 = dt.datetime(2024, 4, 1, 0, 0, 0)
+    vals_u1 = [1.0, 1.1, 0.9, 1.0, 1.2, 0.8, 1.0, 1.1, 0.9, 1.0,  # baseline 10
+               1.05, 50.0, 1.0, 60.0]                               # two spikes
+    vals_u2 = [5.0, 100.0]  # too few events for a baseline
+    events = [(1, i, v) for i, v in enumerate(vals_u1)]
+    events += [(2, 100 + i, v) for i, v in enumerate(vals_u2)]
+    # slice at minute 8 — u1's state must carry across the boundary
+    rows = [
+        (u, eid, t0 + dt.timedelta(minutes=eid % 100), v) for u, eid, v in events
+    ]
+    slices = [
+        [r for r in rows if r[2] < t0 + dt.timedelta(minutes=8)],
+        [r for r in rows if r[2] >= t0 + dt.timedelta(minutes=8)],
+    ]
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    for i, sl in enumerate(slices):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [u for u, _, _, _ in sl],
+                "event_id": [e for _, e, _, _ in sl],
+                "ts": [pd.Timestamp(t) for _, _, t, _ in sl],
+                "value": [v for _, _, _, v in sl],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / f"batch_{i:03d}.parquet", index=False)
+    sdf = streaming_anomalies(
+        spark.readStream.schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(sdf, "anomalies_exact_test", output_mode="append")
+    got = {
+        (r["user_id"], r["event_id"], r["n_seen"], r["zscore"])
+        for r in spark.table("anomalies_exact_test").collect()
+    }
+
+    # pure-Python online reference (Welford, prior-prefix baseline)
+    ref = set()
+    state = {}
+    for u, eid, v in sorted(events, key=lambda x: (x[0], x[1])):
+        n, mean, m2 = state.get(u, (0, 0.0, 0.0))
+        if n >= 10 and m2 > 0.0:
+            sd = (m2 / (n - 1)) ** 0.5
+            if sd > 0.0 and v > mean + 3.0 * sd:
+                ref.add((u, eid, n, round((v - mean) / sd, 3)))
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+        state[u] = (n, mean, m2)
+    assert got == ref
+    assert any(eid == 11 for _, eid, _, _ in got)  # the 50.0 spike flagged
+    assert not any(u == 2 for u, _, _, _ in got)  # no baseline, no flags
