@@ -356,3 +356,28 @@ ranked AS (
 SELECT token, n, rank,
        CAST((cum_n * 1000000) // total.t AS BIGINT) AS cum_ppm
 FROM ranked CROSS JOIN total WHERE rank <= {k}"""
+
+
+N_DECILES = 10
+
+
+def length_deciles(documents: DataFrame, n: int = N_DECILES) -> DataFrame:
+    """Per-language length-decile assignment (curriculum/stratification
+    prep): each document gets its n-tile by character count within its
+    language, ties broken by doc_id so the split is deterministic.
+
+    Scale note: ntile is a per-language global sort — one partition per
+    language under Spark's window, which skews when one language
+    dominates; at the 100 TB tier switch to approx-percentile threshold
+    buckets (length_digest_eval shows the accuracy-gated pattern) for
+    the same output contract."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return documents.select(
+        "doc_id", "lang", "n_chars", F.ntile(n).over(w).alias("decile")
+    )
+
+
+def length_deciles_sql(n: int = N_DECILES) -> str:
+    return f"""SELECT doc_id, lang, n_chars,
+       ntile({n}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+FROM documents"""

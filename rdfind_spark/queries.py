@@ -327,6 +327,13 @@ def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.inverted_index(_docs(spark, sf_dir))
 
 
+@register("docs_length_deciles", corpus_stats.length_deciles_sql())
+def docs_length_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-decile assignment (curriculum prep; ntile
+    with deterministic tie-break)."""
+    return corpus_stats.length_deciles(_docs(spark, sf_dir))
+
+
 @register("docs_vocab_coverage", corpus_stats.vocab_coverage_sql())
 def docs_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k vocabulary with exact cumulative corpus coverage (ppm) —

@@ -185,3 +185,17 @@ def test_vocab_coverage_cumulative_ppm(spark):
     assert out[1]["cum_ppm"] == 3 * 1_000_000 // 6
     assert out[2]["cum_ppm"] == 5 * 1_000_000 // 6
     assert out[3]["cum_ppm"] == 1_000_000
+
+
+def test_length_deciles_deterministic_balanced(spark):
+    df = spark.createDataFrame(
+        [(i, "t", "en", "web", 100 + i) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = corpus_stats.length_deciles(df, n=10).collect()
+    by_decile = {}
+    for r in out:
+        by_decile.setdefault(r["decile"], []).append(r["n_chars"])
+    assert len(by_decile) == 10 and all(len(v) == 2 for v in by_decile.values())
+    # deciles ordered by length
+    assert max(by_decile[1]) < min(by_decile[10])
