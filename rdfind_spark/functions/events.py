@@ -580,3 +580,37 @@ def distinct_users_sketch_sql() -> str:
        COUNT(DISTINCT user_id) AS n_exact,
        TRUE AS within_tol
 FROM events GROUP BY event_type"""
+
+
+def grouping_sets_census(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS census: ((event_type), (day), ()) — the
+    three groupings a dashboard wants, in ONE pass (Spark expands the
+    sets into a single partial-aggregated shuffle; CUBE/ROLLUP are the
+    other members of the family, see daily_rollup / docs_cube_counts).
+    grouping_id disambiguates which set each row belongs to."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    base = events.select(day.alias("day"), "event_type", "value")
+    grouped = base.groupingSets(
+        [["event_type"], ["day"], []], "day", "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.grouping_id().alias("gid"),
+    )
+    return grouped.select(
+        F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        "n_events",
+        "gid",
+    )
+
+
+def grouping_sets_census_sql() -> str:
+    # DuckDB's GROUPING(a, b) bit order matches Spark's grouping_id()
+    # (leftmost grouping column = most significant bit)
+    return """SELECT
+       COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), '<all>') AS day,
+       COALESCE(event_type, '<all>') AS event_type,
+       COUNT(*) AS n_events,
+       CAST(GROUPING(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), event_type) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)), ())"""

@@ -562,6 +562,12 @@ def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.value_anomalies(_events(spark, sf_dir))
 
 
+@register("events_grouping_sets", events.grouping_sets_census_sql())
+def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS census with grouping_id (one pass)."""
+    return events.grouping_sets_census(_events(spark, sf_dir))
+
+
 @register("events_distinct_sketch", events.distinct_users_sketch_sql())
 def events_distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate vs exact, per event type
