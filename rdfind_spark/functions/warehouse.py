@@ -111,3 +111,85 @@ WHERE EXISTS (
     AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY
 )
 GROUP BY o_orderpriority"""
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """The classic pricing-summary report (TPC-H Q1 shape): per
+    (returnflag, linestatus) the quantity/price/discounted sums and row
+    count for lines shipped before the cutoff.  Pure scan → filter
+    (pushed down) → one partial-aggregated groupBy on a 6-value key;
+    money in exact integer cents, quantities in exact integer units."""
+    li = lineitem.filter(
+        F.col("l_shipdate") < F.lit(ship_before).cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "disc_cpct"
+        ),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_price_cents"),
+        F.expr("sum(disc_cpct) div 100").alias("sum_disc_price_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def pricing_summary_sql(ship_before: str = "1998-09-01") -> str:
+    return f"""SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // 100
+            AS BIGINT) AS sum_disc_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{ship_before} 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    year: int = 1996,
+    min_disc: float = 0.02,
+    max_disc: float = 0.06,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Discount-band revenue scan (TPC-H Q6 shape): Σ price·discount
+    over lines in one ship year, a discount band, and a quantity cap —
+    the pure pushdown query (every predicate reaches the parquet scan;
+    no join, no wide shuffle, one global integer sum)."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= min_disc)
+        & (F.col("l_discount") <= max_disc)
+        & (F.col("l_quantity") < max_qty)
+    ).select(
+        (_cents("l_extendedprice") * _cents("l_discount")).alias("rev_cpct")
+    )
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.expr("sum(rev_cpct) div 100").alias("revenue_cents"),
+    )
+
+
+def revenue_forecast_sql(
+    year: int = 1996,
+    min_disc: float = 0.02,
+    max_disc: float = 0.06,
+    max_qty: float = 24.0,
+) -> str:
+    return f"""SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) // 100
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{year + 1}-01-01 00:00:00'
+  AND l_discount >= {min_disc} AND l_discount <= {max_disc}
+  AND l_quantity < {max_qty}"""

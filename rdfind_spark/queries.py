@@ -382,6 +382,20 @@ def warehouse_revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("warehouse_pricing_summary", warehouse.pricing_summary_sql())
+def warehouse_pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary report (Q1 shape): scan → pushed filter → one
+    groupBy on a 6-value key; exact integer quantities/cents."""
+    return warehouse.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_revenue_forecast", warehouse.revenue_forecast_sql())
+def warehouse_revenue_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band revenue scan (Q6 shape): every predicate pushed to
+    the parquet scan, one global integer sum."""
+    return warehouse.revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
 @register("warehouse_late_priority", warehouse.late_shipment_priority_sql())
 def warehouse_late_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS semi-join with a cross-table predicate: order counts by
