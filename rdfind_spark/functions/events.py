@@ -614,3 +614,63 @@ def grouping_sets_census_sql() -> str:
        CAST(GROUPING(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), event_type) AS BIGINT) AS gid
 FROM events
 GROUP BY GROUPING SETS ((event_type), (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)), ())"""
+
+
+WAU_DAYS = 7
+
+
+def dau_wau(events: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
+    """Daily + trailing-7-day active users (DAU/WAU) — the standard
+    engagement pair.  Rolling DISTINCT cannot ride a window frame, so
+    WAU uses the banded replication: each (day, user) activity row is
+    replicated to the ``window_days`` target days it supports, then one
+    distinct count per target day.  Replication factor is the window
+    length (bounded, shuffle-friendly) — never a per-day self-join over
+    the whole history."""
+    day_num = F.unix_date(F.date_trunc("day", F.col("ts")).cast("date"))
+    active = (
+        events.select(day_num.alias("day_num"), "user_id").distinct()
+    )
+    dau = active.groupBy("day_num").agg(F.count("*").alias("dau"))
+    targets = active.select(
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))
+        ).alias("day_num"),
+        "user_id",
+    )
+    wau = (
+        targets.groupBy("day_num")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        # only days with actual activity are reported (join with dau)
+    )
+    return (
+        dau.join(wau, on="day_num")
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("day_num").cast("int")
+            )
+            .cast("string")
+            .alias("day"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+def dau_wau_sql(window_days: int = WAU_DAYS) -> str:
+    return f"""WITH active AS (
+  SELECT DISTINCT
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         user_id
+  FROM events
+),
+dau AS (SELECT day_num, COUNT(*) AS dau FROM active GROUP BY day_num),
+targets AS (
+  SELECT day_num + d AS day_num, user_id
+  FROM active, unnest(generate_series(0, {window_days - 1})) AS g(d)
+),
+wau AS (SELECT day_num, COUNT(DISTINCT user_id) AS wau FROM targets GROUP BY day_num)
+SELECT CAST(DATE '1970-01-01' + CAST(dau.day_num AS INT) AS VARCHAR) AS day,
+       dau, wau
+FROM dau JOIN wau ON dau.day_num = wau.day_num"""

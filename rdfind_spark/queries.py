@@ -576,6 +576,13 @@ def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.value_anomalies(_events(spark, sf_dir))
 
 
+@register("events_dau_wau", events.dau_wau_sql())
+def events_dau_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users (banded replication for the
+    rolling distinct — no per-day history self-join)."""
+    return events.dau_wau(_events(spark, sf_dir))
+
+
 @register("events_grouping_sets", events.grouping_sets_census_sql())
 def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS census with grouping_id (one pass)."""
