@@ -199,3 +199,21 @@ def test_length_deciles_deterministic_balanced(spark):
     assert len(by_decile) == 10 and all(len(v) == 2 for v in by_decile.values())
     # deciles ordered by length
     assert max(by_decile[1]) < min(by_decile[10])
+
+
+def test_dau_wau_banded_rolling_distinct(spark):
+    rows = [
+        (1, "2024-01-01", 1), (2, "2024-01-01", 2),       # day 1: users 1,2
+        (3, "2024-01-03", 1),                              # day 3: user 1
+        (4, "2024-01-20", 3),                              # isolated day
+    ]
+    df = spark.createDataFrame(
+        [(i, f"{d} 10:00:00", u, "view", 0.0, "{}") for i, d, u in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["day"]: (r["dau"], r["wau"]) for r in events.dau_wau(df).collect()}
+    assert out["2024-01-01"] == (2, 2)
+    # day 3 WAU covers days -6..0 → users {1,2} from day 1 plus day 3's user 1
+    assert out["2024-01-03"] == (1, 2)
+    assert out["2024-01-20"] == (1, 1)
+    assert set(out) == {"2024-01-01", "2024-01-03", "2024-01-20"}
