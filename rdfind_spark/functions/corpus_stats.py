@@ -381,3 +381,23 @@ def length_deciles_sql(n: int = N_DECILES) -> str:
     return f"""SELECT doc_id, lang, n_chars,
        ntile({n}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
 FROM documents"""
+
+
+def token_length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus-wide token-length distribution (tokenizer sanity census):
+    per length, the token-occurrence count and distinct-token count.
+    One explode + one map-side-combined groupBy on a tiny key."""
+    toks = tokens_col(F.col("text"))
+    t = documents.select(F.explode(toks).alias("token"))
+    return t.groupBy(F.length("token").alias("token_len")).agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("token").alias("n_distinct"),
+    )
+
+
+def token_length_histogram_sql() -> str:
+    return f"""SELECT length(token) AS token_len,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT token) AS n_distinct
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+GROUP BY length(token)"""

@@ -674,3 +674,20 @@ wau AS (SELECT day_num, COUNT(DISTINCT user_id) AS wau FROM targets GROUP BY day
 SELECT CAST(DATE '1970-01-01' + CAST(dau.day_num AS INT) AS VARCHAR) AS day,
        dau, wau
 FROM dau JOIN wau ON dau.day_num = wau.day_num"""
+
+
+def hourly_activity_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day activity profile per event type (seasonality census):
+    counts and distinct users for each (hour 0-23, event_type) cell."""
+    return events.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def hourly_activity_profile_sql() -> str:
+    return """SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""

@@ -327,6 +327,12 @@ def docs_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.inverted_index(_docs(spark, sf_dir))
 
 
+@register("text_token_length_hist", corpus_stats.token_length_histogram_sql())
+def text_token_length_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-length histogram (tokenizer sanity census)."""
+    return corpus_stats.token_length_histogram(_docs(spark, sf_dir))
+
+
 @register("docs_length_deciles", corpus_stats.length_deciles_sql())
 def docs_length_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length-decile assignment (curriculum prep; ntile
@@ -574,6 +580,12 @@ def events_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score value outliers (moment stats + broadcast
     rejoin; no window sort)."""
     return events.value_anomalies(_events(spark, sf_dir))
+
+
+@register("events_hourly_profile", events.hourly_activity_profile_sql())
+def events_hourly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type."""
+    return events.hourly_activity_profile(_events(spark, sf_dir))
 
 
 @register("events_dau_wau", events.dau_wau_sql())
