@@ -593,5 +593,6 @@ def incremental_dedup_sql(split_id: int = INCREMENTAL_SPLIT_ID) -> str:
 ),
 prior AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < {split_id})
 SELECT doc_id, text_hash, source,
-       text_hash NOT IN (SELECT text_hash FROM prior) AS admitted
+       NOT EXISTS (SELECT 1 FROM prior p WHERE p.text_hash = h.text_hash)
+         AS admitted
 FROM h WHERE doc_id >= {split_id}"""

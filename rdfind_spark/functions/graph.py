@@ -190,14 +190,22 @@ def pagerank(
     nodes.unpersist()
 
     # Top-k selection happens on hashed ids, string restoration on the
-    # candidate rows only — no node-sized string shuffle anywhere:
-    #  1. kth = the top_k-th largest rank (TakeOrdered on longs);
-    #  2. candidates = every node with rank >= kth (top_k + rank ties —
-    #     result-sized, a tie group can only add a handful of rows);
-    #  3. restore candidate strings map-side (broadcast id set filter
-    #     over the raw string edges, then a tiny distinct);
-    #  4. the exact (rank desc, node-STRING asc) tie-break ordering and
-    #     row_number run on the restored candidate rows only.
+    # candidate rows only — no node-sized string shuffle, and nothing
+    # node-sized ever reaches the driver:
+    #  1. kth = the top_k-th largest rank (TakeOrdered on longs — a
+    #     ≤ top_k driver list);
+    #  2. candidates = every node with rank >= kth (top_k + rank ties;
+    #     usually result-sized, but a tie band CAN be huge — every
+    #     zero-in-degree node sits at exactly `teleport`, so if the
+    #     boundary falls into that band the candidate set is node-sized.
+    #     It therefore stays a DataFrame end-to-end: restoration is a
+    #     distributed semi-join, never an `isin` over a collected list);
+    #  3. restore candidate strings via a join of the raw string edges
+    #     against the candidate id set (AQE broadcasts when small);
+    #  4. the exact (rank desc, node-STRING asc) tie-break runs as a
+    #     distributed TakeOrdered LIMIT over the restored candidates —
+    #     no single-partition window over a possibly node-sized band —
+    #     and row_number assigns positions over the ≤ top_k survivors.
     kth_rows = (
         ranks.select("rank").orderBy(F.col("rank").desc()).limit(top_k).collect()
     )
@@ -210,26 +218,22 @@ def pagerank(
         ).limit(0)
     kth = kth_rows[-1]["rank"]
     cand = ranks.filter(F.col("rank") >= kth)
-    cand_ids = [r["id"] for r in cand.select("id").collect()]
     node_strings = (
         raw.select(F.explode(F.array("src_s", "dst_s")).alias("node"))
         .withColumn("id", F.xxhash64("node"))
-        .filter(F.col("id").isin(cand_ids))
+        .join(cand.select("id"), on="id", how="left_semi")
         .distinct()
     )
     restored = cand.join(node_strings, on="id").select("node", "rank")
+    top = restored.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(top_k)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
-    return (
-        restored.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= top_k)
-        .select(
-            "node",
-            "rank",
-            F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 9).alias("pr"),
-            "pos",
-        )
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        "node",
+        "rank",
+        F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 9).alias("pr"),
+        "pos",
     )
 
 

@@ -314,6 +314,63 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 N_DEDUP_CENTROIDS = 8
 N_DEDUP_ASSIGN = 4
+# The genuine near-dup regime threshold (small angles, ≈31° or less):
+# at or above this, qualifying pairs rank centroids near-identically, so
+# the index scales its centroid count with the data (the ≥0.8 branch in
+# embedding_dedup_pairs_ivf) and Σ bucket² stays linear in n.  This is
+# the regime a 100 TB dedup pass actually runs in — registered as
+# ``dedup_embedding_ivf_neardup``; the low-threshold variant stays as
+# the completeness stress test.
+NEARDUP_COSINE_THRESHOLD = 0.85
+
+# The test corpus's seeded duplicates top out at pair cosine ≈0.51 —
+# below any honest near-dup threshold — so the registered neardup query
+# runs over the corpus AUGMENTED with one deterministically-jittered
+# twin per vector (component i scaled by 1 + ((i mod 7) - 3)/100, twin
+# ids offset): the twins are ≈0.999-cosine near-dups the scaled-centroid
+# plan must find, making the brute-force oracle check exercise pair
+# completeness instead of vacuously matching on zero rows.
+NEARDUP_TWIN_OFFSET = 1_000_000
+
+
+def augmented_neardup_embeddings(embeddings: DataFrame) -> DataFrame:
+    """The embeddings table unioned with its jittered twins (see
+    NEARDUP_TWIN_OFFSET).  The jitter is computed in double and rounded
+    back to float, so Spark and the SQL oracle derive bit-identical twin
+    vectors."""
+    twin = embeddings.select(
+        (F.col("vec_id") + F.lit(NEARDUP_TWIN_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                * (F.lit(1.0) + ((i % 7) - 3).cast("double") / F.lit(100.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return embeddings.select("vec_id", "embedding").unionByName(twin)
+
+
+AUGMENTED_NEARDUP_SQL = f"""SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEARDUP_TWIN_OFFSET} AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     * (1.0 + CAST((i - 1) % 7 - 3 AS DOUBLE) / 100.0)
+                     AS FLOAT)) AS embedding
+  FROM embeddings"""
+
+
+def neardup_pairs_sql(threshold: float = NEARDUP_COSINE_THRESHOLD) -> str:
+    """Brute-force all-pairs oracle over the augmented corpus — the
+    exact pair set the bucketed scaled-centroid plan must reproduce."""
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""WITH aug AS MATERIALIZED (
+{AUGMENTED_NEARDUP_SQL}
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}"""
 # vectors per centroid the index aims for: n_centroids = n / this, so
 # Σ bucket² stays ~n × (VECTORS_PER_CENTROID × n_assign) instead of
 # degenerating to all-pairs when n outgrows a fixed centroid count

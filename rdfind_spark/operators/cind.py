@@ -732,12 +732,19 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
 
 
 def build_capture_tables(
-    triples: DataFrame, min_support: int = 10, projection: str | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    triples: DataFrame,
+    min_support: int = 10,
+    projection: str | None = None,
+    with_capf: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """The shared hashed-prefix pipeline of every CIND engine entry:
     returns ``(cand, dcap_h, freq_h, frequent, capf)`` with the last
     four PERSISTED (MEMORY_AND_DISK) and built eagerly in dependency
     order.  Callers unpersist what they took when done.
+
+    ``with_capf=False`` skips the capf build (and returns ``None`` in
+    its slot) for consumers that only need the support counts — e.g.
+    the ``capture_supports`` query, which stops at ``frequent``.
 
     The whole bulk pipeline (distinct, support counts, pair join) runs
     on 96-bit hashes of BOTH the join value and the capture key:
@@ -791,6 +798,9 @@ def build_capture_tables(
         .select(*CAPTURE_KEY, "support")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if not with_capf:
+        frequent.count()
+        return cand, dcap_h, freq_h, frequent, None
     capf = (
         dcap_h.join(F.broadcast(freq_h), on=["h1", "h2"])
         .select("jv1", "jv2", "h1", "h2", "support")

@@ -301,9 +301,19 @@ _ANOM_MIN_SEEN = 10
 def _anomaly_fn(key, pdfs, state: GroupState):
     """Online per-user outlier detection with Welford running moments
     carried across micro-batches: an event is flagged when its value
-    exceeds mean + z·stddev of all PRIOR events of that user (≥ min
-    baseline).  State is three numbers per user — bounded regardless of
-    stream length."""
+    exceeds mean + z·stddev of the events PROCESSED BEFORE it for that
+    user (≥ min baseline).  State is three numbers per user — bounded
+    regardless of stream length.
+
+    Ordering caveat: "prior" means processing order, not event time.
+    Rows are sorted by (ts, event_id) only WITHIN a micro-batch, so a
+    late-but-within-watermark event arriving in a later batch is scored
+    against state that already includes later-ts events.  That is the
+    standard semantics of an online detector (score against what has
+    been seen so far); under a single AvailableNow batch — what the
+    parity test pins — processing order equals event-time order and the
+    result is deterministic.  For strict event-time scoring, buffer
+    rows in state until the watermark passes and score in ts order."""
     (user_id,) = key
     if state.exists:
         n, mean, m2 = state.get

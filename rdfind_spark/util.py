@@ -85,11 +85,15 @@ def salted_join(
     how: str = "inner",
     salt: int = 16,
 ):
-    """Skew-hardened equi-join: the (large, skewed) ``left`` side gets a
-    random-ish but DETERMINISTIC salt derived from its row content, the
-    (smaller) ``right`` side is replicated ``salt`` ways, and the join
-    runs on (keys + salt) so one hot key spreads over ``salt`` reducer
-    partitions instead of melting a single task.
+    """Skew-hardened equi-join: each (large, skewed) ``left``-side row
+    gets an arbitrary salt in [0, salt), the (smaller) ``right`` side is
+    replicated ``salt`` ways, and the join runs on (keys + salt) so one
+    hot key spreads over ``salt`` reducer partitions instead of melting
+    a single task.  The salt value is partition-layout-dependent (it
+    hashes ``monotonically_increasing_id``) and may differ when a
+    partition is recomputed — harmless for correctness, since every
+    salt value has a matching right-side replica; do not rely on it for
+    reproducible row placement.
 
     This is the generic form of the CIND engine's internal hub-line
     handling (operators/cind.py `_salted_pair_counts`) exposed as a
@@ -105,7 +109,7 @@ def salted_join(
 
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left' only")
-    lsalt = F.pmod(F.xxhash64(*on, F.monotonically_increasing_id()), F.lit(salt))
+    lsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -35,6 +35,36 @@ def test_every_query_has_oracle_or_documented_exception():
     assert missing == {"stream_sessions", "stream_anomalies"}, missing
 
 
+def test_every_evidence_gapped_query_is_on_the_driver_board():
+    """The driver's correctness board takes the FIRST 50 registered
+    queries only.  Any query whose latest driver check is not green —
+    never present in a CORRECTNESS_r*.json, or failing its most recent
+    appearance — must sit inside that window, or it can never earn
+    driver evidence.  Computed from the committed correctness files so
+    newly-registered queries are enforced automatically."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    latest: dict[str, bool] = {}
+    for path in rounds:  # ascending round order: later rounds overwrite
+        for name, row in json.load(open(path)).items():
+            latest[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+    board = list(entry.queries())[:50]
+    gapped = [n for n in entry.queries() if not latest.get(n, False)]
+    off_board = sorted(set(gapped) - set(board))
+    assert not off_board, (
+        f"evidence-gapped queries outside the 50-entry driver board: "
+        f"{off_board} — add them to _BOARD_PRIORITY in queries.py"
+    )
+
+
 def test_all_oracle_sql_executes(con):
     failures = []
     for name, sql in entry.oracle_sql().items():
