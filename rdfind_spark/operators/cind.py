@@ -210,6 +210,8 @@ def capture_overlaps(
     frequent: DataFrame,
     min_overlap: int = 1,
     sketches: DataFrame | None = None,
+    hot_values: list | None = None,
+    hot_overflow: DataFrame | None = None,
 ) -> DataFrame:
     """Unordered pairwise overlap counts: for captures a < b (by key
     order), the number of join values where both occur.  Overlap is
@@ -255,34 +257,43 @@ def capture_overlaps(
       captures hash-bucketed into N_SALT groups spreading the k²
       product over N_SALT(N_SALT+1)/2 join keys) remains as the
       enumerator for the deep hot-only capture subset above.
+
+    ``hot_values``/``hot_overflow``: a caller that already censused a
+    SUPERSET of this input's hot lines (the staged engine's shared
+    full-line census) passes it here to skip the census job — safe
+    because the decomposition is exact for any hot set: lines named hot
+    are mask-counted, everything else flows through the cold/salted
+    paths.
     """
-    hot_sizes = (
-        capf.groupBy("jv1", "jv2")
-        .agg(F.count("*").alias("line_k"))
-        .filter(F.col("line_k") > HOT_LINE_K)
-    )
-    # Bounded collect: only the MAX_HOT_MASK hottest lines come to the
-    # driver (deterministic tie-break so reruns mask the same lines).
-    hot_values = [
-        (r.jv1, r.jv2)
-        for r in hot_sizes.orderBy(
-            F.col("line_k").desc(), "jv1", "jv2"
+    if hot_values is None:
+        hot_sizes = (
+            capf.groupBy("jv1", "jv2")
+            .agg(F.count("*").alias("line_k"))
+            .filter(F.col("line_k") > HOT_LINE_K)
         )
-        .limit(MAX_HOT_MASK)
-        .select("jv1", "jv2")
-        .collect()
-    ]
-    overflow = None
-    if len(hot_values) == MAX_HOT_MASK:
-        # possibly more hot lines than the cap — the remainder is
-        # handled exactly by the salted join, never materialized on the
-        # driver or as mask columns
-        top_df = capf.sparkSession.createDataFrame(
-            hot_values, "jv1 long, jv2 int"
-        )
-        overflow = hot_sizes.select("jv1", "jv2").join(
-            F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti"
-        )
+        # Bounded collect: only the MAX_HOT_MASK hottest lines come to
+        # the driver (deterministic tie-break so reruns mask the same
+        # lines).
+        hot_values = [
+            (r.jv1, r.jv2)
+            for r in hot_sizes.orderBy(
+                F.col("line_k").desc(), "jv1", "jv2"
+            )
+            .limit(MAX_HOT_MASK)
+            .select("jv1", "jv2")
+            .collect()
+        ]
+        if len(hot_values) == MAX_HOT_MASK:
+            # possibly more hot lines than the cap — the remainder is
+            # handled exactly by the salted join, never materialized on
+            # the driver or as mask columns
+            top_df = capf.sparkSession.createDataFrame(
+                hot_values, "jv1 long, jv2 int"
+            )
+            hot_overflow = hot_sizes.select("jv1", "jv2").join(
+                F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti"
+            )
+    overflow = hot_overflow
     if hot_values:
         ov = _cold_pair_counts_with_hot_masks(
             capf, hot_values, min_overlap, sketches, overflow=overflow

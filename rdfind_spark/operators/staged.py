@@ -69,6 +69,8 @@ from pyspark.sql import functions as F
 from rdfind_spark import condition_codes as cc
 from rdfind_spark.operators.cind import (
     HOT_LINE_K,
+    MAX_HOT_MASK,
+    N_SALT,
     _side,
     build_capture_tables,
     capture_overlaps,
@@ -174,6 +176,7 @@ def _verify_candidates(
     hot_values: list | None = None,
     hot_masks: DataFrame | None = None,
     supports: DataFrame | None = None,
+    hot_overflow: DataFrame | None = None,
 ) -> DataFrame:
     """Exact evidence check for candidate CINDs: count join values where
     dep and ref co-occur, restricted to candidate captures up front
@@ -203,7 +206,17 @@ def _verify_candidates(
     contribution to every candidate pair is computed from broadcast
     per-capture membership bitmasks (``bit_count(a & b)``) — linear in
     candidates, the hub product never materializes.  Cold lines are
-    counted through the equi-join as usual.  Always exact."""
+    counted through the equi-join as usual.  Always exact.
+
+    The hot census (self-run or caller-provided) is CAPPED at
+    ``MAX_HOT_MASK`` lines, mirroring ``capture_overlaps``: only the
+    hottest lines earn bitmask columns + a driver-collected tuple, so a
+    pathological hub distribution cannot blow up the driver list or the
+    mask width.  Lines beyond the cap (``hot_overflow``, never
+    collected) are still counted exactly — through a salted bipartite
+    join (dep side bucketed by capture hash, ref side replicated
+    ``N_SALT`` ways) so their k² product spreads over ``N_SALT`` join
+    keys instead of landing on one task."""
     spark = dep_caps.sparkSession
     cands = _materialize(cands.select(*_CIND_KEY).distinct(), f"cand:{label}")
     ch = cands.select(
@@ -242,14 +255,26 @@ def _verify_candidates(
         # several candidate classes pass one precomputed full-line hot
         # set instead: restricted widths are bounded by the full line
         # width, so the full-line census is a correct superset and the
-        # per-call census jobs are saved.
+        # per-call census jobs are saved.  Bounded collect: only the
+        # MAX_HOT_MASK hottest lines come to the driver (deterministic
+        # tie-break); the remainder becomes the uncollected overflow.
         sz = (
             a.groupBy(*jv)
             .agg(F.count("*").alias("na"))
             .join(b.groupBy(*jv).agg(F.count("*").alias("nb")), on=jv)
             .filter(F.col("na") * F.col("nb") > HOT_LINE_K * HOT_LINE_K)
         )
-        hot_values = [(r.jv1, r.jv2) for r in sz.select(*jv).collect()]
+        top = (
+            sz.orderBy((F.col("na") * F.col("nb")).desc(), "jv1", "jv2")
+            .limit(MAX_HOT_MASK)
+            .select(*jv)
+        )
+        hot_values = [(r.jv1, r.jv2) for r in top.collect()]
+        if len(hot_values) == MAX_HOT_MASK:
+            top_df = spark.createDataFrame(hot_values, "jv1 long, jv2 int")
+            hot_overflow = sz.select(*jv).join(
+                F.broadcast(top_df), on=jv, how="left_anti"
+            )
     if supports is not None:
         # candidate dep supports straight off the cached frequent table
         # (hash-keyed, result-bounded) — no distinct pass over the
@@ -305,9 +330,28 @@ def _verify_candidates(
     hot_names = hot_df.select(*jv)
     cold_a = a.join(F.broadcast(hot_names), on=jv, how="left_anti")
     cold_b = b.join(F.broadcast(hot_names), on=jv, how="left_anti")
+    if hot_overflow is None:
+        pair_stream = cold_a.join(cold_b, on=jv)
+    else:
+        # Mask-cap overflow: hot lines beyond MAX_HOT_MASK stay on the
+        # cold side, but their k² pair product must not land on one
+        # task — count them through a salted bipartite join (per-line
+        # counts are additive, so splitting the cold lines into
+        # normal ∪ overflow and unioning the pair streams is exact).
+        ovf_names = hot_overflow.select(*jv)
+        an = cold_a.join(F.broadcast(ovf_names), on=jv, how="left_anti")
+        bn = cold_b.join(F.broadcast(ovf_names), on=jv, how="left_anti")
+        ao = cold_a.join(F.broadcast(ovf_names), on=jv, how="left_semi").withColumn(
+            "bk", F.pmod(F.hash("dep_h1", "dep_h2"), F.lit(N_SALT))
+        )
+        bo = cold_b.join(F.broadcast(ovf_names), on=jv, how="left_semi").withColumn(
+            "bk", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+        )
+        pair_stream = an.join(bn, on=jv).unionByName(
+            ao.join(bo, on=[*jv, "bk"]).drop("bk")
+        )
     cold_cnt = (
-        cold_a.join(cold_b, on=jv)
-        .join(F.broadcast(pair_keys), on=_PAIR_H)
+        pair_stream.join(F.broadcast(pair_keys), on=_PAIR_H)
         .groupBy(*_PAIR_H)
         .agg(F.count("*").alias("cold_overlap"))
     )
@@ -522,15 +566,32 @@ def discover_cinds_staged(
     )
     # one full-line hot census shared by all three verification stages
     # (superset of any restricted-side hot set; see _verify_candidates),
-    # and ONE capture→hot-line bitmask table reused by every consumer
-    hot_shared = [
-        (r.jv1, r.jv2)
-        for r in capf.groupBy("jv1", "jv2")
+    # and ONE capture→hot-line bitmask table reused by every consumer.
+    # Bounded collect, mirroring capture_overlaps: only the MAX_HOT_MASK
+    # hottest lines get mask columns + a driver tuple; the uncollected
+    # remainder routes through _verify_candidates' salted overflow path.
+    hot_sizes = (
+        capf.groupBy("jv1", "jv2")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") > HOT_LINE_K)
+    )
+    hot_shared = [
+        (r.jv1, r.jv2)
+        for r in hot_sizes.orderBy(F.col("w").desc(), "jv1", "jv2")
+        .limit(MAX_HOT_MASK)
         .select("jv1", "jv2")
         .collect()
     ]
+    hot_overflow = None
+    if len(hot_shared) == MAX_HOT_MASK:
+        top_df = spark.createDataFrame(hot_shared, "jv1 long, jv2 int")
+        # checkpoint: consumed by both evidence joins, and recomputing
+        # it there would re-run the census aggregate each time
+        hot_overflow = (
+            hot_sizes.select("jv1", "jv2")
+            .join(F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
     hot_masks = _hot_mask_table(capf, hot_shared)
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     freq_b = frequent.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
@@ -545,8 +606,16 @@ def discover_cinds_staged(
     capb = capf.join(F.broadcast(_keys_of(freq_b)), on=["h1", "h2"], how="left_semi")
 
     # ---- stage 1: unary/unary overlaps (skew-hardened shared
-    # machinery) — capu is already the hashed capf form it expects.
-    ov_uu = capture_overlaps(capu, freq_u, min_overlap=min_support)
+    # machinery) — capu is already the hashed capf form it expects; the
+    # shared full-line census is a superset of capu's hot lines, so the
+    # pair stage skips its own census job (exact for any hot set).
+    ov_uu = capture_overlaps(
+        capu,
+        freq_u,
+        min_overlap=min_support,
+        hot_values=hot_shared,
+        hot_overflow=hot_overflow,
+    )
     ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism), "ov_uu")
     cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
     if ar_filter:
@@ -645,6 +714,7 @@ def discover_cinds_staged(
             hot_shared,
             hot_masks=hot_masks,
             supports=freq_h,
+            hot_overflow=hot_overflow,
         ),
         "cind12_21",
     )
@@ -727,6 +797,7 @@ def discover_cinds_staged(
         _verify_candidates(
             capb, capb, cand22, "22", hot_shared,
             hot_masks=hot_masks, supports=freq_h,
+            hot_overflow=hot_overflow,
         ),
         "cind22",
     )

@@ -48,6 +48,39 @@ def test_staged_matches_all_at_once_random(spark):
     assert staged, "fixture must produce CINDs"
 
 
+def test_staged_hot_line_overflow_cap_matches_brute_force(spark, monkeypatch):
+    """More hot lines than MAX_HOT_MASK in the STAGED engine: the
+    shared census collect and the mask width stay bounded by the cap,
+    the overflow lines route through the salted bipartite overflow path
+    in _verify_candidates — and the result stays exact (mirror of the
+    all-at-once overflow test in test_cind_engine)."""
+    from rdfind_spark.operators import cind as cind_mod
+    from rdfind_spark.operators import staged as staged_mod
+
+    # both modules hold their own copies of the imported constants
+    for mod in (cind_mod, staged_mod):
+        monkeypatch.setattr(mod, "HOT_LINE_K", 2)
+        monkeypatch.setattr(mod, "N_SALT", 4)
+        monkeypatch.setattr(mod, "MAX_HOT_MASK", 4)
+    rng = random.Random(11)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(8)}",
+                f"p{rng.randrange(3)}",
+                f"o{rng.randrange(5)}",
+            )
+            for _ in range(300)
+        }
+    )
+    # sanity: the overflow regime is actually hit (same fixture as the
+    # all-at-once test, which asserts n_hot > 4)
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    got = _as_set(discover_cinds_staged(df, min_support=3))
+    assert got == brute_cinds(triples, min_support=3, minimal=True)
+    assert got, "fixture must produce CINDs"
+
+
 def test_ar_implied_keys():
     """Rule p=a ⇒ o=b implies s[p=a] ⊆ s[o=b] (codes 10 → 12)."""
     from pyspark.sql import SparkSession
