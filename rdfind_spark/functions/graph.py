@@ -121,25 +121,45 @@ def pagerank(
     raw = triples.filter(is_entity).select(
         F.col("subj").alias("src_s"), F.col("obj").alias("dst_s")
     )
+    # The edge table is persisted PARTITIONED BY src: the out-degree
+    # aggregate, the attach join, and every iteration's rank join are
+    # all keyed on src, so hashing the cache once lets each of them
+    # reuse the stored partitioning — the profiled prefix previously
+    # spent its largest segment re-exchanging edges for the out-degree
+    # attach, and each iteration re-shuffled the edge side of the rank
+    # join (only the node-sized rank table needs an exchange per round
+    # now, which also holds at cluster scale where ranks are far too
+    # big to broadcast).
     edges = (
         raw.select(
             F.xxhash64("src_s").alias("src"), F.xxhash64("dst_s").alias("dst")
         )
         .distinct()
+        .repartition("src")
         .persist()
     )
+    edges.count()
     nodes = (
         edges.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg attached once (colocated: both sides carry the cached
+    # src partitioning); edge table re-used every iteration
+    edges_d = edges.join(out_deg, on="src").persist()
+    # nodes and edges_d both read only the already-built edges cache —
+    # materialize them concurrently (the cind.py two-thread pattern;
+    # no unbuilt shared cache, so no AQE cache race).
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(nodes.count)
+        f2 = pool.submit(edges_d.count)
+        n_nodes = f1.result()
+        f2.result()
     base = RANK_SCALE // n_nodes
     teleport = (100 - PR_DAMPING_PCT) * base // 100
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # outdeg attached once; edge table re-used every iteration
-    edges_d = edges.join(out_deg, on="src").persist()
-    edges_d.count()
     edges.unpersist()
 
     # Nodes with no in-edges sit at exactly `teleport` after every
