@@ -396,3 +396,118 @@ SELECT doc_id,
             ELSE md5(array_to_string(toks, ' '))
        END AS fingerprint
 FROM t"""
+
+
+# ------------------------------------------ repetition (Gopher-style)
+
+# Discard bars, in parts-per-million of n-gram slots (integer-exact
+# arithmetic in both engines — truncating division, no floats).  The
+# Gopher rules (Rae et al. 2021, arXiv:2112.11446 table A1) bound the
+# fraction of content covered by the single most frequent 2-gram (0.20
+# there) and by duplicated longer n-grams; documents above either bar
+# are boilerplate / template spam and poison LM training.  Bars here
+# are tightened to this corpus's short word-salad documents (top-2gram
+# share tops out at ~17%, duplicated trigrams at ~14%) so the keep bit
+# actually discriminates instead of passing everything.
+REP_MAX_TOP2GRAM_PPM = 100_000  # top word-bigram covers > 10% of slots
+REP_MAX_DUP3GRAM_PPM = 50_000  # > 5% of trigram slots are repeats
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition census: the most frequent word-bigram's
+    share of bigram slots and the share of trigram slots occupied by
+    repeated trigrams (both in ppm, truncating-integer exact), plus the
+    Gopher-style keep bit.
+
+    Plan shape: one n-gram explode per arity → per-(doc, gram) count
+    with map-side combine (repeats compress before the shuffle) →
+    per-doc max/sum — two keyed aggregations joined back on doc_id,
+    all linear in corpus size; no windows, no driver collects."""
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks.alias("t"))
+
+    def _gram_stats(n: int, out: list) -> DataFrame:
+        grams = F.expr(
+            f"transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        )
+        counts = (
+            base.filter(F.size("t") >= n)
+            .select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(
+            *[
+                F.max("c").alias(o)
+                if o.startswith("top")
+                else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(o)
+                if o.startswith("dup")
+                else F.sum("c").alias(o)
+                for o in out
+            ]
+        )
+
+    bi = _gram_stats(2, ["top_bi", "n_bi"])
+    tri = _gram_stats(3, ["dup_tri", "n_tri"])
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"({num} * 1000000) div {den}")
+    ).otherwise(F.lit(0))
+    return (
+        documents.select("doc_id", F.size(toks).alias("n_tokens"))
+        .join(bi, on="doc_id", how="left")
+        .join(tri, on="doc_id", how="left")
+        .na.fill(0, ["top_bi", "n_bi", "dup_tri", "n_tri"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            ppm("top_bi", "n_bi").alias("top2gram_ppm"),
+            ppm("dup_tri", "n_tri").alias("dup3gram_ppm"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top2gram_ppm") <= REP_MAX_TOP2GRAM_PPM)
+            & (F.col("dup3gram_ppm") <= REP_MAX_DUP3GRAM_PPM),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    def gram_cte(n: int) -> str:
+        gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+        return f"""(
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, {gram} AS g
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i
+          FROM t WHERE len(toks) >= {n})
+  ) GROUP BY doc_id, g
+)"""
+
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+  FROM {gram_cte(2)} GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+         CAST(SUM(c) AS BIGINT) AS n_tri
+  FROM {gram_cte(3)} GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CASE WHEN COALESCE(n_bi, 0) > 0
+            THEN (COALESCE(top_bi, 0) * 1000000) // n_bi ELSE 0 END AS top2gram_ppm,
+       CASE WHEN COALESCE(n_tri, 0) > 0
+            THEN (COALESCE(dup_tri, 0) * 1000000) // n_tri ELSE 0 END AS dup3gram_ppm,
+       (CASE WHEN COALESCE(n_bi, 0) > 0
+             THEN (COALESCE(top_bi, 0) * 1000000) // n_bi ELSE 0 END)
+         <= {REP_MAX_TOP2GRAM_PPM}
+       AND (CASE WHEN COALESCE(n_tri, 0) > 0
+                 THEN (COALESCE(dup_tri, 0) * 1000000) // n_tri ELSE 0 END)
+         <= {REP_MAX_DUP3GRAM_PPM} AS keep
+FROM t
+LEFT JOIN bi ON bi.doc_id = t.doc_id
+LEFT JOIN tri ON tri.doc_id = t.doc_id"""

@@ -333,6 +333,15 @@ def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(_docs(spark, sf_dir))
 
 
+@register("docs_repetition_filter", text.repetition_stats_sql())
+def docs_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition census: top word-bigram share + repeated
+    trigram share per document (integer ppm) with the boilerplate keep
+    bit — the repetition half of the Gopher rules the quality filter
+    doesn't cover."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 # ------------------------------------- corpus statistics / LM prep
 
 
@@ -840,6 +849,7 @@ _BOARD_PRIORITY = [
     "multimodal_features",
     # new this round
     "dedup_embedding_ivf_neardup",
+    "docs_repetition_filter",
     # flagship re-verification (the CIND core + the round-3 perf fixes)
     "capture_supports",
     "cind_minimal",
@@ -860,7 +870,6 @@ _BOARD_PRIORITY = [
     "dedup_incremental",
     "graph_pagerank",
     "warehouse_revenue_by_nation",
-    "docs_span_dedup",
 ]
 
 

@@ -462,3 +462,23 @@ def test_pack_sequences_matches_naive_prefix_sum(spark, sf_dir):
         for start, n in rows:
             assert start == pos, f"gap/overlap at {src}:{start} != {pos}"
             pos += n
+
+
+def test_repetition_stats_hand_checked(spark):
+    # doc 0: "x y x y x y" -> bigrams [xy yx xy yx xy]: top "x y" 3 of 5
+    #   -> 600000 ppm; trigrams [xyx yxy xyx yxy]: all 4 repeated
+    #   -> 1000000 ppm -> discard
+    # doc 1: all-distinct tokens -> top bigram 1/4, no repeated trigram
+    df = _docs(spark, ["x y x y x y", "a b c d e"])
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["top2gram_ppm"] == 600_000
+    assert rows[0]["dup3gram_ppm"] == 1_000_000
+    assert rows[0]["keep"] is False
+    assert rows[1]["top2gram_ppm"] == 250_000
+    assert rows[1]["dup3gram_ppm"] == 0
+    assert rows[1]["keep"] is False  # top bigram 25% > the 10% bar
+    # doc with fewer than 2 tokens: both ppm 0, kept
+    one = _docs(spark, ["solo"])
+    r = text.repetition_stats(one).collect()[0]
+    assert (r["top2gram_ppm"], r["dup3gram_ppm"], r["keep"]) == (0, 0, True)
