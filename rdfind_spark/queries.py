@@ -116,21 +116,15 @@ def cind_minimal_proj_s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("capture_supports", oracle.capture_supports_sql(MIN_SUPPORT))
 def capture_supports_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-capture support counts (A10), on the hashed persisted
-    prefix shared with the CIND engines (the string-keyed distinct this
-    used before kept the long URI strings through the wide shuffle and
-    measured >10s slower at sf0.1); the capf table is skipped — this
-    query stops at the restored frequent-support table."""
-    from rdfind_spark.operators.cind import build_capture_tables
+    """Frequent-capture support counts (A10), as one lazy hashed-key
+    plan (the string-keyed distinct this used before kept the long URI
+    strings through the wide shuffle and measured >10s slower at sf0.1;
+    the eager persisted prefix shared with the CIND engines measured
+    ~25s here because nothing reuses its caches — see
+    ``frequent_capture_supports``)."""
+    from rdfind_spark.operators.cind import frequent_capture_supports
 
-    _, dcap_h, freq_h, frequent, _ = build_capture_tables(
-        triple_view(spark, sf_dir), MIN_SUPPORT, with_capf=False
-    )
-    # frequent is already materialized eagerly; its inputs can go now
-    # (a cache-miss recompute would rebuild them lazily, just slower)
-    dcap_h.unpersist()
-    freq_h.unpersist()
-    return frequent
+    return frequent_capture_supports(triple_view(spark, sf_dir), MIN_SUPPORT)
 
 
 @register("capture_overlaps", oracle.capture_overlaps_sql(MIN_SUPPORT))
