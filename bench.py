@@ -50,10 +50,12 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_moving_window",
+    "events_transitions",
     "multimodal_features",
     "text_fingerprints",
     "text_tfidf_keywords",
     "text_bigrams",
+    "text_skipgram_cooc",
     "docs_quality_filter",
     "docs_pack_sequences",
     "docs_export_train",

@@ -401,3 +401,69 @@ def token_length_histogram_sql() -> str:
        COUNT(DISTINCT token) AS n_distinct
 FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
 GROUP BY length(token)"""
+
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_TOP_K = 100
+
+
+def skipgram_cooc(
+    documents: DataFrame,
+    window: int = SKIPGRAM_WINDOW,
+    k: int = SKIPGRAM_TOP_K,
+) -> DataFrame:
+    """Top-k directed skip-gram co-occurrence pairs within a token
+    window (word2vec/GloVe-style co-occurrence matrix prep).
+
+    Pairs (toks[i], toks[j]) for i < j <= i+window are generated
+    per-row with nested array transforms — zero joins, zero UDFs, no
+    shuffle until the census groupBy, which Spark partial-aggregates
+    map-side so the shuffled volume is the distinct-pair census per
+    task, not the ~window x token stream.  The top-k is TakeOrdered
+    (per-partition heap + driver merge of k rows) followed by a rank
+    window over the k-row result only, exactly as ``bigram_counts``.
+    At 100 TB the census would be pre-filtered by a min-count HAVING
+    before ranking; the shape is unchanged."""
+    toks = tokens_col(F.col("text"))
+    docs = documents.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(window), F.size("toks"))),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), j),
+                ),
+            ),
+        )
+    )
+    counts = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "n", "rank"
+    )
+
+
+def skipgram_cooc_sql(
+    window: int = SKIPGRAM_WINDOW, k: int = SKIPGRAM_TOP_K
+) -> str:
+    return f"""WITH d AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT unnest(flatten(list_transform(range(1, len(toks)), i ->
+      list_transform(range(i + 1, least(i + {window}, len(toks)) + 1), j ->
+        toks[i] || ' ' || toks[j])))) AS pair
+  FROM d WHERE len(toks) >= 2
+),
+counts AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+  FROM counts
+)
+SELECT pair, n, rank FROM ranked WHERE rank <= {k}"""

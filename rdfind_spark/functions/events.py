@@ -691,3 +691,61 @@ def hourly_activity_profile_sql() -> str:
     return """SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2"""
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition census — the empirical Markov
+    chain a sequence model / simulator / funnel analysis estimates from
+    the event log: count every consecutive (from_type -> to_type) step
+    of each user's stream in (event-time, event_id) order and attach the
+    per-from_type transition probability as truncated parts-per-million.
+
+    Scale notes (100 TB posture): the lead() window shuffles the events
+    ONCE hash-partitioned on user_id and sort-merges within partitions
+    (per-user streams are bounded); the census groupBy output is
+    |event_types|^2 — broadcast-sized — so the probability window runs
+    over the aggregated census only, never the event stream.  The ppm
+    probability uses one truncating integer division so the DuckDB
+    oracle matches bit-for-bit (double division would be
+    summation-order-dependent)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    census = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        census.withColumn("total", F.sum("n").over(tot))
+        .withColumn("prob_ppm", F.expr("(n * 1000000) div total"))
+        .select("from_type", "to_type", "n", "prob_ppm")
+    )
+
+
+def event_transitions_sql() -> str:
+    """Mirrors the µs truncation for the (ts, event_id) sort ties and
+    casts the window SUM back to BIGINT (DuckDB sums to HUGEINT, which
+    the driver's arrow-level hash can't represent)."""
+    return """WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+  FROM events
+),
+s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS to_type
+  FROM e
+),
+census AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST((n * 1000000)
+            // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+            AS BIGINT) AS prob_ppm
+FROM census"""

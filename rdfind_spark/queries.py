@@ -346,6 +346,14 @@ def text_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.bigram_counts(_docs(spark, sf_dir))
 
 
+@register("text_skipgram_cooc", corpus_stats.skipgram_cooc_sql())
+def text_skipgram_cooc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k skip-gram co-occurrence pairs within a ±3-token window
+    (word2vec/GloVe co-occurrence prep; nested array transforms, one
+    map-side-combined shuffle)."""
+    return corpus_stats.skipgram_cooc(_docs(spark, sf_dir))
+
+
 @register("text_pmi_bigrams", corpus_stats.pmi_bigrams_sql())
 def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k collocations by PMI (exact scaled-integer probability
@@ -621,6 +629,13 @@ def events_hourly_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.hourly_activity_profile(_events(spark, sf_dir))
 
 
+@register("events_transitions", events.event_transitions_sql())
+def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition census (empirical Markov chain,
+    integer-ppm probabilities)."""
+    return events.event_transitions(_events(spark, sf_dir))
+
+
 @register("events_dau_wau", events.dau_wau_sql())
 def events_dau_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily + trailing-7-day active users (banded replication for the
@@ -844,6 +859,8 @@ _BOARD_PRIORITY = [
     # new this round
     "dedup_embedding_ivf_neardup",
     "docs_repetition_filter",
+    "events_transitions",
+    "text_skipgram_cooc",
     # flagship re-verification (the CIND core + the round-3 perf fixes)
     "capture_supports",
     "cind_minimal",
@@ -856,10 +873,8 @@ _BOARD_PRIORITY = [
     "association_rules",
     # one representative per operator family
     "dedup_embedding_ivf",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
     "graph_pagerank",

@@ -217,3 +217,34 @@ def test_dau_wau_banded_rolling_distinct(spark):
     assert out["2024-01-03"] == (1, 2)
     assert out["2024-01-20"] == (1, 1)
     assert set(out) == {"2024-01-01", "2024-01-03", "2024-01-20"}
+
+
+def test_skipgram_cooc_vs_python_model(spark):
+    rows = ["a b c d e", "a a b", "z"]
+    from collections import Counter
+
+    model = Counter()
+    for text in rows:
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 3, len(toks) - 1) + 1):
+                model[f"{toks[i]} {toks[j]}"] += 1
+    out = {
+        r["pair"]: r["n"]
+        for r in corpus_stats.skipgram_cooc(
+            _docs(spark, rows), window=3, k=100
+        ).collect()
+    }
+    assert out == dict(model)
+
+
+def test_skipgram_rank_tiebreak_and_window(spark):
+    out = corpus_stats.skipgram_cooc(
+        _docs(spark, ["p q r s t"]), window=1, k=10
+    ).collect()
+    # window=1 degenerates to adjacent bigrams, all count 1,
+    # lexicographic rank
+    assert [r["pair"] for r in out] == ["p q", "q r", "r s", "s t"]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]

@@ -482,3 +482,30 @@ def test_repetition_stats_hand_checked(spark):
     one = _docs(spark, ["solo"])
     r = text.repetition_stats(one).collect()[0]
     assert (r["top2gram_ppm"], r["dup3gram_ppm"], r["keep"]) == (0, 0, True)
+
+
+def test_event_transitions_census(spark):
+    # user 1: view -> click -> view ; user 2: view -> view
+    ev = _events_df(
+        spark,
+        [(0, 1, "view", 1), (1, 1, "click", 1), (2, 1, "view", 1), (0, 2, "view", 1), (5, 2, "view", 1)],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_ppm"])
+        for r in events.event_transitions(ev).collect()
+    }
+    # from "view": 2 transitions (view->click, view->view); from "click": 1
+    assert got[("view", "click")] == (1, 500000)
+    assert got[("view", "view")] == (1, 500000)
+    assert got[("click", "view")] == (1, 1000000)
+    assert len(got) == 3
+
+
+def test_event_transitions_ppm_truncates(spark):
+    # 3 transitions out of "a": 1/3 must truncate to 333333, not round
+    ev = _events_df(
+        spark,
+        [(0, 1, "a", 1), (1, 1, "b", 1), (0, 2, "a", 1), (1, 2, "c", 1), (0, 3, "a", 1), (1, 3, "d", 1)],
+    )
+    rows = events.event_transitions(ev).collect()
+    assert sorted(r["prob_ppm"] for r in rows) == [333333, 333333, 333333]
