@@ -193,3 +193,159 @@ WHERE l_shipdate >= TIMESTAMP '{year}-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '{year + 1}-01-01 00:00:00'
   AND l_discount >= {min_disc} AND l_discount <= {max_disc}
   AND l_quantity < {max_qty}"""
+
+
+SEGMENT = "BUILDING"
+Q3_CUTOFF = "1995-03-15"
+Q5_REGION = "ASIA"
+Q5_FROM = "1995-01-01"
+Q5_TO = "1996-01-01"
+
+
+def top_unshipped_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = SEGMENT,
+    cutoff: str = Q3_CUTOFF,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k revenue among orders of one market segment placed before
+    ``cutoff`` with lines still shipping after it — the TPC-H Q3
+    shipping-priority shape on this schema.
+
+    Plan discipline: both date predicates and the segment filter sit on
+    the scans (parquet pushdown); the fact joins shuffle on their keys
+    with AQE choosing build sides; the top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge) on
+    exact integer cents with a full (revenue, date, key) tie-break, so
+    the result is deterministic and oracle-exact."""
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    od = orders.filter(F.col("o_orderdate") < cutoff_ts).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cutoff_ts).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.expr("sum(rev_cpct) div 100").alias("revenue_cents"))
+        .orderBy(
+            F.col("revenue_cents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(k)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue_cents",
+        )
+    )
+
+
+def top_unshipped_orders_sql(
+    segment: str = SEGMENT, cutoff: str = Q3_CUTOFF, k: int = 10
+) -> str:
+    return f"""SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // 100
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+  AND EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = '{segment}')
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT {k}"""
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = Q5_REGION,
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> DataFrame:
+    """Revenue per nation from *local* supply chains (supplier and
+    customer in the same nation) inside one region and order-date year —
+    the TPC-H Q5 shape: the longest join chain in the warehouse surface
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region).
+
+    Plan discipline: nation/region broadcast; the same-nation predicate
+    rides the supplier join as an equi-condition (c_nationkey =
+    s_nationkey joins on key equality, never a post-join filter over the
+    cross product); date range pushes to the orders scan."""
+    od = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    nat = F.broadcast(
+        nation.join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr("sum(rev_cpct) div 100").alias("revenue_cents"),
+        )
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = Q5_REGION,
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> str:
+    return f"""SELECT n_name, COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // 100
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+  AND r_name = '{region_name}'
+GROUP BY n_name"""

@@ -838,44 +838,57 @@ def frequent_capture_supports(
     min_support: int = 10,
     projection: str | None = None,
 ) -> DataFrame:
-    """Standalone frequent-capture support census (A10) as ONE lazy
-    single-scan plan: group by the 96-bit capture hash, count DISTINCT
-    96-bit value hashes, and carry ``first(code/v1/v2)`` through the
-    same aggregate so no second string scan / restore join is needed
-    (within a 96-bit group all string columns are identical — collisions
-    are guarded loudly elsewhere, see ``assert_hash_injective``).
+    """Standalone frequent-capture support census (A10) as one lazy
+    plan with NO persists and NO eager counts — nothing downstream
+    reuses the intermediates, so routing through the eager shared
+    prefix of ``build_capture_tables`` only adds cache-write cost and
+    driver job barriers (measured ~25s vs ~13s at sf0.1).
 
-    Plan shape (scale rationale): one scan of the exploded candidates,
-    Spark's distinct-aggregate expand (2x narrow rows), map-side partial
-    dedup/first, ONE shuffle keyed on the fixed-width hash.  The shuffle
-    carries at most one (code,v1,v2) string tuple per capture per map
-    partition — the long URI strings never ride the wide per-value rows,
-    which was the original string-keyed plan's >10s regression.  No
-    persists and no eager counts: nothing downstream reuses the
-    intermediates, so routing through the eager shared prefix of
-    ``build_capture_tables`` only added cache-write cost and driver job
-    barriers (measured ~25s vs ~7s at sf0.1; the two-scan
-    broadcast-restore variant measured ~10-14s).
+    Plan shape: (1) supports via ONE count-distinct aggregate over the
+    96-bit (capture, value) hash pairs — Spark plans the dedup and the
+    count in a single fused aggregation, measured faster than an
+    explicit distinct()+groupBy chain; (2) strings restored by a second
+    hash-only scan broadcast-joined to the (result-sized) frequent
+    supports, with first(code/v1/v2) recovered under map-side partial
+    aggregation — at most one string tuple per capture per map
+    partition rides the shuffle.
+
+    Honest-cost note (noop-write A/B at sf0.1, min of 2 alternating):
+    this plan ~13s; the two-shuffle distinct+groupBy variant ~14s;
+    carrying the strings through the distinct-aggregate itself (one
+    scan, no restore join) ~19-29s — Spark's distinct-agg expand
+    doubles the rows BEFORE partial aggregation, so the strings ride
+    2x the stream and lose more than the saved scan.  (A count()-based
+    A/B is misleading here: Catalyst prunes unreferenced first()
+    aggregates under count, hiding the string cost.)
     """
     cand = capture_candidates(triples, projection)
     caph = cand.select(
-        "code",
-        "v1",
-        "v2",
         F.xxhash64("join_value").alias("jv1"),
         F.hash("join_value").alias("jv2"),
         F.xxhash64("code", "v1", "v2").alias("h1"),
         F.hash("code", "v1", "v2").alias("h2"),
     )
-    return (
+    freq_h = (
         caph.groupBy("h1", "h2")
+        .agg(F.count_distinct("jv1", "jv2").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        cand.select(
+            "code",
+            "v1",
+            "v2",
+            F.xxhash64("code", "v1", "v2").alias("h1"),
+            F.hash("code", "v1", "v2").alias("h2"),
+        )
+        .join(F.broadcast(freq_h), on=["h1", "h2"])
+        .groupBy("h1", "h2", "support")
         .agg(
-            F.count_distinct("jv1", "jv2").alias("support"),
             F.first("code").alias("code"),
             F.first("v1").alias("v1"),
             F.first("v2").alias("v2"),
         )
-        .filter(F.col("support") >= min_support)
         .select(*CAPTURE_KEY, "support")
     )
 

@@ -452,6 +452,32 @@ def warehouse_late_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_top_unshipped", warehouse.top_unshipped_orders_sql())
+def warehouse_top_unshipped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping-priority shape: top-10 revenue among one segment's
+    unshipped orders (pushed date filters, TakeOrdered top-k, exact
+    integer cents with full tie-break)."""
+    return warehouse.top_unshipped_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("warehouse_local_supplier", warehouse.local_supplier_volume_sql())
+def warehouse_local_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier-volume shape: six-table join chain with the
+    same-nation predicate as an equi-join condition, broadcast dims."""
+    return warehouse.local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 # ----------------------------------------------- graph analytics (RDF)
 
 
@@ -861,6 +887,8 @@ _BOARD_PRIORITY = [
     "docs_repetition_filter",
     "events_transitions",
     "text_skipgram_cooc",
+    "warehouse_top_unshipped",
+    "warehouse_local_supplier",
     # flagship re-verification (the CIND core + the round-3 perf fixes)
     "capture_supports",
     "cind_minimal",
@@ -876,9 +904,7 @@ _BOARD_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_incremental",
     "graph_pagerank",
-    "warehouse_revenue_by_nation",
 ]
 
 
