@@ -30,6 +30,13 @@ from rdfind_spark.sources.triples import triple_view_sql
 PR_ITERATIONS = 5
 PR_DAMPING_PCT = 85  # d = 0.85 as an integer percentage (exact arithmetic)
 RANK_SCALE = 1_000_000_000_000  # fixed-point units per unit of rank
+# Loop-stage sizing: the iteration tables are fixed-width (16-24 B
+# rows), so ~4M rows ≈ one 64 MB shuffle partition.  The session-global
+# shuffle.partitions is sized for the STRING-heavy queries; inheriting
+# it here costs ~0.5 s of pure scheduling per stage when the graph is
+# small relative to the session's data (measured 26.6 s vs 15.6 s for
+# the full query at sf0.1 under a 128-partition session).
+PR_EDGES_PER_PARTITION = 4_000_000
 
 
 def entity_edges(triples: DataFrame) -> DataFrame:
@@ -130,15 +137,42 @@ def pagerank(
     # join (only the node-sized rank table needs an exchange per round
     # now, which also holds at cluster scale where ranks are far too
     # big to broadcast).
-    edges = (
+    edges0 = (
         raw.select(
             F.xxhash64("src_s").alias("src"), F.xxhash64("dst_s").alias("dst")
         )
         .distinct()
-        .repartition("src")
         .persist()
     )
+    n_edges = edges0.count()
+    # Pin the loop's shuffle parallelism to the measured graph size
+    # (floored at the cluster's core count) instead of inheriting the
+    # session-global shuffle.partitions — see PR_EDGES_PER_PARTITION.
+    # The whole heavy loop executes eagerly inside this function (the
+    # rank table is checkpoint-materialized before return), so the
+    # session conf is restored before any caller-side job runs; only
+    # the result-sized string restore executes under the caller's conf,
+    # which is the right setting for a string-table scan anyway.
+    spark = triples.sparkSession
+    loop_par = max(
+        spark.sparkContext.defaultParallelism,
+        1 + n_edges // PR_EDGES_PER_PARTITION,
+    )
+    conf_key = "spark.sql.shuffle.partitions"
+    old_partitions = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(loop_par))
+    try:
+        return _pagerank_loop(edges0, iterations, top_k, raw)
+    finally:
+        spark.conf.set(conf_key, old_partitions)
+
+
+def _pagerank_loop(
+    edges0: DataFrame, iterations: int, top_k: int, raw: DataFrame
+) -> DataFrame:
+    edges = edges0.repartition("src").persist()
     edges.count()
+    edges0.unpersist()
     nodes = (
         edges.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
