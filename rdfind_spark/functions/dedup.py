@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rdfind_spark.functions.text import tokens_col
+from rdfind_spark.util import materialize
 
 NGRAM_K = 3  # tokens per dedup shingle
 MAX_SHINGLE_DOCS = 100  # inverted-index hot-shingle cap
@@ -428,11 +429,11 @@ def dedup_clusters(
             e.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     for _ in range(max_iters):
         prop = (
             edges.join(
@@ -457,7 +458,7 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new.alias("n")

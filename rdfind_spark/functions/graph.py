@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdfind_spark.sources.triples import triple_view_sql
+from rdfind_spark.util import materialize
 
 PR_ITERATIONS = 5
 PR_DAMPING_PCT = 85  # d = 0.85 as an integer percentage (exact arithmetic)
@@ -232,13 +233,13 @@ def _pagerank_loop(
         # just to bound plan depth for large iteration counts, instead
         # of forcing one barrier job per round.
         if (i + 1) % 3 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = materialize(ranks)
     # Materialize the final rank table BEFORE unpersisting the loop
     # inputs: the returned DataFrame executes later, and un-checkpointed
     # trailing iterations would silently recompute edges_d/no_in from
     # the raw triples at that point (measured as most of the query's
     # wall-clock before this fix).
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = materialize(ranks)
     no_in.unpersist()
     edges_d.unpersist()
     nodes.unpersist()

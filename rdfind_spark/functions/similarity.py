@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdfind_spark.functions.dedup import COSINE_SQL, cosine_col
+from rdfind_spark.util import materialize
 
 N_QUERIES = 5  # the first N vectors double as the query workload
 TOP_K = 10
@@ -767,7 +768,7 @@ def embedding_kmeans(
 
     Output: final assignment (vec_id, centroid_id, cosine)."""
     q = embeddings.select("vec_id", _quantized("embedding").alias("q"))
-    q = q.localCheckpoint(eager=True)  # quantize once, reuse per round
+    q = materialize(q)  # quantize once, reuse per round
     dim = len(q.select("q").first()["q"])
     cents = sorted(
         (int(r["vec_id"]), [int(v) for v in r["q"]])

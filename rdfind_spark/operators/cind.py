@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from rdfind_spark import condition_codes as cc
 from rdfind_spark.operators.captures import capture_candidates
+from rdfind_spark.util import materialize
 
 CAPTURE_KEY = ["code", "v1", "v2"]
 
@@ -437,7 +438,7 @@ def _cold_pair_counts_with_hot_masks(
         [F.bit_count(F.col(f"m{c}")) for c in range(n_chunks)],
     )
     deep = masks.filter(popcnt >= min_overlap).select("h1", "h2")
-    deep = deep.localCheckpoint(eager=True)
+    deep = materialize(deep)
     if deep.count() == 0:
         return part1
     hot_rows = capf.join(
@@ -690,7 +691,7 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
     re-analyzes and the driver re-stringifies per action.  The CIND set
     is result-sized (orders of magnitude smaller than the data), so
     checkpointing stays cheap at any scale."""
-    cinds = cinds.localCheckpoint(eager=True)
+    cinds = materialize(cinds)
     all_cols = cinds.columns
 
     # (a) binary dep implied by unary-dep CIND with same ref
@@ -924,7 +925,7 @@ def discover_cinds(
     # broadcast builds per pair enumerator — materialize once with
     # truncated lineage.
     sketches = (
-        capture_value_sketches(capf).localCheckpoint(eager=True)
+        materialize(capture_value_sketches(capf))
         if sketch_filter
         else None
     )

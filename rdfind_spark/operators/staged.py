@@ -67,6 +67,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from rdfind_spark import condition_codes as cc
+from rdfind_spark.util import materialize
 from rdfind_spark.operators.cind import (
     HOT_LINE_K,
     MAX_HOT_MASK,
@@ -92,7 +93,7 @@ def _materialize(df: DataFrame, label: str = "") -> DataFrame:
     import time
 
     t0 = time.time()
-    out = df.localCheckpoint(eager=True)
+    out = materialize(df)
     if label and os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
         print(f"## stage {label}: {time.time() - t0:.1f}s", flush=True)
     return out
@@ -164,7 +165,7 @@ def _hot_mask_table(capf: DataFrame, hot_values: list) -> DataFrame | None:
                 for c in range(n_chunks)
             ]
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
 
@@ -590,7 +591,7 @@ def discover_cinds_staged(
         hot_overflow = (
             hot_sizes.select("jv1", "jv2")
             .join(F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     hot_masks = _hot_mask_table(capf, hot_shared)
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))

@@ -78,6 +78,43 @@ def null_sensitive_cmp(a, b) -> int:
     return (a > b) - (a < b)
 
 
+def materialize(df, eager: bool = True):
+    """Cut lineage and pin ``df``'s current result — the engine's one
+    stage-materialization primitive (iterative loops, staged lattices,
+    reused sketch tables all go through here).
+
+    Default mode is ``localCheckpoint``: blocks live in executor-local
+    storage, no reliable-store round-trip, fastest — but NOT
+    fault-tolerant.  On a real multi-node cluster an executor loss
+    destroys the only copy of its blocks and fails the query instead of
+    recomputing (lineage was cut).  The reference never faced this
+    choice: Flink's job-level restart strategy re-runs the whole job on
+    task loss (SURVEY §3.1 execution notes), so checkpointed state was
+    always recoverable-by-rerun.
+
+    Cluster posture: set ``spark.rdfind.checkpointDir`` (session conf,
+    e.g. an HDFS/S3 path) — or the ``RDFIND_CHECKPOINT_DIR`` environment
+    variable — and every materialization switches to reliable
+    ``checkpoint()``: blocks are written to the shared store and survive
+    executor loss, at the cost of one write+read round-trip per
+    materialized stage.  Local single-JVM runs (tests, bench) keep the
+    fast default.
+    """
+    import os
+
+    spark = df.sparkSession
+    cdir = spark.conf.get(
+        "spark.rdfind.checkpointDir", os.environ.get("RDFIND_CHECKPOINT_DIR")
+    )
+    if cdir:
+        sc = spark.sparkContext
+        # setCheckpointDir once per session (idempotent target dir)
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def salted_join(
     left,
     right,

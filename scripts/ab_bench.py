@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """One side of a controlled A/B benchmark between two code snapshots.
 
-Usage: python scripts/ab_bench.py REPO_PATH [query ...]
+Usage: python scripts/ab_bench.py REPO_PATH_OR_GIT_REF [query ...]
 
-Runs the named queries from REPO_PATH's ``__spark_entry__`` under the
-same session config + inter-query cache hygiene as bench.py (fresh
+The first argument is either a directory holding an ``__spark_entry__``
+or a git ref (tag/commit) of this repo — a ref is materialized once as
+a detached ``git worktree`` under /tmp and reused across invocations,
+so historical snapshots never need to be committed into the tree.
+
+Runs the named queries from that snapshot's ``__spark_entry__`` under
+the same session config + inter-query cache hygiene as bench.py (fresh
 process per invocation, sf0.001 warmup of the same queries first so
 both sides pay JIT equally), and prints one JSON line
 ``{"repo": ..., "queries": {name: sec}}``.
@@ -13,8 +18,8 @@ Drive it alternating sides with >= 3 repeats per side (this VM's
 run-to-run variance is ±40%), e.g.:
 
     for i in 1 2 3; do
-      python scripts/ab_bench.py /root/repo/.ab_r1 q1 q2 >> ab.jsonl
-      python scripts/ab_bench.py /root/repo      q1 q2 >> ab.jsonl
+      python scripts/ab_bench.py r2-end q1 q2 >> ab.jsonl
+      python scripts/ab_bench.py /root/repo q1 q2 >> ab.jsonl
     done
 """
 
@@ -22,12 +27,30 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 
+def _materialize_snapshot(spec: str) -> str:
+    """Directory path → itself; git ref → a cached detached worktree."""
+    if os.path.isdir(spec):
+        return os.path.abspath(spec)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sha = subprocess.check_output(
+        ["git", "-C", repo_root, "rev-parse", "--verify", spec + "^{commit}"],
+        text=True,
+    ).strip()
+    target = f"/tmp/ab_worktree_{sha[:12]}"
+    if not os.path.isdir(target):
+        subprocess.check_call(
+            ["git", "-C", repo_root, "worktree", "add", "--detach", target, sha]
+        )
+    return target
+
+
 def main() -> int:
-    repo = os.path.abspath(sys.argv[1])
+    repo = _materialize_snapshot(sys.argv[1])
     names = sys.argv[2:]
     sys.path.insert(0, repo)
 

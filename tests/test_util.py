@@ -78,3 +78,34 @@ def test_salted_join_matches_plain_join(spark):
     pl = left.join(right, on="k", how="left").count()
     sl = salted_join(left, right, on=["k"], how="left").count()
     assert pl == sl == 6000
+
+
+def test_materialize_reliable_checkpoint_mode(spark, tmp_path):
+    """materialize() defaults to localCheckpoint; with
+    spark.rdfind.checkpointDir set it writes reliable checkpoints to
+    that directory (cluster fault-tolerance posture)."""
+    from rdfind_spark.util import materialize
+
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    local = materialize(df)
+    assert local.count() == 100
+    assert local.rdd.getNumPartitions() >= 1
+
+    cdir = str(tmp_path / "reliable-ckpt")
+    spark.conf.set("spark.rdfind.checkpointDir", cdir)
+    try:
+        reliable = materialize(df)
+        assert reliable.count() == 100
+        # the reliable mode must actually have written to the directory
+        import os
+
+        found = []
+        for root, _dirs, files in os.walk(cdir):
+            found.extend(files)
+        assert found, f"no checkpoint files under {cdir}"
+        # results agree across modes
+        assert sorted(map(tuple, reliable.collect())) == sorted(
+            map(tuple, local.collect())
+        )
+    finally:
+        spark.conf.unset("spark.rdfind.checkpointDir")
