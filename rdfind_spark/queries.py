@@ -783,13 +783,21 @@ def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_anomalies", None)
+from rdfind_spark.streaming.windows import (
+    streaming_anomalies_oracle_sql,
+    streaming_sessionize_oracle_sql,
+)
+
+
+@register("stream_anomalies", streaming_anomalies_oracle_sql())
 def stream_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online stateful z-score outliers (``applyInPandasWithState``,
-    Welford moments carried across micro-batches); rows-only — the
-    prior-prefix baseline is inherently streaming (exact parity with a
-    Python online reference is pinned in
-    tests/test_streaming_multimodal.py)."""
+    Welford moments carried across micro-batches).  Full SQL oracle:
+    under the guaranteed single AvailableNow micro-batch the online
+    prior-prefix baseline equals a prior-prefix window frame (see
+    streaming_anomalies_oracle_sql); exact parity with a Python online
+    reference is additionally pinned in
+    tests/test_streaming_multimodal.py."""
     import uuid
 
     from rdfind_spark.streaming import (
@@ -807,12 +815,14 @@ def stream_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_sessions", None)
+@register("stream_sessions", streaming_sessionize_oracle_sql())
 def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionizer (``applyInPandasWithState``) driven
-    to completion; rows-only check (exact batch-equality is pinned by
-    the deterministic micro-batch test in
-    tests/test_streaming_multimodal.py)."""
+    to completion.  Full SQL oracle: closed sessions equal µs-gap batch
+    sessionization minus each user's final (still-open) session under
+    the guaranteed single micro-batch (see
+    streaming_sessionize_oracle_sql); batch-equality is additionally
+    pinned in tests/test_streaming_multimodal.py."""
     import uuid
 
     from rdfind_spark.streaming import run_available_now, stream_events, streaming_sessionize

@@ -150,6 +150,47 @@ def streaming_sessionize(events: DataFrame, flush_on_idle: bool = False) -> Data
     )
 
 
+def streaming_sessionize_oracle_sql(gap_sec: int = _SESSION_GAP_SEC) -> str:
+    """Batch-equivalent SQL for ``stream_sessions`` under one
+    ``Trigger.AvailableNow`` micro-batch — which the single-parquet-file
+    source guarantees (``maxFilesPerTrigger=1``, one file), so
+    processing order equals event-time order and the watermark drops
+    nothing.  Two deliberate mirror points:
+
+    * sessions close on a strictly-greater-than µs-precision gap,
+      exactly like ``_session_fn`` (the *batch* ``events.sessionize``
+      compares whole epoch seconds instead — a different, also-pinned
+      semantics);
+    * each user's LAST session never closes (it stays in state and
+      NoTimeout never flushes it), so the oracle drops the max-numbered
+      session per user.
+    """
+    return f"""WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {gap_sec * 1_000_000}
+            THEN 1 ELSE 0 END AS is_break
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+),
+agg AS (
+  SELECT user_id, session_no,
+         make_timestamp(MIN(us)) AS session_start,
+         make_timestamp(MAX(us)) AS session_end,
+         COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events FROM agg
+WHERE session_no < (SELECT MAX(a2.session_no) FROM agg a2
+                    WHERE a2.user_id = agg.user_id)"""
+
+
 DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -337,6 +378,33 @@ def _anomaly_fn(key, pdfs, state: GroupState):
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "value", "n_seen", "zscore"]
         )
+
+
+def streaming_anomalies_oracle_sql(
+    z: float = _ANOM_Z, min_seen: int = _ANOM_MIN_SEEN
+) -> str:
+    """Batch-equivalent SQL for ``stream_anomalies`` under one
+    ``Trigger.AvailableNow`` micro-batch (guaranteed by the
+    single-file source): the online Welford baseline over "events
+    processed before this one" becomes a prior-prefix window frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``) ordered by
+    the same (ts, event_id) key ``_anomaly_fn`` sorts on.  The
+    ``m2 > 0`` state guard is exactly ``sd_prior > 0``."""
+    return f"""WITH w AS (
+  SELECT user_id, event_id, value,
+         COUNT(*) OVER pre AS n_seen,
+         AVG(value) OVER pre AS mean_prior,
+         stddev_samp(value) OVER pre AS sd_prior
+  FROM (SELECT user_id, event_id, value,
+               epoch_ns(ts) // 1000 AS us FROM events)
+  WINDOW pre AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value, n_seen,
+       round((value - mean_prior) / sd_prior, 3) AS zscore
+FROM w
+WHERE n_seen >= {min_seen} AND sd_prior > 0
+  AND value > mean_prior + {z} * sd_prior"""
 
 
 def streaming_anomalies(events: DataFrame) -> DataFrame:

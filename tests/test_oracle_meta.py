@@ -29,10 +29,11 @@ def test_every_query_has_oracle_or_documented_exception():
     q = entry.queries()
     o = entry.oracle_sql()
     missing = set(q) - set(o)
-    # the two custom stateful streaming operators are the only
-    # rows-only entries (each pinned instead by an exact deterministic
-    # micro-batch parity test)
-    assert missing == {"stream_sessions", "stream_anomalies"}, missing
+    # every registered query carries a full SQL oracle — the two custom
+    # stateful streaming operators gained batch-equivalent oracles
+    # (valid under the guaranteed single AvailableNow micro-batch) in
+    # round 4
+    assert missing == set(), missing
 
 
 def test_every_evidence_gapped_query_is_on_the_driver_board():
