@@ -590,6 +590,21 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(_embs(spark, sf_dir))
 
 
+@register("knn_ivf_trained", similarity.knn_ivf_trained_sql())
+def knn_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED centroids: the integer Lloyd loop
+    (embedding_kmeans) builds the index instead of first-N-by-id
+    seeding — balanced buckets on skewed corpora."""
+    return similarity.knn_ivf_trained(_embs(spark, sf_dir))
+
+
+@register("knn_ivf_trained_recall", similarity.knn_ivf_trained_recall_sql())
+def knn_ivf_trained_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of trained-centroid IVF vs exact brute force (companion
+    of knn_ivf_recall for the seeded index)."""
+    return similarity.knn_ivf_trained_recall(_embs(spark, sf_dir))
+
+
 # --------------------------------------------------- event analytics
 
 
@@ -859,61 +874,61 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # evidence-gapped after round 2 (never driver-checked, or the two
-    # round-1 hash failures fixed in round 2, or r02-unchecked rows the
-    # judge had to strict-verify by hand) — rotated to the front
-    "docs_mix_sources",
-    "knn_bruteforce",
-    "embedding_prep",
-    "knn_ivf_recall",
-    "knn_lsh",
-    "embedding_kmeans",
-    "dedup_semantic",
-    "knn_ivf",
-    "events_hourly_counts",
-    "events_sessionize",
-    "events_top_purchasers",
-    "events_interarrival",
-    "events_daily_rollup",
-    "events_retention",
-    "events_asof_join",
-    "events_range_join",
-    "events_anomalies",
-    "events_hourly_profile",
-    "events_dau_wau",
-    "events_grouping_sets",
-    "events_distinct_sketch",
-    "events_moving_window",
-    "events_pivot",
-    "events_funnel",
-    "stream_hourly_counts",
-    "stream_interval_join",
-    "stream_purchase_totals",
+    # round-4 rotation: the complement of the round-3 board (those 36
+    # carry no driver-green row from r3 — the judge strict-verified
+    # them by hand; r3+r4 boards together must cover all queries)
+    "condition_counts_frequent",
+    "condition_histogram",
+    "count_distinct_values",
+    "count_triples",
+    "join_line_histogram",
+    "hash_collisions",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "text_redact",
+    "text_tfidf_keywords",
+    "docs_quality_filter",
+    "text_bigrams",
+    "text_pmi_bigrams",
+    "docs_inverted_index",
+    "text_token_length_hist",
+    "docs_length_deciles",
+    "docs_vocab_coverage",
+    "docs_length_digest",
+    "docs_cube_counts",
+    "docs_length_percentiles",
+    "warehouse_revenue_by_nation",
+    "warehouse_pricing_summary",
+    "warehouse_revenue_forecast",
+    "warehouse_late_priority",
+    "graph_degree_distribution",
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_contamination",
+    "docs_pack_sequences",
+    "docs_export_train",
+    "docs_span_dedup",
+    # newly-oracled this round (previous driver rows were no_oracle)
     "stream_anomalies",
     "stream_sessions",
-    "multimodal_features",
     # new this round
-    "dedup_embedding_ivf_neardup",
-    "docs_repetition_filter",
-    "events_transitions",
-    "text_skipgram_cooc",
-    "warehouse_top_unshipped",
-    "warehouse_local_supplier",
-    # flagship re-verification (the CIND core + the round-3 perf fixes)
-    "capture_supports",
+    "knn_ivf_trained",
+    "knn_ivf_trained_recall",
+    # flagship re-verification (the CIND core + perf-sensitive paths)
     "cind_minimal",
     "cind_small_to_large",
     "cind_approx_verify",
     "cind_all",
-    "cind_minimal_ar",
-    "cind_minimal_proj_s",
     "capture_overlaps",
+    "capture_supports",
     "association_rules",
-    # one representative per operator family
-    "dedup_embedding_ivf",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
+    "dedup_embedding_ivf_neardup",
     "graph_pagerank",
 ]
 

@@ -121,6 +121,50 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_trained_ivf_improves_assignment_cosine(spark, sf_dir):
+    """The Lloyd rounds must improve (or preserve) the index quality
+    metric they optimize — mean assignment cosine — over the seeded
+    index, and the trained top-k must stay a sane ANN result."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.similarity import (
+        _km_argmax,
+        _quantized,
+        _train_centroids,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.select("vec_id", _quantized("embedding").alias("q"))
+    q = q.localCheckpoint(eager=True)
+    seeds = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in q.filter(F.col("vec_id") < 8).collect()
+    )
+    trained = _train_centroids(q, k=8, iters=2)
+    assert trained != seeds, "training was a no-op"
+
+    def mean_cos(cents):
+        return (
+            _km_argmax(q, cents).agg(F.avg("cosine").alias("m")).first()["m"]
+        )
+
+    m_seed, m_train = mean_cos(seeds), mean_cos(trained)
+    assert m_train >= m_seed - 1e-9, (m_seed, m_train)
+
+    # trained top-k: exactly k ranked rows per query, reasonable recall
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(embs, n_queries=3, k=5).collect()
+    }
+    rows = similarity.knn_ivf_trained(embs, n_queries=3, k=5).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values()), per_q
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
 def test_embedding_dedup_ivf_matches_brute_force(spark, sf_dir):
     """The bucketed default must reproduce the exact brute-force pair
     set on the real embeddings, and its plan must not cross-join the

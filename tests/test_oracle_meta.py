@@ -66,6 +66,28 @@ def test_every_evidence_gapped_query_is_on_the_driver_board():
     )
 
 
+def test_driver_evidence_staleness_bounded():
+    """Every registered query must be driver-checked within the last
+    TWO rounds: a query not on the current board (the first 50) must
+    have appeared on the most recent round's board.  This bounds the
+    rotation so r{N}+r{N+1} boards always cover the full registry —
+    no query can drift unchecked for multiple rounds."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not rounds:
+        pytest.skip("no driver correctness files yet")
+    last_board = set(json.load(open(rounds[-1])))
+    board = set(list(entry.queries())[:50])
+    stale = sorted(set(entry.queries()) - board - last_board)
+    assert not stale, (
+        f"queries neither on the current board nor checked last round: "
+        f"{stale} — rotate _BOARD_PRIORITY in queries.py"
+    )
+
+
 def test_all_oracle_sql_executes(con):
     failures = []
     for name, sql in entry.oracle_sql().items():
