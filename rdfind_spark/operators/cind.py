@@ -748,11 +748,23 @@ def build_capture_tables(
     min_support: int = 10,
     projection: str | None = None,
     with_capf: bool = True,
+    defer_frequent: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """The shared hashed-prefix pipeline of every CIND engine entry:
     returns ``(cand, dcap_h, freq_h, frequent, capf)`` with the last
     four PERSISTED (MEMORY_AND_DISK) and built eagerly in dependency
     order.  Callers unpersist what they took when done.
+
+    ``defer_frequent``: kick the ``frequent`` string-recovery build (a
+    full second scan of the raw candidates, ~10s at sf0.1 — the single
+    most expensive prefix phase) into a background thread instead of
+    blocking on it.  The caller's next eager jobs (hot-line census,
+    sketch builds — none of which read ``frequent``) then overlap the
+    scan; the first job that DOES read it synchronizes naturally via
+    the block manager's per-block locks (concurrent materialization of
+    a persisted table is coordinated, not duplicated).  Callers still
+    consume ``frequent`` before unpersisting it, so the thread can
+    never outlive the table.
 
     ``with_capf=False`` skips the capf build (and returns ``None`` in
     its slot) for consumers that only need the support counts — e.g.
@@ -826,6 +838,12 @@ def build_capture_tables(
     # built, so the two jobs share nothing unmaterialized.
     import concurrent.futures
 
+    if defer_frequent:
+        import threading
+
+        threading.Thread(target=frequent.count, daemon=True).start()
+        capf.count()
+        return cand, dcap_h, freq_h, frequent, capf
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
         f1 = pool.submit(frequent.count)
         f2 = pool.submit(capf.count)
@@ -918,8 +936,11 @@ def discover_cinds(
     exact count verifies the survivors — same exact result set (the
     sketch test has false positives only, like the reference's Bloom
     round)."""
+    # defer_frequent: the string-recovery scan overlaps the hot-line
+    # census inside capture_overlaps (and the sketch build, when on) —
+    # neither touches the string table.
     cand, dcap_h, freq_h, frequent, capf = build_capture_tables(
-        triples, min_support, projection
+        triples, min_support, projection, defer_frequent=True
     )
     # sketches are result-sized (#frequent × 44 B) and feed two
     # broadcast builds per pair enumerator — materialize once with

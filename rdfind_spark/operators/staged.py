@@ -165,7 +165,7 @@ def _hot_mask_table(capf: DataFrame, hot_values: list) -> DataFrame | None:
                 for c in range(n_chunks)
             ]
         )
-        .transform(materialize)
+        .transform(lambda d: _materialize(d, "hot_masks"))
     )
 
 
@@ -219,14 +219,67 @@ def _verify_candidates(
     ``N_SALT`` ways) so their k² product spreads over ``N_SALT`` join
     keys instead of landing on one task."""
     spark = dep_caps.sparkSession
-    cands = _materialize(cands.select(*_CIND_KEY).distinct(), f"cand:{label}")
-    ch = cands.select(
+    pruned = cands.select(*_CIND_KEY).distinct().select(
         "*",
         F.xxhash64("dep_code", "dep_v1", "dep_v2").alias("dep_h1"),
         F.hash("dep_code", "dep_v1", "dep_v2").alias("dep_h2"),
         F.xxhash64("ref_code", "ref_v1", "ref_v2").alias("ref_h1"),
         F.hash("ref_code", "ref_v1", "ref_v2").alias("ref_h2"),
     )
+    if supports is not None:
+        # Two exact support prunes BEFORE any instance work (the lattice
+        # merges construct refs freely, so most candidates die here):
+        # (1) a holding candidate needs overlap == dep_support >=
+        #     min_support, and overlap <= ref_support — so the merged
+        #     ref must itself be FREQUENT (the merge stages never check
+        #     ref frequency; measured: the 2/2 class shrinks ~9x);
+        # (2) by the same chain ref_support >= dep_support, a
+        #     directional prune unavailable to the all-at-once engine
+        #     (its unordered pairs always satisfy one direction).
+        # Both are inner broadcast joins against the result-sized
+        # hash-keyed support table; a dropped candidate provably cannot
+        # verify, so the result set is unchanged.
+        pruned = (
+            pruned.join(
+                F.broadcast(
+                    supports.select(
+                        F.col("h1").alias("ref_h1"),
+                        F.col("h2").alias("ref_h2"),
+                        F.col("support").alias("_rsup"),
+                    )
+                ),
+                on=_REF_H,
+            )
+            .join(
+                F.broadcast(
+                    supports.select(
+                        F.col("h1").alias("dep_h1"),
+                        F.col("h2").alias("dep_h2"),
+                        F.col("support").alias("_dsup"),
+                    )
+                ),
+                on=_DEP_H,
+            )
+            .filter(F.col("_rsup") >= F.col("_dsup"))
+            .drop("_rsup", "_dsup")
+        )
+    ch = _materialize(pruned, f"cand:{label}")
+    # Hub-safety gate: the hot-line machinery protects against one join
+    # value fanning out k_dep × k_ref pairs in a single task — but with
+    # a candidate restriction the per-line pair product is bounded by
+    # (#distinct candidate dep captures) × (#distinct candidate ref
+    # captures).  When that global bound is itself below the hot-line
+    # task threshold, no line can melt a task and the plain exact join
+    # wins (skips the mask joins, the cold/overflow split, and several
+    # instance-cache scans).  The two counts are result-sized
+    # aggregates over the materialized candidate table.  (After the
+    # support prunes the 2/2 class routinely lands here: 4 candidates
+    # at sf0.1.)
+    n_dep_caps = ch.select(*_DEP_H).distinct().count()
+    n_ref_caps = ch.select(*_REF_H).distinct().count()
+    if n_dep_caps * n_ref_caps <= HOT_LINE_K * HOT_LINE_K:
+        hot_values = []
+        hot_overflow = None
     pair_keys = ch.select(*_PAIR_H)
     a = dep_caps.join(
         F.broadcast(ch.select(F.col("dep_h1").alias("h1"), F.col("dep_h2").alias("h2")).distinct()),
@@ -562,8 +615,10 @@ def discover_cinds_staged(
     # support counts / every verify join move only 96-bit hash pairs;
     # capture strings are restored once for the result-sized frequent
     # set, and candidate strings live only in the lattice tables.
+    # defer_frequent: the string-recovery scan overlaps the hot census
+    # below (frequent's first reader is stage 1's restore join)
     _cand, dcap_h, freq_h, frequent, capf = build_capture_tables(
-        triples, min_support, projection
+        triples, min_support, projection, defer_frequent=True
     )
     # one full-line hot census shared by all three verification stages
     # (superset of any restricted-side hot set; see _verify_candidates),
@@ -576,6 +631,10 @@ def discover_cinds_staged(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") > HOT_LINE_K)
     )
+    import os as _os
+    import time as _time
+
+    _t0 = _time.time()
     hot_shared = [
         (r.jv1, r.jv2)
         for r in hot_sizes.orderBy(F.col("w").desc(), "jv1", "jv2")
@@ -583,6 +642,8 @@ def discover_cinds_staged(
         .select("jv1", "jv2")
         .collect()
     ]
+    if _os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
+        print(f"## stage hot_census: {_time.time() - _t0:.1f}s", flush=True)
     hot_overflow = None
     if len(hot_shared) == MAX_HOT_MASK:
         top_df = spark.createDataFrame(hot_shared, "jv1 long, jv2 int")
@@ -591,9 +652,17 @@ def discover_cinds_staged(
         hot_overflow = (
             hot_sizes.select("jv1", "jv2")
             .join(F.broadcast(top_df), on=["jv1", "jv2"], how="left_anti")
-            .transform(materialize)
+            .transform(lambda d: _materialize(d, "hot_overflow"))
         )
-    hot_masks = _hot_mask_table(capf, hot_shared)
+    # The mask table is consumed first by the 1/2+2/1 evidence join —
+    # three stages from now — so its aggregate runs in a background
+    # thread, overlapping stage 1's pair join (Spark schedules jobs
+    # from concurrent driver threads independently; the .result() below
+    # is the synchronization point).
+    import concurrent.futures
+
+    _bg = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    _mask_fut = _bg.submit(_hot_mask_table, capf, hot_shared)
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
     freq_b = frequent.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
@@ -694,6 +763,8 @@ def discover_cinds_staged(
     cand21 = _materialize(
         _merged_dep_candidates(partners, partners, freq_bdep), "cand:21"
     )
+    hot_masks = _mask_fut.result()
+    _bg.shutdown()
 
     # ---- one combined evidence join for the 1/2 + 2/1 candidate
     # classes: both are known before any verification, and each
