@@ -35,21 +35,30 @@ restrictions broadcast; every evidence join is an equi-join on
 than the all-at-once pair join.  The one quadratic stage (1/1) runs on
 the shared hot-line/salting machinery.
 
-Cost structure vs the all-at-once plan (sf0.1, local[32], warm-JIT
-stage wall clock via SPARK_GRAFT_STAGE_TIMING; this VM benches ±40%
-run-to-run, so figures are cross-run medians): shared cache builds
-~25s (dcap distinct 10s, frequent-string recovery 9s, capf 3s, hot
-census 3s — identical prefix to all-at-once), unary pair join ~10s,
-2/1 candidate merge ~8s, combined 1/2+2/1 evidence join ~10s, 2/2
-evidence join ~9s, lattice/minimality remainder ~12s → ~80s total vs
-~45s all-at-once.  Optimization history: 155s → 102s (three evidence
-joins → two; two quadratic merge joins → one provenance-tagged merge;
-hashed ref keys; 10 → 8 barriers) → ~80s (bipartite lower/higher-code
+Cost structure vs the all-at-once plan (sf0.1, local[32],
+bench-condition stage wall clock — fresh process, sf0.001 JIT warmup,
+SPARK_GRAFT_STAGE_TIMING; this VM benches ±40% run-to-run, so figures
+are cross-run bands): shared prefix ~25-29s (dcap distinct 11s, freq
+groupBy 5s, frequent-string recovery + capf 13s concurrent — identical
+prefix to all-at-once; round 4 moved the string-recovery scan and the
+hot-mask build into BACKGROUND THREADS overlapping the census and the
+stage-1 pair join), unary pair join ~13-15s, 2/1 candidate merge ~11s,
+combined 1/2+2/1 evidence join ~10-14s, 2/2 evidence join ~3-10s,
+lattice/minimality remainder ~8s → measured full-query totals
+80.6-94.6s across same-day runs vs ~47s all-at-once (the spread IS the
+VM band).  Optimization history: 155s → 102s (three evidence joins →
+two; two quadratic merge joins → one provenance-tagged merge; hashed
+ref keys; 10 → 8 barriers) → ~90s (bipartite lower/higher-code
 merge enumeration generating ONLY valid-orientation pairs — 4.3B →
 sub-1B generated rows, see _merged_dep_candidates; one shared
 capture→hot-line mask table and freq_h-derived supports replacing
 per-call mask builds and distinct passes; overlap dedup moved onto
-fixed-width hash keys pre-restore).  The residual ~1.7× gap vs
+fixed-width hash keys pre-restore) → ~80-95s band (round 4: exact
+support prunes on lattice candidates — merged ref must be frequent,
+ref_support >= dep_support — collapsing the 2/2 candidate class
+100,298 → 4 and the 1/2+2/1 class 324k → 127k at sf0.1; a hub-safety
+plain-join gate for small candidate sets; the background-thread
+overlaps above).  The residual ~1.7-1.9× gap vs
 all-at-once is structural, not slack: the lattice serializes
 candidate → verify rounds the all-at-once plan fuses into one pair
 join, and each round re-touches the instance table (two semi-join
