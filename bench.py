@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_ivf_trained",
     "knn_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_ivf_neardup",

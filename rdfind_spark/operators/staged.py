@@ -286,6 +286,14 @@ def _verify_candidates(
     # at sf0.1.)
     n_dep_caps = ch.select(*_DEP_H).distinct().count()
     n_ref_caps = ch.select(*_REF_H).distinct().count()
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
+        print(
+            f"## gate {label}: n_dep={n_dep_caps} n_ref={n_ref_caps} "
+            f"plain={n_dep_caps * n_ref_caps <= HOT_LINE_K * HOT_LINE_K}",
+            flush=True,
+        )
     if n_dep_caps * n_ref_caps <= HOT_LINE_K * HOT_LINE_K:
         hot_values = []
         hot_overflow = None
