@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_ivf",
     "knn_ivf_trained",
+    "knn_hard_negatives",
+    "docs_dsir_weights",
     "knn_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_ivf_neardup",

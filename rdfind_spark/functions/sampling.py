@@ -499,3 +499,108 @@ SELECT ev.doc_id, COUNT(*) AS n_shingles,
        COUNT(corpus.sh) AS n_contaminated
 FROM ev LEFT JOIN corpus ON ev.sh = corpus.sh
 GROUP BY ev.doc_id"""
+
+
+# ------------------------------------------------- DSIR importance weights
+
+DSIR_TARGET_LANG = "en"  # the "target domain" sample the raw corpus is
+# reweighted toward; any predicate over the corpus works the same way
+DSIR_PPB = 1_000_000_000  # fixed-point scale for the probability ratio
+
+
+def dsir_weights(documents: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    re-expressed exactly): score each raw document by how much its
+    hashed-unigram profile looks like a target-domain sample, so a
+    downstream weighted/top-k selection can shift the corpus mixture
+    toward the target without training a classifier.
+
+    weight(doc) = Σ_w c_doc(w) · ratio(w), where ratio(w) is the
+    add-one-smoothed target/raw probability ratio in fixed-point:
+
+        p_t(w) = (ct_target(w)+1) / (N_target+V)       (unigram LM)
+        ratio(w) = (p_t(w)·PPB) · (N_raw+V) div (ct_raw(w)+1)
+
+    All arithmetic is positive BIGINT with explicit staged ``div`` —
+    bit-identical across engines (no logs, no doubles, no
+    summation-order sensitivity; the reference pipeline's log-ratio
+    ordering is monotone in this ratio for per-token scores, and the
+    fixed-point loses only sub-ppb resolution).
+
+    Plan shape (scale notes): ONE scan tokenizes; a single groupBy(tok)
+    computes raw and target counts together (conditional aggregation —
+    the target pass is free); corpus totals broadcast as a 1-row cross
+    join; the per-doc profile joins the vocab table on the token key (a
+    shuffle equi-join on both sides' natural key — no driver
+    materialization, vocab never collected); final per-doc sum is an
+    exact integer aggregate.  Every stage is linear in tokens.
+    """
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("ct_r"),
+        F.count_if(F.col("lang") == target_lang).alias("ct_t"),
+    )
+    totals = vocab.agg(
+        F.sum("ct_r").alias("n_r"),
+        F.sum("ct_t").alias("n_t"),
+        F.count("*").alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.expr(
+            f"(ct_t + 1) * {DSIR_PPB} div (n_t + v) * (n_r + v) div (ct_r + 1)"
+        ).alias("ratio_ppb"),
+    )
+    cdoc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    scores = (
+        cdoc.join(ratio, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ratio_ppb")).alias("dsir_score"),
+        )
+    )
+    return documents.select("doc_id", "lang", "source").join(
+        scores, on="doc_id"
+    ).select("doc_id", "lang", "source", "n_tokens", "dsir_score")
+
+
+def dsir_weights_sql(target_lang: str = DSIR_TARGET_LANG) -> str:
+    # CASTs pin DuckDB's HUGEINT-promoting sums back to BIGINT; `//` is
+    # floor division = Spark's `div` on the all-positive operands here.
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, t.tok
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS ct_r,
+         CAST(count(*) FILTER (WHERE lang = '{target_lang}') AS BIGINT) AS ct_t
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(ct_r) AS BIGINT) AS n_r, CAST(sum(ct_t) AS BIGINT) AS n_t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+),
+ratio AS (
+  SELECT tok,
+         (ct_t + 1) * {DSIR_PPB} // (n_t + v) * (n_r + v) // (ct_r + 1)
+           AS ratio_ppb
+  FROM vocab, tot
+),
+cdoc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok
+),
+score AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * ratio_ppb) AS BIGINT) AS dsir_score
+  FROM cdoc JOIN ratio USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.dsir_score
+FROM documents d JOIN score s ON d.doc_id = s.doc_id"""

@@ -1098,3 +1098,129 @@ LEFT JOIN ivf_knn i
   ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
 GROUP BY e.query_id
 ORDER BY e.query_id"""
+
+
+# --------------------------------------------------- hard-negative mining
+
+
+def knn_hard_negatives(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors whose ``label`` DIFFERS from
+    the query's — the high-similarity/wrong-class examples a
+    dual-encoder needs as negatives.
+
+    Same IVF probe plan as ``knn_ivf`` (broadcast centroids, bucket
+    join restricted to the probed posting lists — scan cost is the
+    probed buckets' share, not |vectors|); the label inequality rides
+    the scored join as a pushed filter, so mining is no more expensive
+    than plain ANN.  At 100 TB the posting lists are the bucketed
+    layout of ``ivf_assignments`` and the per-bucket scoring is the
+    same BLAS-batched Arrow path the IVF dedup uses."""
+    assign = ivf_assignments(embeddings, n_centroids)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_emb",
+        "q_label",
+        "centroid_id",
+        cosine_col(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "q_label", "centroid_id")
+    )
+    bucket = assign.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("label").alias("n_label"),
+        ),
+        on=[assign.vec_id == F.col("neighbor_id")],
+    ).select("centroid_id", "neighbor_id", "n_emb", "n_label")
+    scored = (
+        probes.join(bucket, on="centroid_id")
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("n_label"))
+        )
+        .select(
+            "query_id",
+            F.col("q_label").alias("query_label"),
+            "neighbor_id",
+            F.col("n_label").alias("neighbor_label"),
+            cosine_col(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
+def knn_hard_negatives_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    cos_vc = COSINE_SQL.format(a="v.embedding", b="c.embedding")
+    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    cos_qn = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    return f"""WITH assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {n_queries} AND c.vec_id < {n_centroids}
+  ) WHERE rnk <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, q.label AS query_label,
+         a.vec_id AS neighbor_id, n.label AS neighbor_label,
+         {cos_qn} AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id AND q.label <> n.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= {k}"""

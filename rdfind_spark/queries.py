@@ -544,6 +544,13 @@ def docs_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mix_sources(_docs(spark, sf_dir))
 
 
+@register("docs_dsir_weights", sampling.dsir_weights_sql())
+def docs_dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weight per document
+    (target/raw probability ratio, fixed-point integer arithmetic)."""
+    return sampling.dsir_weights(_docs(spark, sf_dir))
+
+
 # ----------------------------------- training-data pipeline: similarity
 
 
@@ -605,6 +612,14 @@ def knn_ivf_trained_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of trained-centroid IVF vs exact brute force (companion
     of knn_ivf_recall for the seeded index)."""
     return similarity.knn_ivf_trained_recall(_embs(spark, sf_dir))
+
+
+@register("knn_hard_negatives", similarity.knn_hard_negatives_sql())
+def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k
+    most-similar vectors with a DIFFERENT label, via the IVF probe
+    plan (label inequality pushed into the scored join)."""
+    return similarity.knn_hard_negatives(_embs(spark, sf_dir))
 
 
 # --------------------------------------------------- event analytics
@@ -921,15 +936,18 @@ _BOARD_PRIORITY = [
     # new this round
     "knn_ivf_trained",
     "knn_ivf_trained_recall",
-    # flagship re-verification (the CIND core + perf-sensitive paths)
+    "docs_dsir_weights",
+    "knn_hard_negatives",
+    # flagship re-verification (the CIND core + perf-sensitive paths;
+    # association_rules / dedup_minhash_lsh rotated off to make room
+    # for the two new queries — both driver-green on the r3 board, so
+    # the staleness meta-test keeps them covered)
     "cind_minimal",
     "cind_small_to_large",
     "cind_approx_verify",
     "cind_all",
     "capture_overlaps",
     "capture_supports",
-    "association_rules",
-    "dedup_minhash_lsh",
     "dedup_embedding_ivf_neardup",
     "graph_pagerank",
 ]

@@ -553,3 +553,41 @@ def test_event_transitions_ppm_truncates(spark):
     )
     rows = events.event_transitions(ev).collect()
     assert sorted(r["prob_ppm"] for r in rows) == [333333, 333333, 333333]
+
+
+def test_dsir_weights_fixed_point_hand_check(spark):
+    """Tiny corpus where the staged integer arithmetic is computable by
+    hand: tokens aa (target-heavy) and bb (raw-only).
+    vocab: aa ct_r=2 ct_t=2; bb ct_r=1 ct_t=0; N_r=3 N_t=2 V=2.
+    ratio(aa) = (3*1e9 div 4) * 5 div 3 = 1_250_000_000
+    ratio(bb) = (1*1e9 div 4) * 5 div 2 =   625_000_000
+    """
+    from rdfind_spark.functions.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa", "en", "s", 5), (1, "bb", "de", "s", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+    assert rows[0]["n_tokens"] == 2
+    assert rows[0]["dsir_score"] == 2 * 1_250_000_000
+    assert rows[1]["n_tokens"] == 1
+    assert rows[1]["dsir_score"] == 625_000_000
+    # target-domain doc outranks the non-target doc
+    assert rows[0]["dsir_score"] > rows[1]["dsir_score"]
+
+
+def test_hard_negatives_labels_differ_and_rank_contiguous(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.knn_hard_negatives(embs, n_queries=3, k=5).collect()
+    assert rows, "no hard negatives mined"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_label"] != r["neighbor_label"]
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
