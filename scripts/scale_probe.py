@@ -3,7 +3,10 @@
 copies of the sf0.1 triple view, each copy value-prefixed so copies
 share no values (output must scale exactly ×N — checked).
 
-Usage: python scripts/scale_probe.py [N ...]   (default: 1 2 4)
+Usage: python scripts/scale_probe.py [--staged] [N ...]   (default: 1 2 4)
+
+``--staged`` probes the SmallToLarge staged lattice
+(``discover_cinds_staged``) instead of the all-at-once engine.
 """
 
 import os
@@ -21,7 +24,17 @@ from rdfind_spark.sources.triples import triple_view
 
 
 def main() -> int:
-    ns = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    staged = "--staged" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    if staged:
+        from rdfind_spark.operators.staged import discover_cinds_staged
+
+        def discover(tri, support, minimal=True):  # noqa: ARG001
+            return discover_cinds_staged(tri, support)
+
+    else:
+        discover = discover_cinds
+    ns = [int(a) for a in args] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = (
         SparkSession.builder.master("local[32]")
@@ -36,7 +49,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm codegen once, untimed
-    discover_cinds(
+    discover(
         triple_view(spark, "/root/testdata/sf0.001"), 10, minimal=True
     ).write.format("noop").mode("overwrite").save()
 
@@ -52,7 +65,7 @@ def main() -> int:
         ]
         tri = reduce(lambda a, b: a.unionByName(b), copies)
         t0 = time.time()
-        out = discover_cinds(tri, 10, minimal=True)
+        out = discover(tri, 10, minimal=True)
         rows = out.count()
         dt = time.time() - t0
         results[n] = (dt, rows)
