@@ -238,6 +238,7 @@ _CORPUS_OP_NAMES = (
     "index",
     "percentiles",
     "vocab",
+    "dsir",
 )
 
 
@@ -266,6 +267,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "index": lambda d: corpus_stats.inverted_index(d),
         "percentiles": lambda d: corpus_stats.length_percentiles(d),
         "vocab": lambda d: corpus_stats.vocab_coverage(d),
+        "dsir": lambda d: sampling.dsir_weights(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -229,6 +229,7 @@ def test_cli_corpus_ops(spark, tmp_path):
                 for i in range(40)
             ],
             "source": [f"src{i % 2}" for i in range(40)],
+            "lang": ["en" if i % 2 == 0 else "de" for i in range(40)],
         }
     )
     src = tmp_path / "docs.parquet"
@@ -258,6 +259,16 @@ def test_cli_corpus_ops(spark, tmp_path):
     assert sample.groupBy("source").count().agg(
         F.max("count")
     ).collect()[0][0] <= 3
+    assert main([
+        "corpus", str(src), "--op", "dsir",
+        "--parquet", str(out / "dsir"), "--master", "local[4]",
+    ]) == 0
+    dsir = spark.read.parquet(str(out / "dsir"))
+    assert dsir.count() == 40
+    assert {f.name for f in dsir.schema.fields} == {
+        "doc_id", "lang", "source", "n_tokens", "dsir_score"
+    }
+    assert dsir.filter(F.col("dsir_score") <= 0).count() == 0
 
 
 def test_sql_surface_views_and_cli(spark, sf_dir, tmp_path, capsys):
