@@ -214,6 +214,9 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
+    # (cands is referenced by three plan branches below; exchange reuse
+    # dedups the repeated signature subtree, so no materialization is
+    # needed — measured a wash with an explicit checkpoint.)
     # Exact-Jaccard verification restricted to the LSH candidates — the
     # candidate restriction must happen BEFORE the shingle join, or the
     # "scale path" silently degenerates to the all-pairs join it exists
@@ -222,13 +225,19 @@ def minhash_lsh_pairs(
     # partners (result-sized broadcast) and matches b-side shingles on
     # (b_id, shingle): per-pair cost is linear in shingles per doc.
     sh = _shingles(documents, NGRAM_K)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_ids = (
         cands.select(F.col("a_id").alias("doc_id"))
         .unionByName(cands.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
     shc = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    # total shingle counts per candidate doc, computed from the
+    # candidate-restricted shingles (the semi-join restricts DOCS, not
+    # shingles, so the counts are exact for candidate docs — and only
+    # candidate docs ever reach the size joins below).  A full-corpus
+    # census here would be a second corpus-wide aggregate for values
+    # that are thrown away.
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa_sh = shc.select(F.col("doc_id").alias("a_id"), "shingle")
     sb_sh = shc.select(F.col("doc_id").alias("b_id"), "shingle")
     common = (
