@@ -168,3 +168,42 @@ def test_staged_ar_filter_reference_order(spark):
         discover_cinds(df, min_support=2, minimal=True, ar_filter=True)
     )
     assert staged <= allatonce
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_subj=st.integers(3, 12),
+    n_pred=st.integers(2, 5),
+    n_obj=st.integers(2, 8),
+)
+def test_staged_matches_all_at_once_hypothesis(spark, seed, n_subj, n_pred, n_obj):
+    """Property: the staged lattice (with its round-4 support prunes
+    and hub-safety gate) agrees with the all-at-once engine on random
+    corpora across densities — skew of the value distribution is what
+    the prunes and the gate key on, so vary all three cardinalities."""
+    rng = random.Random(seed)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(n_subj)}",
+                f"p{rng.randrange(n_pred)}",
+                f"o{rng.randrange(n_obj)}",
+            )
+            for _ in range(200)
+        }
+    )
+    df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    staged = {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in discover_cinds_staged(df, min_support=2).collect()
+    }
+    allatonce = {
+        (r.dep_code, r.dep_v1, r.dep_v2, r.ref_code, r.ref_v1, r.ref_v2, r.support)
+        for r in discover_cinds(df, min_support=2, minimal=True).collect()
+    }
+    assert staged == allatonce
