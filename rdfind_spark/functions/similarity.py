@@ -1224,3 +1224,89 @@ ranked AS (
 )
 SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
 FROM ranked WHERE rank <= {k}"""
+
+
+# ------------------------------------ random-projection dim reduction
+
+RP_IN_DIM = 64  # embeddings table component count
+RP_OUT_DIM = 16
+RP_SCALE = 1_000_000  # fixed-point units per input component
+
+
+def _rp_sign(j: int, k: int) -> int:
+    """Deterministic pseudo-random ±1 for projection cell (j, k):
+    parity of an md5-mixed coordinate hash.  Pure-Python and embedded
+    as literals on BOTH engines, so there is no RNG (or RNG-seed
+    semantics) to disagree about."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{j}:{k}".encode()).digest()
+    return 1 if h[0] & 1 else -1
+
+
+def _rp_matrix(out_dim: int = RP_OUT_DIM, in_dim: int = RP_IN_DIM):
+    return [
+        [_rp_sign(j, k) for k in range(in_dim)] for j in range(out_dim)
+    ]
+
+
+def rp_reduce(
+    embeddings: DataFrame,
+    out_dim: int = RP_OUT_DIM,
+    scale: int = RP_SCALE,
+) -> DataFrame:
+    """Sign-random-projection dimensionality reduction (Achlioptas'
+    database-friendly ±1 projections): every embedding is mapped to
+    ``out_dim`` integer components y_j = Σ_k sign(j,k)·q_k over the
+    fixed-point quantized input q = floor(x·scale).  Output in long
+    form (vec_id, rp_dim, rp_value) — the shape a downstream LSH /
+    coarse-ANN stage consumes.
+
+    Scale: embarrassingly parallel — one projection per row, no
+    shuffle, no UDF (the per-dimension dot products are JVM-side
+    zip_with/aggregate expressions over array columns); the ±1 matrix
+    is a compile-time literal (out_dim × in_dim = 1024 cells), so the
+    whole operator is a single narrow codegen stage at any corpus
+    size.  Integer arithmetic end-to-end keeps the result bit-identical
+    across engines and partitionings."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    mat = _rp_matrix(out_dim)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, y: x * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for row in mat
+    ]
+    return embeddings.select(
+        "vec_id", F.posexplode(F.array(*comps)).alias("rp_dim", "rp_value")
+    )
+
+
+def rp_reduce_sql(out_dim: int = RP_OUT_DIM, scale: int = RP_SCALE) -> str:
+    mat = _rp_matrix(out_dim)
+    # (k, j, sign) literal rows — k is 1-based to match generate_subscripts
+    vals = ",\n    ".join(
+        f"({k + 1},{j},{mat[j][k]})"
+        for j in range(out_dim)
+        for k in range(RP_IN_DIM)
+    )
+    return f"""WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS k,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+           AS val
+  FROM embeddings
+),
+s(k, j, sgn) AS (VALUES
+    {vals})
+SELECT vec_id, j AS rp_dim, CAST(SUM(val * sgn) AS BIGINT) AS rp_value
+FROM q JOIN s USING (k)
+GROUP BY vec_id, j"""

@@ -349,3 +349,306 @@ WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
   AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
   AND r_name = '{region_name}'
 GROUP BY n_name"""
+
+
+MIN_COST_TYPE = "STANDARD"
+MIN_COST_MAX_SIZE = 10
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+BIG_SPENDER_MIN_QTY = 300
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    p_type: str = MIN_COST_TYPE,
+    max_size: int = MIN_COST_MAX_SIZE,
+) -> DataFrame:
+    """Cheapest supplier(s) per part (TPC-H Q2 pattern on this schema,
+    which has no partsupp table): for each part of one type/size class,
+    the supplier(s) whose total sold value for that part is the
+    per-part minimum.  The reference pattern is the correlated
+    MIN-subquery; here it is a window-min over a single aggregate.
+
+    Plan discipline: the part filter broadcasts as a semi-join BEFORE
+    the lineitem aggregate, so the fact scan only aggregates qualifying
+    parts; the per-part minimum is a window over the already-aggregated
+    (part, supplier) table — one extra shuffle on p_partkey over data
+    that is orders of magnitude smaller than the fact table; supplier
+    and part decorations broadcast at the end.  Money in exact integer
+    cents, so the min and the tie set are engine-independent."""
+    pk = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand")
+    cost = (
+        lineitem.select(
+            "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("c")
+        )
+        .join(F.broadcast(pk.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("c").alias("cost_cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_brand", "s_name", "cost_cents")
+    )
+
+
+def min_cost_supplier_sql(
+    p_type: str = MIN_COST_TYPE, max_size: int = MIN_COST_MAX_SIZE
+) -> str:
+    return f"""WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey
+                  AND p_type = '{p_type}' AND p_size <= {max_size})
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_name, cost_cents
+FROM cost
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE cost_cents = (SELECT MIN(c2.cost_cents) FROM cost c2
+                    WHERE c2.l_partkey = cost.l_partkey)"""
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> DataFrame:
+    """Trade volume between two nations by direction and ship year
+    (TPC-H Q7 shape): revenue of lines a supplier in one nation shipped
+    to a customer in the other, either direction kept separate.
+
+    Plan discipline: the nation dimension broadcasts TWICE under
+    different roles (supplier side / customer side) with the two-nation
+    filter applied before the broadcast, so each fact row joins against
+    a 2-row build side and the (A,B)/(B,A) disjunction collapses to a
+    post-join inequality on already-restricted rows; the ship-date range
+    pushes to the lineitem scan."""
+    pair = nation.filter(
+        F.col("n_name").isin([nation_a, nation_b])
+    ).select("n_nationkey", "n_name")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    sn = pair.withColumnRenamed("n_name", "supp_nation")
+    cn = pair.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr("sum(rev_cpct) div 100").alias("revenue_cents"),
+        )
+    )
+
+
+def volume_shipping_sql(
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> str:
+    return f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // 100
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier            ON l_suppkey = s_suppkey
+JOIN nation sn           ON s_nationkey = sn.n_nationkey
+JOIN orders              ON l_orderkey = o_orderkey
+JOIN customer            ON o_custkey = c_custkey
+JOIN nation cn           ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+  AND sn.n_name IN ('{nation_a}', '{nation_b}')
+  AND cn.n_name IN ('{nation_a}', '{nation_b}')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""
+
+
+def big_spender_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = BIG_SPENDER_MIN_QTY,
+) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): orders whose total line
+    quantity exceeds ``min_qty``, decorated with the customer — the
+    HAVING-threshold aggregate feeding a semi-join back into the fact
+    chain.
+
+    Plan discipline: the quantity aggregate runs FIRST (map-side
+    partial sums, one shuffle on l_orderkey) and its HAVING filter
+    leaves a tiny qualifying set, which then BROADCASTS into the
+    orders/customer decoration joins — at any scale the expensive side
+    is the single fact aggregate, never a fact × fact join.  Quantities
+    are exact integers, so the threshold set is engine-identical."""
+    qty = (
+        lineitem.select(
+            "l_orderkey",
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            _cents("o_totalprice").alias("total_price_cents"),
+        )
+        .join(F.broadcast(qty), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "order_date",
+            "total_price_cents",
+            "sum_qty",
+        )
+    )
+
+
+def big_spender_orders_sql(min_qty: int = BIG_SPENDER_MIN_QTY) -> str:
+    return f"""SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_cents,
+       sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {min_qty}) q
+  ON o_orderkey = q.l_orderkey"""
+
+
+# Q19-shape disjunctive bands: (brand, max size, qty range) per band.
+PROMO_BANDS = (
+    ("Brand#11", 10, 1, 15),
+    ("Brand#22", 20, 10, 25),
+    ("Brand#3", 30, 20, 35),
+)
+
+
+def promo_band_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bands=PROMO_BANDS,
+) -> DataFrame:
+    """Disjunctive-predicate revenue scan (TPC-H Q19 shape): one global
+    revenue sum over lines matching ANY of several (brand, size,
+    quantity-range) bands — the OR-of-ANDs pattern that exercises
+    cross-table disjunctions.
+
+    Plan discipline: the part side pre-filters to the union of band
+    brands/sizes (a pushable IN + range predicate) and broadcasts; the
+    residual OR-of-ANDs then evaluates post-join on already-restricted
+    rows, never on the raw cross product.  One integer aggregate, no
+    wide shuffle."""
+    brands = sorted({b for b, _, _, _ in bands})
+    max_size = max(s for _, s, _, _ in bands)
+    pt = part.filter(
+        F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    cond = None
+    for brand, size, qlo, qhi in bands:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size)
+            & (F.col("qty") >= qlo)
+            & (F.col("qty") <= qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr("sum(rev_cpct) div 100").alias("revenue_cents"),
+        )
+    )
+
+
+def promo_band_revenue_sql(bands=PROMO_BANDS) -> str:
+    ors = "\n   OR ".join(
+        f"(p_brand = '{b}' AND p_size <= {s} AND qty >= {lo} AND qty <= {hi})"
+        for b, s, lo, hi in bands
+    )
+    return f"""WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_cpct
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(rev_cpct) // 100 AS BIGINT) AS revenue_cents
+FROM li JOIN part ON l_partkey = p_partkey
+WHERE {ors}"""

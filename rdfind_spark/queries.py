@@ -480,6 +480,52 @@ def warehouse_local_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_min_cost_supplier", warehouse.min_cost_supplier_sql())
+def warehouse_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 min-cost-supplier shape: correlated per-part MIN expressed as
+    a window-min over one fact aggregate; part filter semi-joins before
+    the aggregate, decorations broadcast."""
+    return warehouse.min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register("warehouse_volume_shipping", warehouse.volume_shipping_sql())
+def warehouse_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume-shipping shape: nation dimension broadcast twice under
+    different roles, two-nation disjunction, revenue by direction and
+    ship year."""
+    return warehouse.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("warehouse_big_spenders", warehouse.big_spender_orders_sql())
+def warehouse_big_spenders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume-order shape: HAVING-threshold fact aggregate
+    whose tiny qualifying set broadcasts into the decoration joins."""
+    return warehouse.big_spender_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("warehouse_promo_bands", warehouse.promo_band_revenue_sql())
+def warehouse_promo_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 disjunctive-band shape: OR-of-ANDs across a broadcast part
+    join with the brand/size union pre-pushed to the dimension scan."""
+    return warehouse.promo_band_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 # ----------------------------------------------- graph analytics (RDF)
 
 
@@ -620,6 +666,14 @@ def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar vectors with a DIFFERENT label, via the IVF probe
     plan (label inequality pushed into the scored join)."""
     return similarity.knn_hard_negatives(_embs(spark, sf_dir))
+
+
+@register("embedding_rp_reduce", similarity.rp_reduce_sql())
+def embedding_rp_reduce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection dimensionality reduction: 64→16 integer
+    components per vector, shuffle-free single-stage codegen; the ±1
+    matrix is a shared compile-time literal on both engines."""
+    return similarity.rp_reduce(_embs(spark, sf_dir))
 
 
 # --------------------------------------------------- event analytics
@@ -938,18 +992,20 @@ _BOARD_PRIORITY = [
     "knn_ivf_trained_recall",
     "docs_dsir_weights",
     "knn_hard_negatives",
+    # new this session (evidence-gapped until their first driver row)
+    "warehouse_min_cost_supplier",
+    "warehouse_volume_shipping",
+    "warehouse_big_spenders",
+    "warehouse_promo_bands",
+    "embedding_rp_reduce",
     # flagship re-verification (the CIND core + perf-sensitive paths;
-    # association_rules / dedup_minhash_lsh rotated off to make room
-    # for the two new queries — both driver-green on the r3 board, so
-    # the staleness meta-test keeps them covered)
+    # cind_approx_verify / cind_all / capture_supports /
+    # dedup_embedding_ivf_neardup / graph_pagerank rotated off to make
+    # room for the five new queries — all driver-green on the r3 board,
+    # so the staleness meta-test keeps them covered)
     "cind_minimal",
     "cind_small_to_large",
-    "cind_approx_verify",
-    "cind_all",
     "capture_overlaps",
-    "capture_supports",
-    "dedup_embedding_ivf_neardup",
-    "graph_pagerank",
 ]
 
 

@@ -591,3 +591,20 @@ def test_hard_negatives_labels_differ_and_rank_contiguous(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_rp_reduce_unit_vector_reads_out_the_sign_matrix(spark):
+    # e_k scaled: y_j = sign(j, k) * RP_SCALE exactly; zero vector -> 0
+    k_hot = 7
+    e = [0.0] * similarity.RP_IN_DIM
+    e[k_hot] = 1.0
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=e, label=0),
+         Row(vec_id=2, embedding=[0.0] * similarity.RP_IN_DIM, label=0)]
+    )
+    rows = similarity.rp_reduce(df).collect()
+    got = {(r.vec_id, r.rp_dim): r.rp_value for r in rows}
+    assert len(got) == 2 * similarity.RP_OUT_DIM
+    for j in range(similarity.RP_OUT_DIM):
+        assert got[(1, j)] == similarity._rp_sign(j, k_hot) * similarity.RP_SCALE
+        assert got[(2, j)] == 0

@@ -101,3 +101,154 @@ def test_local_supplier_volume_same_nation_only(spark):
     assert [(r.n_name, r.n_items, r.revenue_cents) for r in rows] == [
         ("JAPAN", 1, 19000)
     ]
+
+
+def test_min_cost_supplier_picks_per_part_minimum_with_ties(spark):
+    part = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="x", p_brand="Brand#1", p_type="STANDARD",
+                p_size=5, p_retailprice=1.0),
+            Row(p_partkey=2, p_name="y", p_brand="Brand#2", p_type="PROMO",
+                p_size=5, p_retailprice=1.0),  # wrong type: excluded
+        ]
+    )
+    supplier = spark.createDataFrame(
+        [
+            Row(s_suppkey=1, s_name="s1", s_nationkey=1, s_acctbal=0.0),
+            Row(s_suppkey=2, s_name="s2", s_nationkey=1, s_acctbal=0.0),
+            Row(s_suppkey=3, s_name="s3", s_nationkey=1, s_acctbal=0.0),
+        ]
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # part 1: s1 sells 10.00 total, s2 sells 10.00, s3 sells 30.00
+            Row(l_orderkey=1, l_partkey=1, l_suppkey=1, l_extendedprice=4.0),
+            Row(l_orderkey=2, l_partkey=1, l_suppkey=1, l_extendedprice=6.0),
+            Row(l_orderkey=3, l_partkey=1, l_suppkey=2, l_extendedprice=10.0),
+            Row(l_orderkey=4, l_partkey=1, l_suppkey=3, l_extendedprice=30.0),
+            # excluded part
+            Row(l_orderkey=5, l_partkey=2, l_suppkey=3, l_extendedprice=1.0),
+        ]
+    )
+    rows = warehouse.min_cost_supplier(lineitem, part, supplier).collect()
+    got = sorted((r.p_partkey, r.s_name, r.cost_cents) for r in rows)
+    assert got == [(1, "s1", 1000), (1, "s2", 1000)]  # exact tie kept
+
+
+def test_volume_shipping_directions_and_year(spark):
+    nation = spark.createDataFrame(
+        [
+            Row(n_nationkey=1, n_name="NATION_1", n_regionkey=0),
+            Row(n_nationkey=2, n_name="NATION_2", n_regionkey=0),
+            Row(n_nationkey=3, n_name="NATION_3", n_regionkey=0),
+        ]
+    )
+    supplier = spark.createDataFrame(
+        [
+            Row(s_suppkey=1, s_name="s1", s_nationkey=1, s_acctbal=0.0),
+            Row(s_suppkey=3, s_name="s3", s_nationkey=3, s_acctbal=0.0),
+        ]
+    )
+    customer = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="c1", c_nationkey=2, c_acctbal=0.0,
+                c_mktsegment="AUTO"),
+            Row(c_custkey=2, c_name="c2", c_nationkey=1, c_acctbal=0.0,
+                c_mktsegment="AUTO"),
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=10, o_custkey=1, o_orderstatus="O",
+                o_totalprice=0.0, o_orderdate=_ts("1996-02-01"),
+                o_orderpriority="1"),
+            Row(o_orderkey=11, o_custkey=2, o_orderstatus="O",
+                o_totalprice=0.0, o_orderdate=_ts("1996-02-01"),
+                o_orderpriority="1"),
+        ]
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # nation1 supplier -> nation2 customer, 1996: counts
+            Row(l_orderkey=10, l_suppkey=1, l_extendedprice=100.0,
+                l_discount=0.0, l_shipdate=_ts("1996-06-01")),
+            # nation3 supplier: excluded (not in the pair)
+            Row(l_orderkey=10, l_suppkey=3, l_extendedprice=999.0,
+                l_discount=0.0, l_shipdate=_ts("1996-06-01")),
+            # nation1 supplier -> nation1 customer: same nation, excluded
+            Row(l_orderkey=11, l_suppkey=1, l_extendedprice=999.0,
+                l_discount=0.0, l_shipdate=_ts("1996-06-01")),
+            # outside the date window: excluded
+            Row(l_orderkey=10, l_suppkey=1, l_extendedprice=999.0,
+                l_discount=0.0, l_shipdate=_ts("1995-06-01")),
+        ]
+    )
+    rows = warehouse.volume_shipping(
+        lineitem, orders, customer, supplier, nation
+    ).collect()
+    assert [
+        (r.supp_nation, r.cust_nation, r.ship_year, r.n_items, r.revenue_cents)
+        for r in rows
+    ] == [("NATION_1", "NATION_2", 1996, 1, 10000)]
+
+
+def test_big_spender_orders_threshold(spark):
+    customer = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c1", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="AUTO")]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=10, o_custkey=1, o_orderstatus="O",
+                o_totalprice=123.456, o_orderdate=_ts("1996-02-01"),
+                o_orderpriority="1"),
+            Row(o_orderkey=11, o_custkey=1, o_orderstatus="O",
+                o_totalprice=50.0, o_orderdate=_ts("1996-02-02"),
+                o_orderpriority="1"),
+        ]
+    )
+    lineitem = spark.createDataFrame(
+        [
+            Row(l_orderkey=10, l_quantity=3.0),
+            Row(l_orderkey=10, l_quantity=4.0),
+            Row(l_orderkey=11, l_quantity=5.0),
+        ]
+    )
+    rows = warehouse.big_spender_orders(
+        customer, orders, lineitem, min_qty=6
+    ).collect()
+    assert [
+        (r.c_name, r.o_orderkey, r.order_date, r.total_price_cents, r.sum_qty)
+        for r in rows
+    ] == [("c1", 10, "1996-02-01", 12346, 7)]
+
+
+def test_promo_band_revenue_or_of_ands(spark):
+    part = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="x", p_brand="Brand#11", p_type="STANDARD",
+                p_size=5, p_retailprice=1.0),
+            Row(p_partkey=2, p_name="y", p_brand="Brand#22", p_type="STANDARD",
+                p_size=15, p_retailprice=1.0),
+            Row(p_partkey=3, p_name="z", p_brand="Brand#9", p_type="STANDARD",
+                p_size=5, p_retailprice=1.0),  # brand outside every band
+        ]
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # band 1: Brand#11, size<=10, qty 1..15 -> counts (90.00)
+            Row(l_orderkey=1, l_partkey=1, l_quantity=5.0,
+                l_extendedprice=100.0, l_discount=0.10),
+            # Brand#11 but qty outside band 1: excluded
+            Row(l_orderkey=2, l_partkey=1, l_quantity=20.0,
+                l_extendedprice=999.0, l_discount=0.0),
+            # band 2: Brand#22, size<=20, qty 10..25 -> counts (50.00)
+            Row(l_orderkey=3, l_partkey=2, l_quantity=12.0,
+                l_extendedprice=50.0, l_discount=0.0),
+            # non-band brand: excluded
+            Row(l_orderkey=4, l_partkey=3, l_quantity=5.0,
+                l_extendedprice=999.0, l_discount=0.0),
+        ]
+    )
+    rows = warehouse.promo_band_revenue(lineitem, part).collect()
+    assert [(r.n_lines, r.revenue_cents) for r in rows] == [(2, 14000)]
