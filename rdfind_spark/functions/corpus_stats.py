@@ -467,3 +467,140 @@ ranked AS (
   FROM counts
 )
 SELECT pair, n, rank FROM ranked WHERE rank <= {k}"""
+
+
+# ------------------------------------------------ BPE vocab training
+
+BPE_MERGES = 8
+# merge application = plain left-to-right non-overlapping string
+# replace of " x y " inside " "-padded symbol strings, applied
+# BPE_REPLACE_PASSES times: one pass misses an occurrence that starts
+# at the space the previous match consumed (" x y x y " -> " xy x y ");
+# each extra pass closes one level of that chaining.  Residual
+# deviations from canonical greedy BPE are only possible in repeated
+# chains deeper than the pass count — and both engines run the
+# IDENTICAL replace semantics, so results stay bit-equal regardless.
+BPE_REPLACE_PASSES = 3
+
+
+def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding vocabulary training (Sennrich-style) over the
+    corpus: ``n_merges`` rounds, each counting adjacent symbol pairs
+    across the distinct-WORD table (weighted by word frequency) and
+    merging the globally most frequent pair (ties broken by pair
+    string).  Returns the merge table (rank, left, right, count) — the
+    artifact a tokenizer ships.
+
+    Scale design: the loop state is the distinct-word symbolization —
+    the word-frequency table, not the token stream — so each round is
+    (1) a per-row pair explode + one map-side-combined groupBy over
+    pair strings, (2) a single-row TakeOrdered collect (model-sized:
+    one merge decision), and (3) a narrow string-replace map.  No
+    per-round full-corpus scan, no driver-side data, and the state
+    table is materialized per round to truncate loop lineage (reliable
+    checkpoint under ``spark.rdfind.checkpointDir``)."""
+    from rdfind_spark.util import materialize
+
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "freq"
+    )
+    sym = materialize(sym)
+    merges = []
+    for rank in range(n_merges):
+        toks = F.split("sym", " ")
+        pairs = (
+            sym.filter(F.size(toks) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                        ),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("pr").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pr, cnt = best[0].pr, best[0].cnt
+        left, right = pr.split(" ")
+        merges.append((rank, left, right, int(cnt)))
+        merged = left + right
+        new_sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for _ in range(BPE_REPLACE_PASSES):
+            new_sym = F.replace(
+                new_sym, F.lit(f" {pr} "), F.lit(f" {merged} ")
+            )
+        old = sym
+        sym = materialize(sym.select(F.trim(new_sym).alias("sym"), "freq"))
+        old.unpersist()
+    sym.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
+    )
+
+
+def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+    parts = [
+        """WITH wf AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wf
+)"""
+    ]
+    for r in range(n_merges):
+        repl = f"' ' || sym || ' '"
+        for _ in range(BPE_REPLACE_PASSES):
+            repl = (
+                f"replace({repl}, ' ' || (SELECT pr FROM b{r}) || ' ', "
+                f"' ' || (SELECT replace(pr, ' ', '') FROM b{r}) || ' ')"
+            )
+        # MATERIALIZED: each round references the previous round's
+        # tables several times (3 replace passes × 2 scalar subqueries);
+        # inlined CTEs would expand the chain exponentially (~7^rounds
+        # scans of the base table)
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS pr,
+           freq
+    FROM (SELECT string_split(sym, ' ') AS toks, freq FROM s{r})
+  ) GROUP BY pr
+),
+b{r} AS MATERIALIZED (SELECT pr, cnt FROM p{r} ORDER BY cnt DESC, pr ASC LIMIT 1),
+s{r + 1} AS MATERIALIZED (SELECT trim({repl}) AS sym, freq FROM s{r})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INTEGER) AS merge_rank,
+       string_split(pr, ' ')[1] AS left_sym,
+       string_split(pr, ' ')[2] AS right_sym,
+       cnt AS pair_count FROM b{r}"""
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n" + selects

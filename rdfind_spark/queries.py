@@ -356,6 +356,15 @@ def text_skipgram_cooc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.skipgram_cooc(_docs(spark, sf_dir))
 
 
+@register("text_bpe_vocab", corpus_stats.bpe_vocab_sql())
+def text_bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary training: 8 merge rounds over the
+    distinct-word table (pair census + single-row argmax collect +
+    narrow replace map per round); oracle = the identical recurrence
+    as a chained CTE."""
+    return corpus_stats.bpe_vocab(_docs(spark, sf_dir))
+
+
 @register("text_pmi_bigrams", corpus_stats.pmi_bigrams_sql())
 def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k collocations by PMI (exact scaled-integer probability
@@ -998,13 +1007,14 @@ _BOARD_PRIORITY = [
     "warehouse_big_spenders",
     "warehouse_promo_bands",
     "embedding_rp_reduce",
-    # flagship re-verification (the CIND core + perf-sensitive paths;
-    # cind_approx_verify / cind_all / capture_supports /
-    # dedup_embedding_ivf_neardup / graph_pagerank rotated off to make
-    # room for the five new queries — all driver-green on the r3 board,
-    # so the staleness meta-test keeps them covered)
+    "text_bpe_vocab",
+    # flagship re-verification (the CIND core's two hottest paths;
+    # cind_approx_verify / cind_all / cind_small_to_large /
+    # capture_supports / dedup_embedding_ivf_neardup / graph_pagerank
+    # rotated off to make room for the six new queries — all
+    # driver-green on the r3 board, so the staleness meta-test keeps
+    # them covered)
     "cind_minimal",
-    "cind_small_to_large",
     "capture_overlaps",
 ]
 

@@ -248,3 +248,34 @@ def test_skipgram_rank_tiebreak_and_window(spark):
     # lexicographic rank
     assert [r["pair"] for r in out] == ["p q", "q r", "r s", "s t"]
     assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_bpe_vocab_hand_checked_merges_and_exhaustion(spark):
+    # words: "ab"×3, "abc"×1.  round 0: pairs (a,b)=4, (b,c)=1 -> merge
+    # (a,b); round 1: only (ab,c)=1 remains; round 2: no pairs -> stop
+    # early even though n_merges allows more.
+    df = _docs(spark, ["ab ab ab", "abc"])
+    rows = corpus_stats.bpe_vocab(df, n_merges=8).collect()
+    assert [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows
+    ] == [(0, "a", "b", 4), (1, "ab", "c", 1)]
+
+
+def test_bpe_vocab_count_tie_breaks_on_pair_string(spark):
+    # (x,y) and (z,w) both count 1 -> lexicographically smaller pair
+    # string "x y" wins round 0
+    df = _docs(spark, ["xy zw"])
+    rows = corpus_stats.bpe_vocab(df, n_merges=1).collect()
+    assert [(r.merge_rank, r.left_sym, r.right_sym) for r in rows] == [
+        (0, "x", "y")
+    ]
+
+
+def test_bpe_vocab_weights_pairs_by_word_frequency(spark):
+    # "st" appears in 3 distinct words but "qq" is ONE word repeated 5
+    # times: frequency weighting must make (q,q)=5 beat (s,t)=3
+    df = _docs(spark, ["qq qq qq", "qq qq", "st stm stz"])
+    rows = corpus_stats.bpe_vocab(df, n_merges=1).collect()
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in rows] == [
+        ("q", "q", 5)
+    ]
