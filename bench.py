@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "text_tfidf_keywords",
     "text_bigrams",
     "text_skipgram_cooc",
+    "text_bpe_vocab",
+    "embedding_rp_reduce",
+    "warehouse_big_spenders",
     "docs_quality_filter",
     "docs_pack_sequences",
     "docs_export_train",

@@ -15,7 +15,9 @@ A14-A17).  This module reproduces that surface on Spark::
     python -m rdfind_spark check-hash-collisions INPUT...
     python -m rdfind_spark corpus DOCS.parquet --op
         {split,sample,pack,export,contamination,dedup-exact,
-         dedup-clusters,quality,redact}   (beyond-reference curation)
+         dedup-clusters,quality,quality-filter,redact,span-dedup,mix,
+         tfidf,bigrams,pmi,index,percentiles,vocab,dsir,bpe}
+        (beyond-reference curation)
 
 INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
 ``tpch:DIR`` to melt the driver's parquet star schema at DIR into
@@ -239,6 +241,7 @@ _CORPUS_OP_NAMES = (
     "percentiles",
     "vocab",
     "dsir",
+    "bpe",
 )
 
 
@@ -268,6 +271,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "percentiles": lambda d: corpus_stats.length_percentiles(d),
         "vocab": lambda d: corpus_stats.vocab_coverage(d),
         "dsir": lambda d: sampling.dsir_weights(d),
+        "bpe": lambda d: corpus_stats.bpe_vocab(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -18,7 +18,7 @@ Plan discipline:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 REVENUE_SINCE = "1995-01-01"
@@ -392,8 +392,6 @@ def min_cost_supplier(
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("c").alias("cost_cents"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("l_partkey")
     return (
         cost.withColumn("min_cost", F.min("cost_cents").over(w))
@@ -444,11 +442,14 @@ def volume_shipping(
     to a customer in the other, either direction kept separate.
 
     Plan discipline: the nation dimension broadcasts TWICE under
-    different roles (supplier side / customer side) with the two-nation
-    filter applied before the broadcast, so each fact row joins against
-    a 2-row build side and the (A,B)/(B,A) disjunction collapses to a
-    post-join inequality on already-restricted rows; the ship-date range
-    pushes to the lineitem scan."""
+    different roles (supplier side / customer side), each pre-joined
+    into its entity table BEFORE the fact joins — so the supplier and
+    customer build sides arrive already restricted to the two nations
+    and the fact joins themselves discard out-of-pair rows (a fact join
+    followed by a nation filter would shuffle 12× more rows at 25
+    nations).  The (A,B)/(B,A) disjunction collapses to a post-join
+    inequality on already-restricted rows; the ship-date range pushes
+    to the lineitem scan."""
     pair = nation.filter(
         F.col("n_name").isin([nation_a, nation_b])
     ).select("n_nationkey", "n_name")
@@ -463,26 +464,26 @@ def volume_shipping(
             "rev_cpct"
         ),
     )
-    sn = pair.withColumnRenamed("n_name", "supp_nation")
-    cn = pair.select(
-        F.col("n_nationkey").alias("cn_nationkey"),
-        F.col("n_name").alias("cust_nation"),
-    )
+    sup = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(
+            pair.select(
+                F.col("n_nationkey").alias("cn_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_nationkey"),
+    ).select("c_custkey", "cust_nation")
     return (
-        li.join(
-            supplier.select("s_suppkey", "s_nationkey"),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(
-            customer.select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "ship_year")
         .agg(

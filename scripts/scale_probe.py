@@ -3,10 +3,20 @@
 copies of the sf0.1 triple view, each copy value-prefixed so copies
 share no values (output must scale exactly ×N — checked).
 
-Usage: python scripts/scale_probe.py [--staged] [N ...]   (default: 1 2 4)
+Usage: python scripts/scale_probe.py [--staged|--dedup] [N ...]
+(default N: 1 2 4)
 
 ``--staged`` probes the SmallToLarge staged lattice
 (``discover_cinds_staged``) instead of the all-at-once engine.
+``--dedup`` probes the exact n-gram-Jaccard near-dup pipeline
+(inverted shingle index + candidate-restricted verification) on N×
+copies of the documents table, every TOKEN prefixed per copy so
+shingle sets are disjoint across copies — the pair set must scale
+exactly ×N (checked).  The LSH variant is NOT probed this way on
+purpose: its candidate recall depends on the minhash signatures, which
+the per-copy prefixes perturb, so a borderline pair can be caught in
+one copy and legitimately missed in another (measured: 1023 pairs at
+4× vs 4×256 — one borderline miss, not a scaling defect).
 """
 
 import os
@@ -25,7 +35,10 @@ from rdfind_spark.sources.triples import triple_view
 
 def main() -> int:
     staged = "--staged" in sys.argv[1:]
-    args = [a for a in sys.argv[1:] if a != "--staged"]
+    dedup = "--dedup" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("--staged", "--dedup")]
+    if dedup:
+        return _dedup_probe([int(a) for a in args] or [1, 2, 4])
     if staged:
         from rdfind_spark.operators.staged import discover_cinds_staged
 
@@ -79,6 +92,66 @@ def main() -> int:
         r1 = results[1][1]
         for n, (dt, rows) in results.items():
             assert rows == n * r1, f"{n}x rows {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _dedup_probe(ns) -> int:
+    from rdfind_spark.functions.dedup import ngram_jaccard_pairs
+    from rdfind_spark.functions.text import tokens_col
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen once, untimed
+    ngram_jaccard_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        tokens_col(F.col("text")),
+                        lambda t, i=i: F.concat(F.lit(f"c{i}|"), t),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(n)
+        ]
+        docs = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        rows = ngram_jaccard_pairs(docs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# {n}x: {dt:.1f}s pairs={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
         print("# output scales exactly proportionally")
     return 0
 

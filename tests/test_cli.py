@@ -269,6 +269,15 @@ def test_cli_corpus_ops(spark, tmp_path):
         "doc_id", "lang", "source", "n_tokens", "dsir_score"
     }
     assert dsir.filter(F.col("dsir_score") <= 0).count() == 0
+    assert main([
+        "corpus", str(src), "--op", "bpe",
+        "--parquet", str(out / "bpe"), "--master", "local[4]",
+    ]) == 0
+    bpe = spark.read.parquet(str(out / "bpe"))
+    assert set(bpe.columns) == {
+        "merge_rank", "left_sym", "right_sym", "pair_count"
+    }
+    assert 0 < bpe.count() <= 8
 
 
 def test_sql_surface_views_and_cli(spark, sf_dir, tmp_path, capsys):

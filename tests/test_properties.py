@@ -129,3 +129,93 @@ def test_sessionize_matches_python_reference(spark, events):
             (n, start - ref_first, end - start) for n, start, end in sess
         )
         assert norm == ref_norm, (u, norm, ref_norm)
+
+
+# ------------------------------------------------------ BPE vocab model
+
+
+def _bpe_reference(words, n_merges, passes):
+    """Pure-Python model of ``corpus_stats.bpe_vocab``'s exact
+    semantics: pair census weighted by word frequency, argmax with
+    (count DESC, pair ASC) tie-break, merge applied as ``passes``
+    space-padded non-overlapping string replaces."""
+    from collections import Counter
+
+    freq = Counter(words)
+    sym = {w: " ".join(w) for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, f in freq.items():
+            toks = sym[w].split(" ")
+            for i in range(len(toks) - 1):
+                pairs[toks[i] + " " + toks[i + 1]] += f
+        if not pairs:
+            break
+        pr, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = pr.split(" ")
+        merges.append((rank, left, right, cnt))
+        for w in sym:
+            s = " " + sym[w] + " "
+            for _ in range(passes):
+                s = s.replace(f" {pr} ", f" {left + right} ")
+            sym[w] = s.strip()
+    return merges
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_vocab_matches_python_reference(spark, words):
+    from rdfind_spark.functions import corpus_stats
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in corpus_stats.bpe_vocab(df, n_merges=4).collect()
+    ]
+    assert got == _bpe_reference(
+        words, 4, corpus_stats.BPE_REPLACE_PASSES
+    )
+
+
+# -------------------------------------------- random projection model
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2.0,
+            max_value=2.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_rp_reduce_matches_integer_reference(spark, vec):
+    import math
+
+    from rdfind_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(1, vec, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.rp_dim: r.rp_value for r in similarity.rp_reduce(df).collect()
+    }
+    q = [math.floor(x * similarity.RP_SCALE) for x in vec]
+    mat = similarity._rp_matrix()
+    for j in range(similarity.RP_OUT_DIM):
+        assert got[j] == sum(s * v for s, v in zip(mat[j], q))
