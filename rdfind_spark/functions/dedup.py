@@ -606,3 +606,159 @@ SELECT doc_id, text_hash, source,
        NOT EXISTS (SELECT 1 FROM prior p WHERE p.text_hash = h.text_hash)
          AS admitted
 FROM h WHERE doc_id >= {split_id}"""
+
+
+# ------------------------------------ fuzzy eval-set contamination
+
+# a WIDER eval slice than sampling.CONTAM_EVAL_MOD's exact check: near
+# -dup leakage is rarer than shingle reuse, so the fuzzy detector holds
+# out 10% to keep its oracle non-vacuous at test scale
+CONTAM_FUZZY_EVAL_MOD = 10
+
+
+def contamination_fuzzy(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    eval_mod: int = CONTAM_FUZZY_EVAL_MOD,
+) -> DataFrame:
+    """Fuzzy train-on-test leakage detector: eval documents
+    (``doc_id % eval_mod == 0``) that NEAR-duplicate a training
+    document — LSH band-bucket candidates restricted to CROSS-set
+    pairs, then exact shingle-Jaccard verification.  Complements
+    ``sampling.contamination_check`` (exact shingle reuse): this one
+    catches paraphrase-level leakage a single shared shingle
+    understates, with the same guarantee as ``minhash_lsh_pairs``
+    (every reported pair's Jaccard is exact; candidates are LSH
+    recall-bounded).
+
+    Scale: the eval side is a small fixed fraction by construction, so
+    its band keys BROADCAST into the train-side probe (cross-set only —
+    never the within-train quadratic pair space the dedup query
+    explores), and the verification joins are candidate-restricted
+    before any shingle join, exactly like the dedup scale path."""
+    sig = minhash_signatures(documents, MINHASH_K)
+    r = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{band * r + j}") for j in range(r)]
+            )
+        ).alias(f"band{band}")
+        for band in range(LSH_BANDS)
+    ]
+    keys = (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.col(f"band{band}").alias("key"),
+                        )
+                        for band in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.key")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = keys.filter(is_eval).select(
+        "band", "key", F.col("doc_id").alias("eval_id")
+    )
+    tr = keys.filter(~is_eval).select(
+        "band", "key", F.col("doc_id").alias("train_id")
+    )
+    cands = (
+        tr.join(F.broadcast(ev), on=["band", "key"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    sh = _shingles(documents, NGRAM_K)
+    cand_ids = (
+        cands.select(F.col("eval_id").alias("doc_id"))
+        .unionByName(cands.select(F.col("train_id").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ev_sh = shc.select(F.col("doc_id").alias("eval_id"), "shingle")
+    tr_sh = shc.select(F.col("doc_id").alias("train_id"), "shingle")
+    common = (
+        ev_sh.join(F.broadcast(cands), on="eval_id")
+        .join(tr_sh, on=["train_id", "shingle"])
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    se = sizes.select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("e_n")
+    )
+    st = sizes.select(
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("t_n")
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("e_n") + F.col("t_n") - F.col("n_common")),
+        6,
+    )
+    return (
+        common.join(F.broadcast(se), on="eval_id")
+        .join(F.broadcast(st), on="train_id")
+        .select("eval_id", "train_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def contamination_fuzzy_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    eval_mod: int = CONTAM_FUZZY_EVAL_MOD,
+) -> str:
+    k, bands = MINHASH_K, LSH_BANDS
+    r = k // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(k)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{band * r + j}" for j in range(r))
+        + f") AS band{band}"
+        for band in range(bands)
+    )
+    band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, band{band} AS key FROM banded"
+        for band in range(bands)
+    )
+    return f"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+shl AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(toks) - {NGRAM_K - 2}, 2)),
+      i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))) AS sh
+  FROM docs
+),
+sig AS (SELECT doc_id, {mh_cols} FROM shl),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+keys AS ({band_union}),
+cands AS (
+  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+  FROM keys e JOIN keys t ON e.band = t.band AND e.key = t.key
+  WHERE e.doc_id % {eval_mod} = 0 AND t.doc_id % {eval_mod} <> 0
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS n_common
+  FROM sh e JOIN sh t ON e.shingle = t.shingle
+  WHERE e.doc_id % {eval_mod} = 0 AND t.doc_id % {eval_mod} <> 0
+  GROUP BY 1, 2
+)
+SELECT c.eval_id, c.train_id,
+       round(n_common / (se.n_sh + st.n_sh - n_common), 6) AS jaccard
+FROM common c
+JOIN cands USING (eval_id, train_id)
+JOIN sizes se ON c.eval_id = se.doc_id
+JOIN sizes st ON c.train_id = st.doc_id
+WHERE round(n_common / (se.n_sh + st.n_sh - n_common), 6) >= {threshold}"""

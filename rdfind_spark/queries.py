@@ -572,6 +572,13 @@ def docs_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_check(_docs(spark, sf_dir))
 
 
+@register("docs_contamination_fuzzy", dedup.contamination_fuzzy_sql())
+def docs_contamination_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) eval-set contamination: cross-set LSH
+    band probe with the eval side broadcast, exact-Jaccard verified."""
+    return dedup.contamination_fuzzy(_docs(spark, sf_dir))
+
+
 @register("docs_pack_sequences", sampling.pack_sequences_sql())
 def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing via hierarchical (two-pass) parallel prefix sum."""
@@ -1008,14 +1015,14 @@ _BOARD_PRIORITY = [
     "warehouse_promo_bands",
     "embedding_rp_reduce",
     "text_bpe_vocab",
-    # flagship re-verification (the CIND core's two hottest paths;
-    # cind_approx_verify / cind_all / cind_small_to_large /
-    # capture_supports / dedup_embedding_ivf_neardup / graph_pagerank
-    # rotated off to make room for the six new queries — all
-    # driver-green on the r3 board, so the staleness meta-test keeps
-    # them covered)
+    "docs_contamination_fuzzy",
+    # flagship re-verification (the engine's flagship query; the other
+    # CIND/graph heavies — cind_approx_verify / cind_all /
+    # cind_small_to_large / capture_overlaps / capture_supports /
+    # dedup_embedding_ivf_neardup / graph_pagerank — rotated off to
+    # make room for the seven new queries; all were driver-green on
+    # the r3 board, so the staleness meta-test keeps them covered)
     "cind_minimal",
-    "capture_overlaps",
 ]
 
 

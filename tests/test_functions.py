@@ -608,3 +608,30 @@ def test_rp_reduce_unit_vector_reads_out_the_sign_matrix(spark):
     for j in range(similarity.RP_OUT_DIM):
         assert got[(1, j)] == similarity._rp_sign(j, k_hot) * similarity.RP_SCALE
         assert got[(2, j)] == 0
+
+
+def test_contamination_fuzzy_reports_cross_set_pairs_only(spark):
+    # doc 0 (eval: 0 % 10 == 0) == doc 3 (train) verbatim -> reported
+    # with jaccard 1.0 (identical signatures share every LSH band, so
+    # the candidate is guaranteed, not recall-lucky).  docs 4 == 5 are
+    # a WITHIN-train duplicate pair and docs 0 == 10 a within-EVAL pair:
+    # neither may appear.  doc 1 is unrelated.
+    leaked = "alpha beta gamma delta epsilon zeta"
+    train_dup = "one two three four five six seven"
+    texts = {
+        0: leaked,
+        1: "totally different words here entirely",
+        3: leaked,
+        4: train_dup,
+        5: train_dup,
+        10: leaked,
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = dedup.contamination_fuzzy(df).collect()
+    assert sorted((r.eval_id, r.train_id, r.jaccard) for r in rows) == [
+        (0, 3, 1.0),
+        (10, 3, 1.0),
+    ]
