@@ -125,3 +125,59 @@ def test_bucketed_capture_table_joins_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "SortMergeJoin" in p
     assert "Exchange" not in p, "bucketed self-join must not re-shuffle"
+
+
+def test_rp_reduce_is_shuffle_free(spark, sf_dir):
+    """The random projection claims single-stage narrow execution: the
+    plan must contain NO Exchange of any kind."""
+    from rdfind_spark.functions.similarity import rp_reduce
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(rp_reduce(embs))
+    assert "Exchange" not in p, "projection must not shuffle"
+
+
+def test_big_spender_qualifying_set_broadcasts(spark, sf_dir):
+    """The HAVING-threshold aggregate's tiny qualifying set must be the
+    broadcast build side of the decoration joins (never a fact × fact
+    shuffle)."""
+    from rdfind_spark.functions.warehouse import big_spender_orders
+
+    q = big_spender_orders(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    assert "BroadcastHashJoin" in plan_of(q)
+
+
+def test_min_cost_supplier_semijoin_before_aggregate_single_window(
+    spark, sf_dir
+):
+    """The part filter must reach the part scan (pushdown) and prune
+    the fact rows through a broadcast LEFT SEMI before the aggregate;
+    the correlated MIN is exactly one Window over the aggregated
+    table."""
+    from rdfind_spark.functions.warehouse import min_cost_supplier
+
+    q = min_cost_supplier(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+    p = plan_of(q)
+    assert "LeftSemi" in p
+    assert "Window (" in p
+    assert "EqualTo(p_type,STANDARD)" in p, "part filter must push to scan"
+
+
+def test_promo_bands_brand_union_pushes_to_part_scan(spark, sf_dir):
+    from rdfind_spark.functions.warehouse import promo_band_revenue
+
+    q = promo_band_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+    p = plan_of(q)
+    assert "In(p_brand" in p, "brand union must push to the part scan"
+    assert "BroadcastHashJoin" in p
