@@ -173,6 +173,41 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return with_sh.select("doc_id", *cols)
 
 
+def _band_keys(
+    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, key) LSH bucket keys: the k-wide minhash
+    signature split into ``bands`` groups, each group md5-combined into
+    one bucket key.  Shared by the dedup pair enumerator and the fuzzy
+    contamination probe so the two can never disagree on banding."""
+    r = k // bands
+    sig = minhash_signatures(documents, k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{band * r + j}") for j in range(r)])).alias(
+            f"band{band}"
+        )
+        for band in range(bands)
+    ]
+    return (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.col(f"band{band}").alias("key"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.key")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -184,28 +219,7 @@ def minhash_lsh_pairs(
     candidates with exact shingle Jaccard.  Output = (a_id, b_id,
     jaccard) — identical semantics to ngram_jaccard_pairs restricted to
     LSH candidates."""
-    r = k // bands
-    sig = minhash_signatures(documents, k)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{band * r + j}") for j in range(r)])).alias(
-            f"band{band}"
-        )
-        for band in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    keys = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"band{band}").alias("key")
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    keys = _band_keys(documents, k, bands)
     a = keys.select("band", "key", F.col("doc_id").alias("a_id"))
     b = keys.select("band", "key", F.col("doc_id").alias("b_id"))
     cands = (
@@ -259,11 +273,10 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_sql(
-    threshold: float = JACCARD_THRESHOLD,
-    k: int = MINHASH_K,
-    bands: int = LSH_BANDS,
-) -> str:
+def _lsh_sql_parts(k: int = MINHASH_K, bands: int = LSH_BANDS):
+    """(mh_cols, band_cols, band_union) SQL fragments of the LSH
+    banding — the oracle-side twin of ``_band_keys``, shared by the
+    dedup and fuzzy-contamination oracles."""
     r = k // bands
     mh_cols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
@@ -279,6 +292,15 @@ def minhash_lsh_pairs_sql(
         f"SELECT doc_id, {band} AS band, band{band} AS key FROM banded"
         for band in range(bands)
     )
+    return mh_cols, band_cols, band_union
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> str:
+    mh_cols, band_cols, band_union = _lsh_sql_parts(k, bands)
     return f"""WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ),
@@ -631,39 +653,14 @@ def contamination_fuzzy(
     (every reported pair's Jaccard is exact; candidates are LSH
     recall-bounded).
 
-    Scale: the eval side is a small fixed fraction by construction, so
-    its band keys BROADCAST into the train-side probe (cross-set only —
-    never the within-train quadratic pair space the dedup query
-    explores), and the verification joins are candidate-restricted
-    before any shingle join, exactly like the dedup scale path."""
-    sig = minhash_signatures(documents, MINHASH_K)
-    r = MINHASH_K // LSH_BANDS
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{band * r + j}") for j in range(r)]
-            )
-        ).alias(f"band{band}")
-        for band in range(LSH_BANDS)
-    ]
-    keys = (
-        sig.select("doc_id", *band_cols)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.col(f"band{band}").alias("key"),
-                        )
-                        for band in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.key")
-    )
+    Scale: the candidate join is CROSS-set only — never the
+    within-train quadratic pair space the dedup query explores.  The
+    eval side is a FRACTION of the corpus (not a fixed size), so its
+    band keys are NOT broadcast-hinted: the bucket join shuffles on
+    (band, key) and AQE picks the build side from measured sizes.  The
+    verification joins are candidate-restricted before any shingle
+    join, exactly like the dedup scale path."""
+    keys = _band_keys(documents)
     is_eval = F.col("doc_id") % eval_mod == 0
     ev = keys.filter(is_eval).select(
         "band", "key", F.col("doc_id").alias("eval_id")
@@ -672,7 +669,7 @@ def contamination_fuzzy(
         "band", "key", F.col("doc_id").alias("train_id")
     )
     cands = (
-        tr.join(F.broadcast(ev), on=["band", "key"])
+        tr.join(ev, on=["band", "key"])
         .select("eval_id", "train_id")
         .distinct()
     )
@@ -714,22 +711,7 @@ def contamination_fuzzy_sql(
     threshold: float = JACCARD_THRESHOLD,
     eval_mod: int = CONTAM_FUZZY_EVAL_MOD,
 ) -> str:
-    k, bands = MINHASH_K, LSH_BANDS
-    r = k // bands
-    mh_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
-        for i in range(k)
-    )
-    band_cols = ", ".join(
-        "md5("
-        + " || '|' || ".join(f"mh{band * r + j}" for j in range(r))
-        + f") AS band{band}"
-        for band in range(bands)
-    )
-    band_union = "\nUNION ALL ".join(
-        f"SELECT doc_id, {band} AS band, band{band} AS key FROM banded"
-        for band in range(bands)
-    )
+    mh_cols, band_cols, band_union = _lsh_sql_parts()
     return f"""WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ),

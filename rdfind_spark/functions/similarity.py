@@ -1268,11 +1268,19 @@ def rp_reduce(
     is a compile-time literal (out_dim × in_dim = 1024 cells), so the
     whole operator is a single narrow codegen stage at any corpus
     size.  Integer arithmetic end-to-end keeps the result bit-identical
-    across engines and partitionings."""
+    across engines and partitionings.
+
+    Rows whose embedding is NULL or not exactly ``RP_IN_DIM`` wide are
+    EXCLUDED (both engines apply the same guard): without it a
+    truncated vector would zip against the 64-wide sign rows with NULL
+    padding and poison the sums to NULL on the Spark side while the
+    oracle summed the partial prefix — a confusing gate failure instead
+    of a clean malformed-input exclusion."""
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
     )
+    embeddings = embeddings.filter(F.size("embedding") == RP_IN_DIM)
     mat = _rp_matrix(out_dim)
     comps = [
         F.aggregate(
@@ -1303,7 +1311,7 @@ def rp_reduce_sql(out_dim: int = RP_OUT_DIM, scale: int = RP_SCALE) -> str:
   SELECT vec_id, generate_subscripts(embedding, 1) AS k,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
            AS val
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) = {RP_IN_DIM}
 ),
 s(k, j, sgn) AS (VALUES
     {vals})

@@ -33,6 +33,24 @@ from rdfind_spark.operators.cind import discover_cinds
 from rdfind_spark.sources.triples import triple_view
 
 
+def _session():
+    """One session config for every probe mode — tuning a knob for one
+    mode and not the other would make their timings non-comparable."""
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def main() -> int:
     staged = "--staged" in sys.argv[1:]
     dedup = "--dedup" in sys.argv[1:]
@@ -49,18 +67,7 @@ def main() -> int:
         discover = discover_cinds
     ns = [int(a) for a in args] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "128")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _session()
     # warm codegen once, untimed
     discover(
         triple_view(spark, "/root/testdata/sf0.001"), 10, minimal=True
@@ -101,18 +108,7 @@ def _dedup_probe(ns) -> int:
     from rdfind_spark.functions.text import tokens_col
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "128")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _session()
     # warm codegen once, untimed
     ngram_jaccard_pairs(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -605,6 +605,9 @@ def test_rp_reduce_unit_vector_reads_out_the_sign_matrix(spark):
     rows = similarity.rp_reduce(df).collect()
     got = {(r.vec_id, r.rp_dim): r.rp_value for r in rows}
     assert len(got) == 2 * similarity.RP_OUT_DIM
+    # a malformed (short) vector is excluded, not NULL-poisoned
+    bad = spark.createDataFrame([Row(vec_id=3, embedding=[1.0, 2.0], label=0)])
+    assert similarity.rp_reduce(bad).count() == 0
     for j in range(similarity.RP_OUT_DIM):
         assert got[(1, j)] == similarity._rp_sign(j, k_hot) * similarity.RP_SCALE
         assert got[(2, j)] == 0
