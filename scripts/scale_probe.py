@@ -35,10 +35,15 @@ from rdfind_spark.sources.triples import triple_view
 
 def _session():
     """One session config for every probe mode — tuning a knob for one
-    mode and not the other would make their timings non-comparable."""
+    mode and not the other would make their timings non-comparable.
+    ``SPARK_GRAFT_PROBE_PARTITIONS`` overrides the shuffle parallelism
+    (default 128) — used to measure how much of the top-end probe
+    super-linearity is the pinned per-partition volume rather than the
+    plan."""
+    parts = os.environ.get("SPARK_GRAFT_PROBE_PARTITIONS", "128")
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
