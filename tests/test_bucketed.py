@@ -55,3 +55,58 @@ def test_unbucketed_join_does_exchange(spark, bucketed_pair):
         assert "Exchange" in _plan(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_z_value_matches_morton_reference(spark):
+    """4×4 grid, 2 bits/column: ntile levels equal the raw values, so
+    _z must equal the hand-computed Morton interleave."""
+    from rdfind_spark.sources.zorder import z_value
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r._z for r in z_value(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x, y, bits=2):
+        z = 0
+        for b in range(bits):  # b=0 is MSB
+            src = bits - 1 - b
+            z += ((x >> src) & 1) * 2 ** (src * 2 + 1)
+            z += ((y >> src) & 1) * 2 ** (src * 2)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    # quadrant property: the first quarter of the curve IS the
+    # low-low quadrant — the locality that makes min/max pruning work
+    first_quarter = sorted(rows, key=lambda p: got[p])[:4]
+    assert all(x < 2 and y < 2 for x, y in first_quarter)
+
+
+def test_write_zordered_files_have_narrow_column_spans(spark, tmp_path):
+    """Every output file must cover a compact curve segment: per-file
+    min/max spans of BOTH interleaved columns stay near half the
+    domain (a single-column sort would leave the other column's span
+    at the full domain in every file)."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.sources.zorder import write_zordered
+
+    rows = [(x, y, x * 16 + y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, ["x", "y"], bits=4, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 256 and set(back.columns) == {"x", "y", "payload"}
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 3
+    for r in spans:
+        assert r.xs <= 9 and r.ys <= 9, (r.xs, r.ys)
