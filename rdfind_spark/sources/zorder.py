@@ -85,3 +85,56 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def z_value_sampled(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = Z_BITS,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The scale form of ``z_value``: per-column level boundaries come
+    from ONE ``approxQuantile`` pass (Greenwald-Khanna sketch, no
+    global sort, no window) and are applied as a broadcast-literal
+    searchsorted — the whole curve assignment is then a narrow map.
+
+    Trade: levels are approximate within ``rel_err`` of the true
+    quantiles, which only blurs file boundaries slightly (pruning
+    quality degrades smoothly); the exact ``z_value`` keeps a
+    per-column global-sort window, unusable at the 100 TB tier."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds BIGINT")
+    levels = 2**bits
+    probs = [i / levels for i in range(1, levels)]
+    dbl = df.select(
+        *df.columns,
+        *[F.col(c).cast("double").alias(f"_d_{c}") for c in cols],
+    )
+    cuts = {
+        c: q
+        for c, q in zip(
+            cols, dbl.stat.approxQuantile([f"_d_{c}" for c in cols], probs, rel_err)
+        )
+    }
+    out = dbl
+    for c in cols:
+        lvl = F.lit(0)
+        for cut in cuts[c]:  # ascending boundaries -> searchsorted
+            lvl = lvl + F.when(F.col(f"_d_{c}") > cut, 1).otherwise(0)
+        out = out.withColumn(f"_lvl_{c}", lvl)
+    terms = []
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            src_bit = bits - 1 - b
+            dst_bit = (bits - 1 - b) * n + (n - 1 - i)
+            terms.append(
+                (F.shiftright(F.col(f"_lvl_{c}"), src_bit) % 2).cast("long")
+                * F.lit(2**dst_bit).cast("long")
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return out.withColumn("_z", z).drop(
+        *[f"_lvl_{c}" for c in cols], *[f"_d_{c}" for c in cols]
+    )

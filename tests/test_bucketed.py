@@ -110,3 +110,46 @@ def test_write_zordered_files_have_narrow_column_spans(spark, tmp_path):
     assert len(spans) >= 3
     for r in spans:
         assert r.xs <= 9 and r.ys <= 9, (r.xs, r.ys)
+
+
+def test_z_value_sampled_matches_exact_on_uniform_grid(spark):
+    """On a uniform grid with rel_err=0 the GK sketch is exact, so the
+    sampled-quantile curve must equal the exact ntile curve (up to the
+    constant level offset both encode identically)."""
+    from rdfind_spark.sources.zorder import z_value, z_value_sampled
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    exact = {
+        (r.x, r.y): r._z for r in z_value(df, ["x", "y"], bits=2).collect()
+    }
+    sampled = {
+        (r.x, r.y): r._z
+        for r in z_value_sampled(df, ["x", "y"], bits=2, rel_err=0.0).collect()
+    }
+    assert sampled == exact
+
+
+def test_z_value_sampled_fills_curve_under_skew(spark):
+    """A heavy-tailed RANGE (99% of values in [0,900), a tail out to
+    1e14) must still occupy every curve level: quantile normalization
+    spreads by rank, where raw-value bit-slicing would collapse 99% of
+    rows into level 0.  (Massive TIES are different: a 90%-one-value
+    column correctly collapses to few levels, because quantiles balance
+    mass, not distinct values.)"""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.sources.zorder import z_value_sampled
+
+    rows = [(i, i) for i in range(900)] + [
+        (900 + i, 10 ** (6 + i)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "id int, v long")
+    z = z_value_sampled(df, ["v"], bits=3, rel_err=0.0)
+    n_levels = z.select((F.col("_z")).alias("l")).distinct().count()
+    assert n_levels == 8, "rank normalization must fill all 2^3 levels"
+    # raw-value slicing for contrast: 8 equal-width bins over the full
+    # range put every non-tail row in bin 0
+    width = (10**14) // 8
+    raw_bins = {min(v // width, 7) for _, v in rows}
+    assert len(raw_bins) <= 3, "the contrast premise itself"
