@@ -2,12 +2,15 @@
 metadata, decoded / feature-extracted through Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so ``decode_image`` is a
-clearly-marked stub (NotImplementedError) — but everything Spark-side
-is real and tested: the binary column schema, the metadata struct, the
-mapInPandas batch shape, and a deterministic feature extractor whose
-output is reproducible in SQL (so the driver oracle verifies the whole
-Arrow path end-to-end).
+``decode_image`` really decodes binary NetPBM (P5/P6) with pure
+numpy — no codec library needed — and ``image_stats`` runs that decode
+through the Arrow batch path; compressed formats (JPEG/PNG) stay a
+clearly-marked NotImplementedError because their codecs are not in
+this container (plug PIL/libvips into ``decode_image`` in a real
+deployment).  Everything Spark-side is real and tested: the binary
+column schema, the metadata struct, the mapInPandas batch shape, and a
+deterministic feature extractor whose output is reproducible in SQL
+(so the driver oracle verifies the whole Arrow path end-to-end).
 
 Scale notes: binary payloads ride ordinary parquet row groups; feature
 extraction is embarrassingly parallel (mapInPandas, no shuffle);
@@ -50,14 +53,50 @@ def attach_blobs(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: real image decoding needs codecs not present in this
-    environment.  The Spark-side plumbing (schema, batching, partition
-    behavior) is exercised via extract_features instead."""
-    raise NotImplementedError(
-        "image decoding requires an image codec library; "
-        "plug PIL/libvips here in a real deployment"
-    )
+def decode_image(payload: bytes):
+    """Decode a binary NetPBM payload (P5 grayscale / P6 RGB, maxval
+    <= 255) into an (height, width, channels) uint8 numpy array — pure
+    numpy header parse + frombuffer, no codec library needed, so THIS
+    path is real and tested.  Compressed formats (JPEG/PNG/...) still
+    raise NotImplementedError: their codecs are not in this
+    environment; plug PIL/libvips into this function in a real
+    deployment."""
+    import numpy as np
+
+    magic = bytes(payload[:2])
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "only binary NetPBM (P5/P6) decodes without a codec "
+            "library; plug PIL/libvips here for compressed formats"
+        )
+    # header: magic, width, height, maxval as ASCII tokens separated by
+    # whitespace, '#' comments run to end-of-line; pixel data begins
+    # exactly one whitespace byte after the maxval token
+    pos, vals = 2, []
+    while len(vals) < 3:
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while payload[pos : pos + 1].isdigit():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"malformed NetPBM header byte {c!r}")
+    width, height, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit NetPBM not supported")
+    pos += 1  # the single whitespace byte after maxval
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    data = np.frombuffer(bytes(payload[pos : pos + n]), dtype=np.uint8)
+    if data.size != n:
+        raise ValueError(f"truncated NetPBM: {data.size} of {n} bytes")
+    return data.reshape(height, width, channels)
 
 
 FEATURES_SCHEMA = StructType(
@@ -200,3 +239,59 @@ def multimodal_features_sql() -> str:
 )
 SELECT doc_id, i - 1 AS feature_idx, ascii(substr(h, i, 1)) AS feature, payload_len
 FROM f, range(1, {N_FEATURES + 1}) r(i)"""
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", IntegerType()),
+        StructField("decode_error", IntegerType()),
+    ]
+)
+
+
+def image_stats(blobs: DataFrame) -> DataFrame:
+    """Real decode over the Arrow batch path: each NetPBM payload is
+    decoded (``decode_image``) and reduced to (width, height, channels,
+    integer mean pixel).  Payloads the codec-less decoder cannot handle
+    are EMITTED with ``decode_error = 1`` and null dimensions — a
+    100 TB crawl always contains undecodable blobs, and dropping them
+    silently would make failure rates unobservable downstream."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    arr = decode_image(bytes(p))
+                    rows.append(
+                        (
+                            doc_id,
+                            arr.shape[1],
+                            arr.shape[0],
+                            arr.shape[2],
+                            int(arr.sum()) // arr.size,
+                            0,
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((doc_id, None, None, None, None, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_pixel",
+                    "decode_error",
+                ],
+            )
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _stats, schema=IMAGE_STATS_SCHEMA
+    )

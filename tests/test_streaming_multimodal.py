@@ -350,3 +350,51 @@ def test_streaming_anomalies_match_python_online_reference(spark, tmp_path):
     assert got == ref
     assert any(eid == 11 for _, eid, _, _ in got)  # the 50.0 spike flagged
     assert not any(u == 2 for u, _, _, _ in got)  # no baseline, no flags
+
+
+def _ppm(w, h, pixels):
+    """Binary P6 with a comment line — exercises the header tokenizer."""
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def test_decode_image_p6_and_p5_roundtrip():
+    import numpy as np
+
+    from rdfind_spark.functions.multimodal import decode_image
+
+    px = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    arr = decode_image(_ppm(2, 2, px))  # 2x2 RGB
+    assert arr.shape == (2, 2, 3) and arr.dtype == np.uint8
+    assert arr[0, 0].tolist() == [10, 20, 30]
+    assert arr[1, 1].tolist() == [100, 110, 120]
+    gray = decode_image(b"P5\n3 1\n255\n" + bytes([5, 6, 7]))
+    assert gray.shape == (1, 3, 1) and gray[0, 2, 0] == 7
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n\x01\x02")  # truncated
+
+
+def test_image_stats_decodes_and_flags_errors(spark):
+    from pyspark.sql import Row
+
+    from rdfind_spark.functions.multimodal import image_stats
+
+    good = _ppm(2, 1, [0, 0, 0, 30, 60, 90])  # mean = 180 // 6 = 30
+    blobs = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(good)),
+            Row(doc_id=2, payload=bytearray(b"\xff\xd8\xffJPEG-ish")),
+        ]
+    )
+    rows = {r.doc_id: r for r in image_stats(blobs).collect()}
+    assert (
+        rows[1].width,
+        rows[1].height,
+        rows[1].channels,
+        rows[1].mean_pixel,
+        rows[1].decode_error,
+    ) == (2, 1, 3, 30, 0)
+    assert rows[2].decode_error == 1 and rows[2].width is None
