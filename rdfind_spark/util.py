@@ -152,3 +152,38 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l.join(r, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def skew_report(df, cols: list[str], top_k: int = 20):
+    """Skew diagnostic for a prospective join/groupBy key: the top-k
+    heaviest key values with their row counts, frequency in ppm of the
+    total, and a suggested salt factor (heavy-key rows ÷ a 4M-row task
+    budget, the same sizing rule as the CIND engine's hub handling).
+
+    One aggregation + a TakeOrdered top-k — safe to run on the full
+    table at any scale; the output is top_k rows.  Use before choosing
+    between a plain join, AQE skew splitting, and ``salted_join``:
+    suggested_salt == 1 for every reported key means AQE alone is
+    enough."""
+    from pyspark.sql import functions as F
+
+    rows_per_task = 4_000_000
+    counts = df.groupBy(*cols).agg(F.count("*").alias("n_rows"))
+    total = df.count()
+    return (
+        counts.orderBy(F.col("n_rows").desc(), *cols)
+        .limit(top_k)
+        .select(
+            *cols,
+            "n_rows",
+            (F.col("n_rows") * 1_000_000 / F.lit(max(total, 1)))
+            .cast("long")
+            .alias("freq_ppm"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / F.lit(rows_per_task)),
+            )
+            .cast("int")
+            .alias("suggested_salt"),
+        )
+    )

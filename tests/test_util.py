@@ -109,3 +109,16 @@ def test_materialize_reliable_checkpoint_mode(spark, tmp_path):
         )
     finally:
         spark.conf.unset("spark.rdfind.checkpointDir")
+
+
+def test_skew_report_ranks_heavy_keys_and_sizes_salt(spark):
+    from rdfind_spark.util import skew_report
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, ["k"], top_k=2).collect()
+    assert [(r.k, r.n_rows, r.freq_ppm) for r in got] == [
+        ("hot", 70, 700000),
+        ("warm", 20, 200000),
+    ]
+    assert all(r.suggested_salt == 1 for r in got)  # tiny table: AQE is enough
