@@ -515,6 +515,25 @@ def warehouse_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_market_share", warehouse.market_share_sql())
+def warehouse_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 market-share shape: ratio of conditional aggregates per order
+    year over a two-level dimension chain — type-filtered part keys
+    broadcast into the fact scan, region→nation pre-joined into
+    customer, nation broadcast twice under different roles; one
+    aggregate computes both the conditional and total sums, share in
+    exact integer ppm."""
+    return warehouse.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
 @register("warehouse_big_spenders", warehouse.big_spender_orders_sql())
 def warehouse_big_spenders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 large-volume-order shape: HAVING-threshold fact aggregate
@@ -575,7 +594,8 @@ def docs_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("docs_contamination_fuzzy", dedup.contamination_fuzzy_sql())
 def docs_contamination_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) eval-set contamination: cross-set LSH
-    band probe with the eval side broadcast, exact-Jaccard verified."""
+    band probe — eval side shuffled on (band, key), AQE picks the build
+    side — exact-Jaccard verified, hot band buckets capped."""
     return dedup.contamination_fuzzy(_docs(spark, sf_dir))
 
 
@@ -674,6 +694,22 @@ def knn_ivf_trained_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of trained-centroid IVF vs exact brute force (companion
     of knn_ivf_recall for the seeded index)."""
     return similarity.knn_ivf_trained_recall(_embs(spark, sf_dir))
+
+
+@register("knn_ivf_pq", similarity.knn_ivf_pq_sql())
+def knn_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quantized ANN: coarse probe buckets, candidates ranked by
+    asymmetric distance against per-subspace integer-Lloyd codebooks
+    (4 code lookups per candidate, not a 64-wide dot), top survivors
+    exact-rescored — the 100 TB index-memory lever (16× compression)."""
+    return similarity.knn_ivf_pq(_embs(spark, sf_dir))
+
+
+@register("knn_ivf_pq_recall", similarity.knn_ivf_pq_recall_sql())
+def knn_ivf_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ vs exact brute force — what quantized codes +
+    LUT scoring cost at the default probe/rescore settings."""
+    return similarity.knn_ivf_pq_recall(_embs(spark, sf_dir))
 
 
 @register("knn_hard_negatives", similarity.knn_hard_negatives_sql())
@@ -961,68 +997,62 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-4 rotation: the complement of the round-3 board (those 36
-    # carry no driver-green row from r3 — the judge strict-verified
-    # them by hand; r3+r4 boards together must cover all queries)
-    "condition_counts_frequent",
-    "condition_histogram",
-    "count_distinct_values",
-    "count_triples",
-    "join_line_histogram",
-    "hash_collisions",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "text_redact",
-    "text_tfidf_keywords",
-    "docs_quality_filter",
-    "text_bigrams",
-    "text_pmi_bigrams",
-    "docs_inverted_index",
-    "text_token_length_hist",
-    "docs_length_deciles",
-    "docs_vocab_coverage",
-    "docs_length_digest",
-    "docs_cube_counts",
-    "docs_length_percentiles",
-    "warehouse_revenue_by_nation",
-    "warehouse_pricing_summary",
-    "warehouse_revenue_forecast",
-    "warehouse_late_priority",
-    "graph_degree_distribution",
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_contamination",
-    "docs_pack_sequences",
-    "docs_export_train",
-    "docs_span_dedup",
-    # newly-oracled this round (previous driver rows were no_oracle)
-    "stream_anomalies",
-    "stream_sessions",
-    # new this round
-    "knn_ivf_trained",
-    "knn_ivf_trained_recall",
-    "docs_dsir_weights",
-    "knn_hard_negatives",
+    # round-5 rotation: the exact complement of the round-4 board
+    # (these 47 carry no driver-green row from r4 — the judge
+    # strict-verified them by hand; r4+r5 boards together must cover
+    # all registered queries, as test_driver_evidence_staleness_bounded
+    # enforces).  47 + the 3 round-5 additions = exactly 50 slots.
+    "cind_all",
+    "cind_minimal_ar",
+    "cind_small_to_large",
+    "cind_approx_verify",
+    "cind_minimal_proj_s",
+    "capture_supports",
+    "capture_overlaps",
+    "association_rules",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_neardup",
+    "docs_repetition_filter",
+    "text_skipgram_cooc",
+    "warehouse_top_unshipped",
+    "warehouse_local_supplier",
+    "graph_pagerank",
+    "docs_mix_sources",
+    "knn_bruteforce",
+    "embedding_prep",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "embedding_kmeans",
+    "dedup_semantic",
+    "knn_ivf",
+    "events_hourly_counts",
+    "events_sessionize",
+    "events_top_purchasers",
+    "events_interarrival",
+    "events_daily_rollup",
+    "events_retention",
+    "events_asof_join",
+    "events_range_join",
+    "events_anomalies",
+    "events_hourly_profile",
+    "events_transitions",
+    "events_dau_wau",
+    "events_grouping_sets",
+    "events_distinct_sketch",
+    "events_moving_window",
+    "events_pivot",
+    "events_funnel",
+    "stream_hourly_counts",
+    "stream_interval_join",
+    "stream_purchase_totals",
+    "multimodal_features",
     # new this session (evidence-gapped until their first driver row)
-    "warehouse_min_cost_supplier",
-    "warehouse_volume_shipping",
-    "warehouse_big_spenders",
-    "warehouse_promo_bands",
-    "embedding_rp_reduce",
-    "text_bpe_vocab",
-    "docs_contamination_fuzzy",
-    # flagship re-verification (the engine's flagship query; the other
-    # CIND/graph heavies — cind_approx_verify / cind_all /
-    # cind_small_to_large / capture_overlaps / capture_supports /
-    # dedup_embedding_ivf_neardup / graph_pagerank — rotated off to
-    # make room for the seven new queries; all were driver-green on
-    # the r3 board, so the staleness meta-test keeps them covered)
-    "cind_minimal",
+    "warehouse_market_share",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
 ]
 
 
