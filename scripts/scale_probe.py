@@ -39,15 +39,20 @@ def _session():
     ``SPARK_GRAFT_PROBE_PARTITIONS`` overrides the shuffle parallelism
     (default 128) — used to measure how much of the top-end probe
     super-linearity is the pinned per-partition volume rather than the
-    plan."""
+    plan.  ``SPARK_GRAFT_PROBE_MEM`` overrides the driver/executor heap
+    (default 48g) — used with the half-base ladder (``--half-base``) to
+    separate the single-JVM memory confound from a genuine plan defect:
+    if the cost curve tracks working-set-per-heap rather than copy
+    count, the super-linearity is the local harness, not the plan."""
     parts = os.environ.get("SPARK_GRAFT_PROBE_PARTITIONS", "128")
+    mem = os.environ.get("SPARK_GRAFT_PROBE_MEM", "48g")
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -59,7 +64,10 @@ def _session():
 def main() -> int:
     staged = "--staged" in sys.argv[1:]
     dedup = "--dedup" in sys.argv[1:]
-    args = [a for a in sys.argv[1:] if a not in ("--staged", "--dedup")]
+    half = "--half-base" in sys.argv[1:]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--staged", "--dedup", "--half-base")
+    ]
     if dedup:
         return _dedup_probe([int(a) for a in args] or [1, 2, 4])
     if staged:
@@ -79,6 +87,13 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
 
     base = triple_view(spark, sf_dir)
+    if half:
+        # deterministic ~half-size base: same ladder, half the working
+        # set per copy count — 8× of half-base matches 4× of full-base,
+        # so a heap-bound curve bends by WORKING SET, a plan-defect
+        # curve bends by COPY COUNT
+        base = base.filter(F.crc32(F.concat_ws("\x1f", *base.columns)) % 2 == 0)
+        print(f"# half-base rows: {base.count()}", flush=True)
     cols = base.columns
     results = {}
     for n in ns:
@@ -122,16 +137,21 @@ def _dedup_probe(ns) -> int:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     results = {}
     for n in ns:
+        # NB: the prefix literal must be bound OUTSIDE the transform
+        # lambda — a two-parameter `lambda t, i=i:` is interpreted by
+        # PySpark as an (element, index) lambda, so `i` would be the
+        # array-index Column, not the copy number.
+        def _prefixed(i: int):
+            pfx = F.lit(f"c{i}|")
+            return F.array_join(
+                F.transform(tokens_col(F.col("text")), lambda t: F.concat(pfx, t)),
+                " ",
+            ).alias("text")
+
         copies = [
             base.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.array_join(
-                    F.transform(
-                        tokens_col(F.col("text")),
-                        lambda t, i=i: F.concat(F.lit(f"c{i}|"), t),
-                    ),
-                    " ",
-                ).alias("text"),
+                _prefixed(i),
                 "lang",
                 "source",
                 "n_chars",
