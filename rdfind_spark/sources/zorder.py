@@ -38,9 +38,14 @@ Z_BITS = 8  # levels per column: 8 bits × up to 8 columns fits a BIGINT
 
 def z_value(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame:
     """Attach a ``_z`` BIGINT column: the Morton interleave of each
-    column's ``bits``-level rank.  Deterministic: ntile over
-    (column, full row ordering by the z columns) so ties break
-    stably."""
+    column's ``bits``-level rank.  The ntile window orders by
+    (column, then the other z columns), so the assignment is
+    deterministic up to permutation of rows tied on ALL z columns —
+    full duplicates may swap ntile cells across runs/partitionings,
+    which never affects pruning (identical rows land in the same
+    min/max span wherever they fall) but means ``_z`` is not a stable
+    row fingerprint; add a unique key column to ``cols`` if one is
+    needed."""
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols × {bits} bits exceeds BIGINT")
     out = df
