@@ -33,6 +33,16 @@ from rdfind_spark.util import materialize
 
 NGRAM_K = 3  # tokens per dedup shingle
 MAX_SHINGLE_DOCS = 100  # inverted-index hot-shingle cap
+# Band-bucket analogue of MAX_SHINGLE_DOCS: an LSH band key shared by
+# more than this many documents is dropped before the bucket self-join
+# (a w-wide bucket emits w(w-1)/2 candidates — one degenerate key must
+# not go quadratic).  Recall effect: a duplicate CLASS wider than the
+# cap collides in every band, so all its buckets are dropped and LSH
+# reports no pairs for it — by construction such classes are
+# (near-)identical en masse, which is exact dedup's job
+# (exact_dedup_map collapses them in one hash groupBy); LSH exists for
+# the sparse near-dup tail, where buckets are narrow.
+MAX_BAND_DOCS = 200
 JACCARD_THRESHOLD = 0.18
 MINHASH_K = 12  # number of min-hashes
 LSH_BANDS = 4  # bands (rows per band = MINHASH_K / LSH_BANDS)
@@ -114,9 +124,12 @@ def ngram_jaccard_pairs(
     jac = F.round(
         F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 6
     )
+    # sizes are corpus-sized (one row per doc): no broadcast hint — AQE
+    # promotes the build side from measured sizes, and degrades to a
+    # shuffle join gracefully when the corpus doesn't fit an executor
     return (
-        common.join(F.broadcast(sa), on="a_id")
-        .join(F.broadcast(sb), on="b_id")
+        common.join(sa, on="a_id")
+        .join(sb, on="b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -208,6 +221,27 @@ def _band_keys(
     )
 
 
+def _cold_band_keys(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_band_docs: int = MAX_BAND_DOCS,
+) -> DataFrame:
+    """(doc_id, band, key) with hot band buckets dropped — the
+    band-bucket analogue of the inverted index's hot-shingle cap (see
+    ``MAX_BAND_DOCS`` for the recall argument).  One aggregate over the
+    key table; the hot set is candidate-class-sized, so the anti-join
+    broadcast is bounded by corpus_size / max_band_docs keys."""
+    keys = _band_keys(documents, k, bands)
+    hot = (
+        keys.groupBy("band", "key")
+        .agg(F.count("*").alias("width"))
+        .filter(F.col("width") > max_band_docs)
+        .select("band", "key")
+    )
+    return keys.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -218,8 +252,11 @@ def minhash_lsh_pairs(
     ``bands`` groups, bucket-join on (band index, band key), then verify
     candidates with exact shingle Jaccard.  Output = (a_id, b_id,
     jaccard) — identical semantics to ngram_jaccard_pairs restricted to
-    LSH candidates."""
-    keys = _band_keys(documents, k, bands)
+    LSH candidates.  Band buckets wider than ``MAX_BAND_DOCS`` are
+    dropped before the self-join (recall effect documented at the
+    constant), so a degenerate mass-duplicate corpus stays
+    candidate-bounded instead of going quadratic in one bucket."""
+    keys = _cold_band_keys(documents, k, bands)
     a = keys.select("band", "key", F.col("doc_id").alias("a_id"))
     b = keys.select("band", "key", F.col("doc_id").alias("b_id"))
     cands = (
@@ -244,7 +281,7 @@ def minhash_lsh_pairs(
         .unionByName(cands.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    shc = sh.join(cand_ids, on="doc_id", how="left_semi")
     # total shingle counts per candidate doc, computed from the
     # candidate-restricted shingles (the semi-join restricts DOCS, not
     # shingles, so the counts are exact for candidate docs — and only
@@ -255,7 +292,7 @@ def minhash_lsh_pairs(
     sa_sh = shc.select(F.col("doc_id").alias("a_id"), "shingle")
     sb_sh = shc.select(F.col("doc_id").alias("b_id"), "shingle")
     common = (
-        sa_sh.join(F.broadcast(cands), on="a_id")
+        sa_sh.join(cands, on="a_id")
         .join(sb_sh, on=["b_id", "shingle"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
@@ -266,8 +303,8 @@ def minhash_lsh_pairs(
         F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 6
     )
     return (
-        common.join(F.broadcast(sa), on="a_id")
-        .join(F.broadcast(sb), on="b_id")
+        common.join(sa, on="a_id")
+        .join(sb, on="b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -313,9 +350,13 @@ shl AS MATERIALIZED (
 sig AS (SELECT doc_id, {mh_cols} FROM shl),
 banded AS (SELECT doc_id, {band_cols} FROM sig),
 keys AS ({band_union}),
+hotb AS (SELECT band, key FROM keys
+         GROUP BY band, key HAVING COUNT(*) > {MAX_BAND_DOCS}),
+coldk AS (SELECT k.* FROM keys k WHERE NOT EXISTS
+          (SELECT 1 FROM hotb h WHERE h.band = k.band AND h.key = k.key)),
 cands AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+  FROM coldk a JOIN coldk b ON a.band = b.band AND a.key = b.key
    AND a.doc_id < b.doc_id
 ),
 sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shl),
@@ -657,10 +698,17 @@ def contamination_fuzzy(
     within-train quadratic pair space the dedup query explores.  The
     eval side is a FRACTION of the corpus (not a fixed size), so its
     band keys are NOT broadcast-hinted: the bucket join shuffles on
-    (band, key) and AQE picks the build side from measured sizes.  The
-    verification joins are candidate-restricted before any shingle
-    join, exactly like the dedup scale path."""
-    keys = _band_keys(documents)
+    (band, key) and AQE picks the build side from measured sizes.
+    Band buckets wider than ``MAX_BAND_DOCS`` are dropped up front
+    (same cap + recall argument as ``minhash_lsh_pairs``), and the
+    candidate/verification joins below carry NO broadcast hints — the
+    candidate set is LSH-collision-bounded on real corpora but
+    degenerate mass duplication across the eval/train cut could make
+    it large, and a hinted broadcast cannot gracefully degrade; AQE
+    promotes from measured sizes instead.  The verification joins are
+    candidate-restricted before any shingle join, exactly like the
+    dedup scale path."""
+    keys = _cold_band_keys(documents)
     is_eval = F.col("doc_id") % eval_mod == 0
     ev = keys.filter(is_eval).select(
         "band", "key", F.col("doc_id").alias("eval_id")
@@ -679,12 +727,12 @@ def contamination_fuzzy(
         .unionByName(cands.select(F.col("train_id").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    shc = sh.join(cand_ids, on="doc_id", how="left_semi")
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ev_sh = shc.select(F.col("doc_id").alias("eval_id"), "shingle")
     tr_sh = shc.select(F.col("doc_id").alias("train_id"), "shingle")
     common = (
-        ev_sh.join(F.broadcast(cands), on="eval_id")
+        ev_sh.join(cands, on="eval_id")
         .join(tr_sh, on=["train_id", "shingle"])
         .groupBy("eval_id", "train_id")
         .agg(F.count("*").alias("n_common"))
@@ -700,8 +748,8 @@ def contamination_fuzzy(
         6,
     )
     return (
-        common.join(F.broadcast(se), on="eval_id")
-        .join(F.broadcast(st), on="train_id")
+        common.join(se, on="eval_id")
+        .join(st, on="train_id")
         .select("eval_id", "train_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -724,9 +772,13 @@ shl AS MATERIALIZED (
 sig AS (SELECT doc_id, {mh_cols} FROM shl),
 banded AS (SELECT doc_id, {band_cols} FROM sig),
 keys AS ({band_union}),
+hotb AS (SELECT band, key FROM keys
+         GROUP BY band, key HAVING COUNT(*) > {MAX_BAND_DOCS}),
+coldk AS (SELECT k.* FROM keys k WHERE NOT EXISTS
+          (SELECT 1 FROM hotb h WHERE h.band = k.band AND h.key = k.key)),
 cands AS (
   SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
-  FROM keys e JOIN keys t ON e.band = t.band AND e.key = t.key
+  FROM coldk e JOIN coldk t ON e.band = t.band AND e.key = t.key
   WHERE e.doc_id % {eval_mod} = 0 AND t.doc_id % {eval_mod} <> 0
 ),
 sh AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shl),

@@ -79,6 +79,36 @@ def test_minhash_lsh_agrees_with_exact_on_dups(spark):
     assert [(p["a_id"], p["b_id"]) for p in got] == [(0, 1)]
 
 
+def test_lsh_hot_band_bucket_cap_bounds_degenerate_corpus(spark):
+    # A mass-duplicate class wider than MAX_BAND_DOCS collides in EVERY
+    # band; without the cap one bucket alone would emit w(w-1)/2 ≈ 31k
+    # candidates × 16 bands.  With the cap all its buckets are dropped:
+    # the query completes with a candidate count bounded by the narrow
+    # buckets only, and reports no pairs for the class (mass-identical
+    # docs are exact_dedup_map's job — recall argument at MAX_BAND_DOCS).
+    # A genuine sparse near-dup pair must still pair via its width-2
+    # buckets.
+    dup = " ".join(f"d{i}" for i in range(20))
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " tail"
+    n_dup = dedup.MAX_BAND_DOCS + 50
+    rows = [(i, dup, "en", "src", len(dup)) for i in range(n_dup)]
+    rows.append((n_dup, base, "en", "src", len(base)))
+    rows.append((n_dup + 1, near, "en", "src", len(near)))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(p["a_id"], p["b_id"]) for p in got] == [(n_dup, n_dup + 1)]
+    # same degenerate class spanning the eval/train cut: fuzzy
+    # contamination stays bounded too (its 10%-eval split crosses the
+    # class, so uncapped it would be quadratic in the duplicated mass).
+    # Only the genuine near-dup leak (doc 250 is eval, 251 train)
+    # survives; the mass class reports nothing.
+    cross = dedup.contamination_fuzzy(df).collect()
+    assert [(r["eval_id"], r["train_id"]) for r in cross] == [(n_dup, n_dup + 1)]
+
+
 def test_simhash_identical_and_disjoint(spark):
     a = " ".join(f"w{i}" for i in range(20))
     df = _docs(spark, [a, a])
