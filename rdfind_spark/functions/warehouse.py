@@ -653,3 +653,155 @@ SELECT COUNT(*) AS n_lines,
        CAST(SUM(rev_cpct) // 100 AS BIGINT) AS revenue_cents
 FROM li JOIN part ON l_partkey = p_partkey
 WHERE {ors}"""
+
+
+# ------------------------------------------- Q8 market share
+
+Q8_NATION = "NATION_2"
+Q8_REGION = "ASIA"
+Q8_TYPE = "STANDARD"
+Q8_FROM = "1995-01-01"
+Q8_TO = "1997-01-01"
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    nation_name: str = Q8_NATION,
+    region_name: str = Q8_REGION,
+    p_type: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> DataFrame:
+    """National market share (TPC-H Q8 shape): among lineitems of parts
+    of one type, ordered in a date range by customers in one region,
+    the share of revenue supplied by one nation, per order year — the
+    ratio-of-conditional-aggregates pattern over a two-level dimension
+    chain (region → nation → customer, and nation → supplier in a
+    second role).
+
+    Plan discipline:
+
+    * the type-filtered part keys BROADCAST into the lineitem scan
+      first — Q8's part predicate is the most selective edge, so the
+      fact table shrinks before any shuffle join;
+    * region → nation pre-joins BROADCAST-side into customer (exactly
+      volume_shipping's role trick), so the orders⋈customer join
+      already discards out-of-region rows;
+    * the supplier-side nation broadcasts under its second role to
+      label rows with supp_nation;
+    * ONE aggregate computes both the conditional (nation) and total
+      sums — no self-join, no window over the fact;
+    * integer fixed point end-to-end: share_ppm =
+      nation_cents·1_000_000 div total_cents (exact same BIGINT
+      recurrence in the DuckDB oracle).  Headroom note: the ppm
+      multiply needs nation_cents < 9.2e12 per year-group (~$92B/yr);
+      above that pre-scale both sums by the same power of ten.
+    """
+    pt = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    li = (
+        lineitem.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "rev_cpct"
+            ),
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_suppkey", "rev_cpct")
+    )
+    od = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    rn = (
+        nation.select("n_nationkey", "n_regionkey")
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(rn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    agg = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.expr("sum(rev_cpct) div 100").alias("total_cents"),
+            F.expr(
+                f"sum(if(supp_nation = '{nation_name}', rev_cpct, 0)) div 100"
+            ).alias("nation_cents"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.expr("nation_cents * 1000000 div total_cents").alias("share_ppm"),
+    )
+
+
+def market_share_sql(
+    nation_name: str = Q8_NATION,
+    region_name: str = Q8_REGION,
+    p_type: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> str:
+    return f"""WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              // 100 AS BIGINT) AS total_cents,
+         CAST(SUM(CASE WHEN sn.n_name = '{nation_name}'
+                  THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  ELSE 0 END) // 100 AS BIGINT) AS nation_cents
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = '{p_type}'
+    AND r_name = '{region_name}'
+    AND o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+  GROUP BY year(o_orderdate)
+)
+SELECT o_year, nation_cents, total_cents,
+       CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+FROM agg"""

@@ -171,6 +171,29 @@ def test_min_cost_supplier_semijoin_before_aggregate_single_window(
     assert "EqualTo(p_type,STANDARD)" in p, "part filter must push to scan"
 
 
+def test_market_share_single_fact_aggregate(spark, sf_dir):
+    """Q8's ratio of conditional aggregates must be ONE aggregate over
+    the fact join — no self-join of the fact and no window: exactly one
+    lineitem scan, zero Window nodes, part filter pushed to its scan,
+    every dimension joined as a broadcast build side."""
+    from rdfind_spark.functions.warehouse import market_share
+
+    q = market_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+    p = plan_of(q)
+    assert p.count("lineitem.parquet") == 1, "fact must be scanned once"
+    assert "Window (" not in p
+    assert "EqualTo(p_type,STANDARD)" in p, "part filter must push to scan"
+    assert "BroadcastHashJoin" in p
+
+
 def test_promo_bands_brand_union_pushes_to_part_scan(spark, sf_dir):
     from rdfind_spark.functions.warehouse import promo_band_revenue
 
