@@ -77,12 +77,17 @@ def write_zordered(
     cols: list[str],
     bits: int = Z_BITS,
     n_files: int = 32,
+    sampled: bool = False,
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-order curve of
     ``cols``: range-partitioned and sorted by the interleaved z-value,
     so each file covers a compact curve segment and row-group min/max
-    stats prune range filters on ANY of the interleaved columns."""
-    zdf = z_value(df, cols, bits)
+    stats prune range filters on ANY of the interleaved columns.
+    ``sampled=True`` assigns curve levels from one approxQuantile pass
+    instead of per-column global-sort windows — the 100 TB form (see
+    ``z_value_sampled``); layout quality degrades only by the sketch's
+    rel_err."""
+    zdf = (z_value_sampled if sampled else z_value)(df, cols, bits)
     (
         zdf.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

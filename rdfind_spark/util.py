@@ -111,7 +111,18 @@ def materialize(df, eager: bool = True):
         # setCheckpointDir once per session (idempotent target dir)
         if sc._jsc.sc().getCheckpointDir().isEmpty():
             sc.setCheckpointDir(cdir)
-        return df.checkpoint(eager=eager)
+        # Persist before checkpointing: the reliable-checkpoint WRITE is
+        # a separate job that otherwise RECOMPUTES the whole stage (the
+        # documented RDD.checkpoint caveat) — measured on cind_minimal
+        # at sf0.1 (scripts/ckpt_probe.py, README table): +49% vs local
+        # mode unpersisted; after this persist the same alternating
+        # probe shows reliable mode within noise of local mode.  Blocks
+        # are released as soon as the checkpoint files exist.
+        df = df.persist()
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist(False)
+        return out
     return df.localCheckpoint(eager=eager)
 
 

@@ -41,9 +41,21 @@ print(f"RESULT {time.time() - t0:.1f}")
 """
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def run_once(name: str, ckpt_dir: str | None) -> float:
     env = dict(os.environ)
     env.pop("RDFIND_CHECKPOINT_DIR", None)
+    before = _dir_bytes(ckpt_dir) if ckpt_dir else 0
     if ckpt_dir:
         env["RDFIND_CHECKPOINT_DIR"] = ckpt_dir
     out = subprocess.run(
@@ -58,6 +70,9 @@ def run_once(name: str, ckpt_dir: str | None) -> float:
         cwd=REPO,
         check=True,
     ).stdout
+    if ckpt_dir:
+        wrote = _dir_bytes(ckpt_dir) - before
+        print(f"#   checkpoint bytes written: {wrote / 1e6:.1f} MB", flush=True)
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return float(line.split()[1])
