@@ -171,6 +171,25 @@ def test_min_cost_supplier_semijoin_before_aggregate_single_window(
     assert "EqualTo(p_type,STANDARD)" in p, "part filter must push to scan"
 
 
+def test_ivf_pq_encode_is_narrow_and_lut_broadcasts(spark, sf_dir):
+    """IVF-PQ's scale claims, pinned: (a) the PQ encode (codes + exact
+    integer norms) is a single narrow projection over the quantized
+    vectors — no Exchange of any kind; (b) the full query's ADC stage
+    joins the per-query LUT as a broadcast build side (the classic PQ
+    lookup, never a shuffle of the candidate set against the LUT)."""
+    from rdfind_spark.functions import similarity as sim
+    from rdfind_spark.util import materialize
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = materialize(
+        embs.select("vec_id", sim._quantized("embedding").alias("q"))
+    )
+    books = sim._pq_codebooks(q)
+    codes = sim._pq_codes(q, books, sim.PQ_DSUB)
+    assert "Exchange" not in plan_of(codes), "PQ encode must not shuffle"
+    assert "BroadcastHashJoin" in plan_of(sim.knn_ivf_pq(embs))
+
+
 def test_market_share_single_fact_aggregate(spark, sf_dir):
     """Q8's ratio of conditional aggregates must be ONE aggregate over
     the fact join — no self-join of the fact and no window: exactly one
