@@ -151,6 +151,26 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_pq_with_unbounded_rescore_equals_plain_ivf(spark, sf_dir):
+    """With the rescore depth larger than any bucket, IVF-PQ rescores
+    EVERY coarse candidate exactly — so its top-k must equal plain
+    knn_ivf's (same seeded coarse probes, same exact cosine): the ADC
+    stage only ever narrows, never re-ranks, the final result.  Pins
+    that quantization error is confined to candidate selection."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_ivf(embs, n_queries=3, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_ivf_pq(
+            embs, n_queries=3, k=5, rescore=10**6
+        ).collect()
+    }
+    assert pq == ivf
+
+
 def test_trained_ivf_improves_assignment_cosine(spark, sf_dir):
     """The Lloyd rounds must improve (or preserve) the index quality
     metric they optimize — mean assignment cosine — over the seeded
