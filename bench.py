@@ -72,6 +72,51 @@ BENCH_QUERIES = [
 ]
 
 
+def format_result(
+    timings: dict, runs_per_query: dict, heavy: set, sf
+) -> str:
+    """The ONE JSON line the driver records.  The driver keeps only the
+    LAST ~2000 bytes of output, so this line must fit inside that
+    window (round 4's artifact was lost to a ~2.6 KB line: timings at
+    3 decimals plus a 42-entry runs map).  Compact discipline: 0.1s
+    rounding, compact separators, "min_of2" as the list of queries
+    whose number is a min-of-2 (everything else is a single run).
+    Full-precision per-query lines go to stderr; the JSON stays the
+    last thing printed.  If the line still exceeds the guard, the
+    sub-heavy per-query detail is elided rather than ever overflowing
+    the capture (tests/test_bench_format.py pins both regimes)."""
+    total = round(sum(timings.values()), 1)
+    min_of2 = sorted(n for n, r in runs_per_query.items() if r >= 2)
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: round(v, 1) for n, v in timings.items()},
+            "min_of2": min_of2,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:
+        # never lose the headline numbers again: drop the tail queries'
+        # per-query detail before the heavies rather than overflow
+        kept = {n: round(timings[n], 1) for n in timings if n in heavy}
+        line = json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": kept,
+                "queries_elided": len(timings) - len(kept),
+                "min_of2": min_of2,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+    return line
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -212,44 +257,7 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 1)
-    # The driver records only the LAST ~2000 bytes of output, so the
-    # final JSON line must fit inside that window (round 4's artifact
-    # was lost to a ~2.6 KB line: timings at 3 decimals plus a
-    # 42-entry "runs" map).  Keep it compact: 0.1s rounding, compact
-    # separators, and "min_of2" as the list of the queries whose
-    # number is a min-of-2 (everything else is a single run) instead
-    # of a per-query runs map.  Full-precision per-query lines go to
-    # stderr above; the JSON stays the last thing printed.
-    line = json.dumps(
-        {
-            "metric": "total_query_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {n: round(v, 1) for n, v in timings.items()},
-            "min_of2": sorted(n for n, r in runs_per_query.items() if r >= 2),
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > 1800:  # pragma: no cover - emergency degradation
-        # never lose the headline numbers again: drop the tail queries'
-        # per-query detail before the heavies rather than overflow
-        kept = {n: round(timings[n], 1) for n in timings if n in heavy}
-        line = json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": kept,
-                "queries_elided": len(timings) - len(kept),
-                "min_of2": sorted(
-                    n for n, r in runs_per_query.items() if r >= 2
-                ),
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+    line = format_result(timings, runs_per_query, heavy, sf)
     print(line)
     spark.stop()
     return 0

@@ -1,0 +1,50 @@
+"""The bench artifact contract: the driver records only the LAST
+~2000 bytes of bench output, so the final JSON line must always parse
+from inside that window — round 4's heavy numbers were lost to a
+2.6 KB line.  Pins both the normal and the elided-degradation regime
+without starting Spark."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import BENCH_QUERIES, format_result
+
+HEAVY = {
+    "cind_minimal",
+    "cind_small_to_large",
+    "cind_approx_verify",
+    "cind_all",
+    "capture_overlaps",
+    "capture_supports",
+    "graph_pagerank",
+}
+
+
+def test_current_bench_list_fits_tail_capture():
+    # worst realistic shape: every benched query present, 4-digit
+    # timings, every heavy min-of-2
+    timings = {n: 9999.9 for n in BENCH_QUERIES}
+    runs = {n: (2 if n in HEAVY else 1) for n in BENCH_QUERIES}
+    line = format_result(timings, runs, HEAVY, 0.1)
+    assert len(line) <= 1800, len(line)
+    d = json.loads(line)
+    assert d["metric"] == "total_query_seconds"
+    assert len(d["queries"]) == len(BENCH_QUERIES)
+    assert sorted(d["min_of2"]) == sorted(HEAVY)
+
+
+def test_oversized_bench_list_degrades_to_heavies_not_overflow():
+    timings = {f"very_long_query_name_number_{i:03d}": 123.4 for i in range(90)}
+    timings.update({n: 50.0 for n in HEAVY})
+    runs = {n: 1 for n in timings}
+    line = format_result(timings, runs, HEAVY, 0.1)
+    assert len(line) <= 1800, len(line)
+    d = json.loads(line)
+    # total still covers EVERYTHING; per-query detail keeps the heavies
+    assert d["value"] == round(sum(timings.values()), 1)
+    assert set(d["queries"]) == HEAVY
+    assert d["queries_elided"] == 90
