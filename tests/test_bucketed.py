@@ -230,6 +230,18 @@ def test_zorder_prunes_row_groups_end_to_end(spark, tmp_path):
     # at least a quarter of the row groups (measured: 18/32 read)
     assert z_sk <= tot * 3 // 4, (z_sk, tot)
     assert z_pk <= tot // 2, (z_pk, tot)
+    # the sampled (no-global-sort, 100 TB) curve must prune about as
+    # well as the exact ntile curve (measured: 10/32 and 20/32 vs the
+    # exact form's 10/32 and 18/32)
+    zsam = str(tmp_path / "zorder_sampled")
+    write_zordered(
+        df, zsam, ["l_partkey", "l_suppkey"], bits=5, n_files=n_files,
+        sampled=True,
+    )
+    zs_pk, _ = must_read(zsam, "l_partkey", *pk)
+    zs_sk, _ = must_read(zsam, "l_suppkey", *sk)
+    assert zs_sk <= tot * 3 // 4, (zs_sk, tot)
+    assert zs_pk <= tot // 2, (zs_pk, tot)
     # same data in both layouts: the band scans return identical counts
     got_lin = (
         spark.read.parquet(lin)
