@@ -99,6 +99,28 @@ def decode_image(payload: bytes):
     return data.reshape(height, width, channels)
 
 
+def encode_netpbm(arr) -> bytes:
+    """(height, width, channels) uint8 array → binary NetPBM bytes
+    (P5 for 1 channel, P6 for 3) — the inverse of ``decode_image``'s
+    real path, shared by the real resize below."""
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"NetPBM encodes 1 or 3 channels, got {c}")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _nn_resize(img, width: int, height: int):
+    """Nearest-neighbor resample via integer index maps — pure numpy,
+    exactly reproducible (floor sampling: source index = (i·src)//dst)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -154,21 +176,32 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing over mapInPandas: batch in, batch out, payload
-    re-emitted at the target dimensions.  The pixel operation is a
-    deterministic fake (truncate/cycle payload bytes to width*height) —
-    swap ``_fake_resize`` for a PIL/libvips call in a real deployment;
-    the Spark-side contract (binary in/out, metadata struct, Arrow
-    batching, no shuffle) is the tested part."""
+    """Resize over mapInPandas: batch in, batch out, payload re-emitted
+    at the target dimensions.  Binary NetPBM payloads (P5/P6) are
+    REALLY resized — decode (``decode_image``), nearest-neighbor
+    resample (pure numpy integer index maps), re-encode
+    (``encode_netpbm``) — so the whole decode→transform→encode loop is
+    exercised without any codec library.  Non-NetPBM payloads fall back
+    to the deterministic fake (truncate/cycle bytes to width·height),
+    keeping the plumbing testable on the synthetic text-byte blobs;
+    plug PIL/libvips into the decode/encode pair for compressed formats
+    in a real deployment.  The Spark-side contract (binary in/out,
+    metadata struct, Arrow batching, no shuffle) is identical on both
+    paths."""
 
     target = width * height
 
-    def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else b
+                try:
+                    resized = encode_netpbm(_nn_resize(decode_image(b), width, height))
+                except (NotImplementedError, ValueError):
+                    resized = (
+                        (b * (target // max(len(b), 1) + 1))[:target] if b else b
+                    )
                 out.append(resized)
             yield pd.DataFrame(
                 {
@@ -181,7 +214,7 @@ def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return blobs.select("doc_id", "payload").mapInPandas(
-        _fake_resize, schema=RESIZED_SCHEMA
+        _resize, schema=RESIZED_SCHEMA
     )
 
 

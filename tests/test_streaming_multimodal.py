@@ -177,6 +177,33 @@ def test_resize_images_plumbing(spark, sf_dir):
     assert all(r.meta.width == 16 and r.meta.height == 8 for r in out)
 
 
+def test_resize_images_really_resizes_netpbm(spark):
+    """NetPBM payloads go through the REAL decode → nearest-neighbor →
+    re-encode loop: a 4×4 quadrant image downsampled to 2×2 must keep
+    exactly the floor-sampled source pixels (rows/cols 0 and 2), and
+    the output payload must itself decode as valid NetPBM."""
+    import numpy as np
+
+    from rdfind_spark.functions.multimodal import decode_image, resize_images
+
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    src[:2, :2] = [255, 0, 0]
+    src[:2, 2:] = [0, 255, 0]
+    src[2:, :2] = [0, 0, 255]
+    src[2:, 2:] = [7, 8, 9]
+    payload = b"P6\n4 4\n255\n" + src.tobytes()
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id LONG, payload BINARY"
+    )
+    rows = resize_images(blobs, 2, 2).collect()
+    assert len(rows) == 1 and rows[0].meta.width == 2
+    got = decode_image(bytes(rows[0].payload))
+    assert got.shape == (2, 2, 3)
+    assert got.tolist() == src[[0, 2]][:, [0, 2]].tolist()
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[1, 1].tolist() == [7, 8, 9]
+
+
 def test_sample_frames_plumbing(spark, sf_dir):
     from rdfind_spark.functions.multimodal import (
         FRAME_SIZE,
