@@ -1341,19 +1341,82 @@ def _pq_codebooks(
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
 ) -> list:
-    """One integer-Lloyd codebook per subspace, trained on the sliced
-    sub-vectors with the exact ``_train_centroids`` recurrence — the
-    driver holds only model-sized state (m × ksub × dsub ints)."""
-    return [
-        _train_centroids(
-            q.select(
-                "vec_id", F.slice("q", mm * dsub + 1, dsub).alias("q")
-            ),
-            ksub,
-            iters,
-        )
+    """One integer-Lloyd codebook per subspace — the exact
+    ``_train_centroids`` recurrence (same seeds, same cosine argmax and
+    tie-break, same truncating integer centroid update; pinned
+    element-equal by ``test_pq_fused_training_matches_per_subspace``)
+    but FUSED: all ``m`` subspaces train in ONE long-form
+    (m, cid, sub-vector) aggregation per Lloyd round instead of m
+    sequential trainings.  Per round that is one corpus scan and one
+    model-sized collect, not m of each — the difference between 1× and
+    m× full-table scans per round at the 100 TB tier (measured at
+    sf0.1: knn_ivf_pq 11.0 → 8.4-8.7s; the residual is the probe and
+    rescore, not training)."""
+    seed_rows = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in q.filter(F.col("vec_id") < ksub).collect()
+    )
+    books = [
+        [
+            (cid, vec[mm * dsub : (mm + 1) * dsub])
+            for cid, vec in seed_rows
+        ]
         for mm in range(m)
     ]
+
+    def _tdiv(s: int, n: int) -> int:
+        # truncation-toward-zero, matching DuckDB's BIGINT // and
+        # Spark's div (see _train_centroids)
+        return abs(s) // n * (1 if s >= 0 else -1)
+
+    for _ in range(iters):
+        entries = []
+        for mm, cents in enumerate(books):
+            sub = F.slice("q", mm * dsub + 1, dsub)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            (-_km_cosine(sub, cvec, _km_norm2(cvec))).alias(
+                                "neg"
+                            ),
+                            F.lit(cid).alias("cid"),
+                        )
+                        for cid, cvec in cents
+                    ]
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(mm).alias("m"),
+                    best["cid"].alias("cid"),
+                    sub.alias("sub"),
+                )
+            )
+        long = q.select(F.explode(F.array(*entries)).alias("e")).select(
+            "e.m", "e.cid", "e.sub"
+        )
+        sums = (
+            long.groupBy("m", "cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("sub", j + 1)).alias(f"s{j}")
+                    for j in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        new_books: list = [[] for _ in range(m)]
+        for r in sums:
+            new_books[int(r["m"])].append(
+                (
+                    int(r["cid"]),
+                    [_tdiv(int(r[f"s{j}"]), int(r["n"])) for j in range(dsub)],
+                )
+            )
+        books = [sorted(b) for b in new_books]
+    return books
 
 
 def _pq_codes(q: DataFrame, books: list, dsub: int) -> DataFrame:

@@ -151,6 +151,41 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_pq_fused_training_matches_per_subspace(spark, sf_dir):
+    """The fused one-pass-per-round PQ trainer must produce codebooks
+    ELEMENT-EQUAL to training each subspace independently with
+    _train_centroids on the sliced vectors (the reference recurrence
+    the SQL oracle also runs) — the fusion is a scan-count
+    optimization, never a semantic change."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.similarity import (
+        PQ_DSUB,
+        PQ_ITERS,
+        PQ_KSUB,
+        PQ_M,
+        _pq_codebooks,
+        _quantized,
+        _train_centroids,
+    )
+    from rdfind_spark.util import materialize
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = materialize(embs.select("vec_id", _quantized("embedding").alias("q")))
+    fused = _pq_codebooks(q)
+    reference = [
+        _train_centroids(
+            q.select(
+                "vec_id", F.slice("q", mm * PQ_DSUB + 1, PQ_DSUB).alias("q")
+            ),
+            PQ_KSUB,
+            PQ_ITERS,
+        )
+        for mm in range(PQ_M)
+    ]
+    assert fused == reference
+
+
 def test_ivf_pq_with_unbounded_rescore_equals_plain_ivf(spark, sf_dir):
     """With the rescore depth larger than any bucket, IVF-PQ rescores
     EVERY coarse candidate exactly — so its top-k must equal plain
