@@ -253,7 +253,12 @@ def main() -> int:
         runs_per_query[name] = 2
     for name in timings:
         print(
-            f"# {name}: {timings[name]:.1f}s (min of {runs_per_query[name]})",
+            f"# {name}: {timings[name]:.1f}s "
+            + (
+                f"(min of {runs_per_query[name]})"
+                if runs_per_query[name] > 1
+                else "(1 run)"
+            ),
             file=sys.stderr,
         )
 

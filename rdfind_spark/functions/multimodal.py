@@ -88,6 +88,11 @@ def decode_image(payload: bytes):
         else:
             raise ValueError(f"malformed NetPBM header byte {c!r}")
     width, height, maxval = vals
+    if width <= 0 or height <= 0:
+        # a zero-dimension header would decode to an empty array and
+        # blow up downstream resampling with an uncatchable IndexError;
+        # ValueError keeps it on resize_images' documented fallback path
+        raise ValueError(f"degenerate NetPBM dimensions {width}x{height}")
     if maxval > 255:
         raise NotImplementedError("16-bit NetPBM not supported")
     pos += 1  # the single whitespace byte after maxval

@@ -117,11 +117,17 @@ def materialize(df, eager: bool = True):
         # at sf0.1 (scripts/ckpt_probe.py, README table): +49% vs local
         # mode unpersisted; after this persist the same alternating
         # probe shows reliable mode within noise of local mode.  Blocks
-        # are released as soon as the checkpoint files exist.
+        # are released as soon as the checkpoint files exist.  The
+        # persist only pays off when WE trigger the write (eager) and
+        # can unpersist right after; on a lazy checkpoint the write
+        # happens at some future action and a persist here would leak
+        # cached blocks forever — so the lazy reliable path skips the
+        # persist and accepts the documented one-time recompute.
+        if not eager:
+            return df.checkpoint(eager=False)
         df = df.persist()
-        out = df.checkpoint(eager=eager)
-        if eager:
-            df.unpersist(False)
+        out = df.checkpoint(eager=True)
+        df.unpersist(False)
         return out
     return df.localCheckpoint(eager=eager)
 

@@ -402,6 +402,10 @@ def test_decode_image_p6_and_p5_roundtrip():
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         decode_image(b"P6\n2 2\n255\n\x01\x02")  # truncated
+    with pytest.raises(ValueError):
+        # zero dimensions must be ValueError (the resize_images fallback
+        # catches it) — not a downstream IndexError that kills the task
+        decode_image(b"P6\n0 0\n255\n")
 
 
 def test_image_stats_decodes_and_flags_errors(spark):
