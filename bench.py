@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "knn_ivf_trained",
     "knn_ivf_pq",
+    "knn_ivf_pq_trained",
     "knn_hard_negatives",
     "docs_dsir_weights",
     "knn_lsh",

@@ -1504,8 +1504,9 @@ def knn_ivf_pq(
 
     Stages (all engine-deterministic):
 
-    1. coarse IVF: the seeded first-N centroids of ``knn_ivf`` (swap in
-       ``_train_centroids`` output for the trained variant — same plan);
+    1. coarse IVF: the seeded first-N centroids of ``knn_ivf``
+       (``knn_ivf_pq_trained`` swaps in the ``_train_centroids``
+       output — same tail, see ``_pq_adc_topk``);
     2. sub-codebooks: one integer-Lloyd run per 16-dim subspace
        (``_pq_codebooks`` — the ``embedding_kmeans`` machinery on
        sliced vectors);
@@ -1533,8 +1534,6 @@ def knn_ivf_pq(
         ).select("vec_id", _quantized("embedding").alias("q"))
     )
     books = _pq_codebooks(q, m, dsub, ksub, iters)
-    codes = _pq_codes(q, books, dsub)
-    lut = _pq_lut(q, books, dsub, n_queries)
 
     # coarse probe selection — identical to knn_ivf's seeded stage
     assign = ivf_assignments(embeddings, n_centroids)
@@ -1564,6 +1563,32 @@ def knn_ivf_pq(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+    )
+    return _pq_adc_topk(
+        q, embeddings, cand, books, dsub, m, n_queries, k, rescore
+    )
+
+
+def _pq_adc_topk(
+    q: DataFrame,
+    embeddings: DataFrame,
+    cand: DataFrame,
+    books: list,
+    dsub: int,
+    m: int,
+    n_queries: int,
+    k: int,
+    rescore: int,
+) -> DataFrame:
+    """The shared PQ tail of both IVF-PQ variants (seeded and trained
+    coarse quantizer): narrow map-side encode, broadcast per-query ADC
+    LUT, one integer sum per candidate, row_number-bounded exact
+    rescore — stages 2-5 of ``knn_ivf_pq``'s docstring.  ``cand`` is
+    whatever coarse stage produced (query_id, neighbor_id)."""
+    codes = _pq_codes(q, books, dsub)
+    lut = _pq_lut(q, books, dsub, n_queries)
+    qe = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     candm = cand.join(
         codes.withColumnRenamed("vec_id", "neighbor_id"), on="neighbor_id"
@@ -1632,6 +1657,76 @@ def knn_ivf_pq(
     )
 
 
+def knn_ivf_pq_trained(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    rescore: int = PQ_RESCORE,
+) -> DataFrame:
+    """IVF-PQ over a TRAINED coarse quantizer — the production 100 TB
+    form: at scale nobody probes a seeded coarse index (see
+    ``knn_ivf_trained``'s skew argument), so the coarse stage here is
+    the deterministic integer Lloyd loop (``_train_centroids``), while
+    the PQ tail (codebooks, narrow encode, broadcast ADC LUT, bounded
+    exact rescore) is byte-identical to ``knn_ivf_pq`` via
+    ``_pq_adc_topk``.
+
+    Coarse assignment and probe selection are map-side literal-centroid
+    argmax over the quantized integer vectors (the ``_km_argmax``
+    expression — no shuffle, bit-identical in the oracle), exactly as
+    in ``knn_ivf_trained``; the seeded variant scores coarse probes
+    with the double cosine over raw embeddings instead.  Recall is
+    reported by ``knn_ivf_pq_trained_recall``."""
+    dsub = RP_IN_DIM // m
+    q = materialize(
+        embeddings.filter(
+            (F.size("embedding") == RP_IN_DIM)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        ).select("vec_id", _quantized("embedding").alias("q"))
+    )
+    books = _pq_codebooks(q, m, dsub, ksub, iters)
+    cents = _train_centroids(q, n_centroids, coarse_iters)
+    assign = _km_argmax(q, cents).select("vec_id", "centroid_id")
+    probe_arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_km_cosine(F.col("q"), cvec, _km_norm2(cvec))).alias(
+                        "neg"
+                    ),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+    )
+    probes = (
+        q.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(probe_arr, 1, n_probe)).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("centroid_id"))
+    )
+    cand = (
+        probes.join(
+            assign.withColumnRenamed("vec_id", "neighbor_id"),
+            on="centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_adc_topk(
+        q, embeddings, cand, books, dsub, m, n_queries, k, rescore
+    )
+
+
 def _pq_sub_dot_sql(dsub: int) -> str:
     return (
         f"list_sum(list_transform(range(1, {dsub + 1}), "
@@ -1639,19 +1734,21 @@ def _pq_sub_dot_sql(dsub: int) -> str:
     )
 
 
-def knn_ivf_pq_sql(
+def _pq_sql(
+    coarse_ctes: str,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
-    n_centroids: int = N_CENTROIDS,
-    n_probe: int = N_PROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
     rescore: int = PQ_RESCORE,
 ) -> str:
+    """The shared PQ oracle body — ``coarse_ctes`` supplies the
+    ``assign``/``probes`` CTE text (seeded or trained coarse stage);
+    everything downstream (codebook chains, encode, LUT, cand, ADC,
+    rescore) is identical between the two variants, mirroring
+    ``_pq_adc_topk`` on the Spark side."""
     dsub = RP_IN_DIM // m
-    cos_vc = COSINE_SQL.format(a="v.embedding", b="c.embedding")
-    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     cos_qn = COSINE_SQL.format(a="q.embedding", b="n.embedding")
     parts = [
         f"""WITH qfull AS MATERIALIZED (
@@ -1713,23 +1810,7 @@ codes AS MATERIALIZED (
 lut AS MATERIALIZED (
   {lut_union}
 ),
-assign AS MATERIALIZED (
-  SELECT vec_id, centroid_id FROM (
-    SELECT v.vec_id, c.vec_id AS centroid_id,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {cos_vc} DESC, c.vec_id ASC) AS rnk
-    FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
-  ) WHERE rnk = 1
-),
-probes AS (
-  SELECT query_id, centroid_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk
-    FROM embeddings q, embeddings c
-    WHERE q.vec_id < {n_queries} AND c.vec_id < {n_centroids}
-  ) WHERE rnk <= {n_probe}
-),
+{coarse_ctes},
 cand AS MATERIALIZED (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
@@ -1771,6 +1852,139 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
     )
     return "".join(parts)
+
+
+def knn_ivf_pq_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    rescore: int = PQ_RESCORE,
+) -> str:
+    cos_vc = COSINE_SQL.format(a="v.embedding", b="c.embedding")
+    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    coarse = f"""assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings v, embeddings c WHERE c.vec_id < {n_centroids}
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {n_queries} AND c.vec_id < {n_centroids}
+  ) WHERE rnk <= {n_probe}
+)"""
+    return _pq_sql(coarse, n_queries, k, m, ksub, iters, rescore)
+
+
+def knn_ivf_pq_trained_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    rescore: int = PQ_RESCORE,
+) -> str:
+    """Trained-coarse PQ oracle: the integer-Lloyd CTE chain over the
+    SAME filtered quantized table the PQ stages use (``qfull``), then
+    ``assign``/``probes`` by the exact integer cosine — mirroring
+    ``knn_ivf_pq_trained``'s ``_km_argmax`` coarse stage."""
+    parts = [
+        f"cc0 AS (SELECT vec_id AS cid, q AS cvec FROM qfull "
+        f"WHERE vec_id < {n_centroids})"
+    ]
+    for i in range(coarse_iters):
+        parts.append(_km_assign_cte(f"ca{i}", f"cc{i}", src="qfull"))
+        parts.append(_km_update_cte(f"cc{i + 1}", f"ca{i}"))
+    parts.append(
+        _km_assign_cte("cassign", f"cc{coarse_iters}", src="qfull")
+    )
+    parts.append(
+        f"""assign AS MATERIALIZED (
+  SELECT vec_id, cid AS centroid_id FROM cassign
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT v.vec_id AS query_id, c.cid AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_KM_COS_SQL} DESC, c.cid ASC) AS rnk
+    FROM qfull v CROSS JOIN cc{coarse_iters} c
+    WHERE v.vec_id < {n_queries}
+  ) WHERE rnk <= {n_probe}
+)"""
+    )
+    return _pq_sql(",\n".join(parts), n_queries, k, m, ksub, iters, rescore)
+
+
+def knn_ivf_pq_trained_recall(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    **kwargs,
+) -> DataFrame:
+    """Recall@k of trained-coarse IVF-PQ vs the exact brute-force
+    top-k — completes the 2x2 recall grid (seeded/trained x
+    exact-scoring/PQ): what quantization costs ON TOP of a trained
+    coarse index, vs ``knn_ivf_trained_recall``'s unquantized row."""
+    exact = knn_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf_pq_trained(embeddings, n_queries, k, **kwargs).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        on=[
+            exact.query_id == approx.query_id,
+            exact.neighbor_id == approx.pq_neighbor_id,
+        ],
+        how="left",
+    ).select(exact.query_id, F.col("pq_neighbor_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_ivf_pq_trained_recall_sql(
+    n_queries: int = N_QUERIES, k: int = TOP_K, **kwargs
+) -> str:
+    exact = knn_bruteforce_sql(n_queries, k)
+    approx = knn_ivf_pq_trained_sql(n_queries, k, **kwargs)
+    assert approx.startswith("WITH ")
+    prefix = approx[5:].rsplit("SELECT query_id", 1)[0].rstrip()
+    return f"""WITH {prefix},
+pq_knn AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+),
+exact_knn AS MATERIALIZED (
+{exact}
+)
+SELECT e.query_id,
+       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS recall_at_k
+FROM exact_knn e
+LEFT JOIN pq_knn i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
 
 
 def knn_ivf_pq_recall(

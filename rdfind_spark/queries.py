@@ -712,6 +712,22 @@ def knn_ivf_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_pq_recall(_embs(spark, sf_dir))
 
 
+@register("knn_ivf_pq_trained", similarity.knn_ivf_pq_trained_sql())
+def knn_ivf_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a TRAINED coarse quantizer (integer-Lloyd centroids,
+    map-side argmax assignment) — the production 100 TB ANN form; the
+    PQ tail (encode, broadcast ADC LUT, bounded rescore) is shared with
+    knn_ivf_pq."""
+    return similarity.knn_ivf_pq_trained(_embs(spark, sf_dir))
+
+
+@register("knn_ivf_pq_trained_recall", similarity.knn_ivf_pq_trained_recall_sql())
+def knn_ivf_pq_trained_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of trained-coarse IVF-PQ vs exact brute force —
+    completes the seeded/trained x exact/PQ recall grid."""
+    return similarity.knn_ivf_pq_trained_recall(_embs(spark, sf_dir))
+
+
 @register("knn_hard_negatives", similarity.knn_hard_negatives_sql())
 def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per query, the top-k
@@ -997,62 +1013,69 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-5 rotation: the exact complement of the round-4 board
-    # (these 47 carry no driver-green row from r4 — the judge
-    # strict-verified them by hand; r4+r5 boards together must cover
-    # all registered queries, as test_driver_evidence_staleness_bounded
-    # enforces).  47 + the 3 round-5 additions = exactly 50 slots.
-    "cind_all",
-    "cind_minimal_ar",
-    "cind_small_to_large",
-    "cind_approx_verify",
-    "cind_minimal_proj_s",
-    "capture_supports",
-    "capture_overlaps",
-    "association_rules",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_ivf",
-    "dedup_embedding_ivf_neardup",
-    "docs_repetition_filter",
-    "text_skipgram_cooc",
-    "warehouse_top_unshipped",
-    "warehouse_local_supplier",
-    "graph_pagerank",
-    "docs_mix_sources",
-    "knn_bruteforce",
-    "embedding_prep",
-    "knn_ivf_recall",
-    "knn_lsh",
-    "embedding_kmeans",
-    "dedup_semantic",
-    "knn_ivf",
-    "events_hourly_counts",
-    "events_sessionize",
-    "events_top_purchasers",
-    "events_interarrival",
-    "events_daily_rollup",
-    "events_retention",
-    "events_asof_join",
-    "events_range_join",
-    "events_anomalies",
-    "events_hourly_profile",
-    "events_transitions",
-    "events_dau_wau",
-    "events_grouping_sets",
-    "events_distinct_sketch",
-    "events_moving_window",
-    "events_pivot",
-    "events_funnel",
-    "stream_hourly_counts",
-    "stream_interval_join",
-    "stream_purchase_totals",
-    "multimodal_features",
+    # round-6 rotation: 48 of the round-5 complement (the r4-board
+    # queries, whose freshest driver row is CORRECTNESS_r04) + the 2
+    # round-6 additions.  The registry now exceeds 2x the 50-entry
+    # board, so the staleness contract is the 3-round window enforced
+    # by test_driver_evidence_staleness_bounded (current board + the
+    # two prior boards must cover the registry).  The 2 bumped r4-board
+    # queries — count_triples, condition_histogram (chosen because
+    # their operators are additionally pinned by unit tests) — MUST
+    # lead the round-7 board: after this round's artifact lands they
+    # are covered only by CORRECTNESS_r04, which leaves the window
+    # next round.  Policy note in COVERAGE.md.
     # new this session (evidence-gapped until their first driver row)
-    "warehouse_market_share",
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
+    "knn_ivf_pq_trained",
+    "knn_ivf_pq_trained_recall",
+    # the r5 complement minus the 2 bumped queries
+    "cind_minimal",
+    "condition_counts_frequent",
+    "count_distinct_values",
+    "join_line_histogram",
+    "hash_collisions",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "text_redact",
+    "text_tfidf_keywords",
+    "docs_quality_filter",
+    "text_bigrams",
+    "text_bpe_vocab",
+    "text_pmi_bigrams",
+    "docs_inverted_index",
+    "text_token_length_hist",
+    "docs_length_deciles",
+    "docs_vocab_coverage",
+    "docs_length_digest",
+    "docs_cube_counts",
+    "docs_length_percentiles",
+    "warehouse_revenue_by_nation",
+    "warehouse_pricing_summary",
+    "warehouse_revenue_forecast",
+    "warehouse_late_priority",
+    "warehouse_min_cost_supplier",
+    "warehouse_volume_shipping",
+    "warehouse_big_spenders",
+    "warehouse_promo_bands",
+    "graph_degree_distribution",
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_contamination",
+    "docs_contamination_fuzzy",
+    "docs_pack_sequences",
+    "docs_export_train",
+    "docs_span_dedup",
+    "docs_dsir_weights",
+    "knn_ivf_trained",
+    "knn_ivf_trained_recall",
+    "knn_hard_negatives",
+    "embedding_rp_reduce",
+    "stream_anomalies",
+    "stream_sessions",
 ]
 
 

@@ -3,7 +3,7 @@
 copies of the sf0.1 triple view, each copy value-prefixed so copies
 share no values (output must scale exactly ×N — checked).
 
-Usage: python scripts/scale_probe.py [--staged|--dedup] [N ...]
+Usage: python scripts/scale_probe.py [--staged|--dedup|--ann] [N ...]
 (default N: 1 2 4)
 
 ``--staged`` probes the SmallToLarge staged lattice
@@ -64,10 +64,15 @@ def _session():
 def main() -> int:
     staged = "--staged" in sys.argv[1:]
     dedup = "--dedup" in sys.argv[1:]
+    ann = "--ann" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
-        a for a in sys.argv[1:] if a not in ("--staged", "--dedup", "--half-base")
+        a
+        for a in sys.argv[1:]
+        if a not in ("--staged", "--dedup", "--ann", "--half-base")
     ]
+    if ann:
+        return _ann_probe([int(a) for a in args] or [1, 2, 4])
     if dedup:
         return _dedup_probe([int(a) for a in args] or [1, 2, 4])
     if staged:
@@ -174,6 +179,57 @@ def _dedup_probe(ns) -> int:
         for n, (dt, rows) in results.items():
             assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
         print("# output scales exactly proportionally")
+    return 0
+
+
+def _ann_probe(ns) -> int:
+    """Disjoint-copy ladder for the quantized ANN path: N× clones of
+    the embeddings table at offset vec_ids, `knn_ivf_pq` end-to-end.
+    Clones are EXACT copies on purpose: coarse bucket occupancy, the
+    encode input, and the per-query ADC candidate sets all scale ×N
+    (the cost path), while every bounded stage stays fixed — codebook
+    training still collects ksub seed rows + m×ksub centroid sums per
+    Lloyd round, the LUT stays n_queries×m×ksub, the rescore depth
+    stays PQ_RESCORE, and the output stays EXACTLY n_queries×k rows
+    (checked) because top-k is bounded by construction.  Wall-clock
+    should therefore scale ≈ linearly in N; a super-linear bend would
+    point at the training scan, the encode, or the ADC join."""
+    from rdfind_spark.functions.similarity import knn_ivf_pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    # warm codegen once, untimed
+    knn_ivf_pq(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    results = {}
+    for n in ns:
+        copies = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(n)
+        ]
+        embs = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        rows = knn_ivf_pq(embs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# {n}x: {dt:.1f}s rows={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == r1, f"{n}x rows {rows} != {r1} (top-k is bounded)"
+        print("# output row count constant (bounded top-k), as constructed")
     return 0
 
 

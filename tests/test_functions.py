@@ -206,6 +206,27 @@ def test_ivf_pq_with_unbounded_rescore_equals_plain_ivf(spark, sf_dir):
     assert pq == ivf
 
 
+def test_trained_ivf_pq_with_unbounded_rescore_equals_trained_ivf(spark, sf_dir):
+    """The trained-coarse analogue of the seeded reduction pin: with
+    unbounded rescore depth, knn_ivf_pq_trained exact-rescores every
+    coarse candidate, so its top-k must equal knn_ivf_trained's (same
+    integer-Lloyd coarse centroids, same integer-cosine probe argmax,
+    same exact final cosine) — the two variants share the coarse stage
+    exactly and PQ error is confined to candidate selection."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_ivf_trained(embs, n_queries=3, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_ivf_pq_trained(
+            embs, n_queries=3, k=5, rescore=10**6
+        ).collect()
+    }
+    assert pq == ivf
+
+
 def test_trained_ivf_improves_assignment_cosine(spark, sf_dir):
     """The Lloyd rounds must improve (or preserve) the index quality
     metric they optimize — mean assignment cosine — over the seeded
@@ -344,6 +365,28 @@ def test_dedup_clusters_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(df, threshold=0.5).collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == 10
+
+
+def test_clusters_chain_converges_logarithmically(spark):
+    """Degenerate-corpus guard for the components loop: a 1,000-node
+    duplicate CHAIN (diameter 999 — plain min-label propagation needs
+    999 rounds and the old max_iters=20 would have returned a silently
+    non-converged labeling) must collapse to ONE cluster labeled by the
+    min id, in O(log diameter) rounds: the pointer-jumping reach
+    recurrence r_k = 2*r_{k-1} + 2 covers 999 hops at round 9, plus
+    one fixpoint-detection round = 10."""
+    from rdfind_spark.functions.dedup import _min_label_components
+
+    n = 1000
+    e = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], ["a_id", "b_id"]
+    )
+    labels, rounds = _min_label_components(edges)
+    assert rounds <= 10, rounds
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
 
 
 def test_redact_text_patterns(spark):
