@@ -190,6 +190,21 @@ def test_ivf_pq_encode_is_narrow_and_lut_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of(sim.knn_ivf_pq(embs))
 
 
+def test_ivf_pq_trained_has_no_cartesian_stage(spark, sf_dir):
+    """The trained-coarse PQ variant's scale shape, pinned: the seeded
+    variant's one (trivial, broadcast) query x centroids crossJoin is
+    GONE — coarse probes and assignment are literal-centroid argmax
+    projections — so the whole plan must contain no cartesian or
+    nested-loop join at all, while the ADC LUT still broadcasts."""
+    from rdfind_spark.functions import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(sim.knn_ivf_pq_trained(embs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_market_share_single_fact_aggregate(spark, sf_dir):
     """Q8's ratio of conditional aggregates must be ONE aggregate over
     the fact join — no self-join of the fact and no window: exactly one
