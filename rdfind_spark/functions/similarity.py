@@ -1682,7 +1682,15 @@ def knn_ivf_pq_trained(
     expression — no shuffle, bit-identical in the oracle), exactly as
     in ``knn_ivf_trained``; the seeded variant scores coarse probes
     with the double cosine over raw embeddings instead.  Recall is
-    reported by ``knn_ivf_pq_trained_recall``."""
+    reported by ``knn_ivf_pq_trained_recall``.
+
+    Training cost: coarse_iters + pq_iters full scans (one per Lloyd
+    round, collects stay model-sized).  At 100 TB both quantizers
+    would be trained on a sample of the corpus (swap ``q`` for
+    ``q.sample(...)`` in the two training calls below — encode, probe,
+    and ADC read the full table either way); the registered query
+    trains on the full table only because the sf tables are already
+    sample-sized."""
     dsub = RP_IN_DIM // m
     q = materialize(
         embeddings.filter(

@@ -939,6 +939,7 @@ def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from rdfind_spark.streaming.windows import (
     streaming_anomalies_oracle_sql,
+    streaming_dedup_deliveries_oracle_sql,
     streaming_sessionize_oracle_sql,
 )
 
@@ -989,6 +990,34 @@ def stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_dedup_deliveries",
+    streaming_dedup_deliveries_oracle_sql(),
+)
+def stream_dedup_deliveries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup via dropDuplicatesWithinWatermark:
+    every event delivered twice (self-union), first arrival per full
+    delivery fingerprint survives, key state expires with the
+    watermark (bounded state on an unbounded stream).  Deterministic
+    because duplicate deliveries are identical in every projected
+    column; under the single AvailableNow micro-batch the result is
+    SELECT DISTINCT over the projection."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_events,
+        streaming_dedup_deliveries,
+    )
+
+    name = run_available_now(
+        streaming_dedup_deliveries(stream_events(spark, sf_dir)),
+        f"stream_dedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 # ------------------------------------------------------- multimodal
 
 
@@ -1027,10 +1056,10 @@ _BOARD_PRIORITY = [
     # new this session (evidence-gapped until their first driver row)
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",
-    # the r5 complement minus the 2 bumped queries
+    "stream_dedup_deliveries",
+    # the r5 complement minus the 3 bumped queries
     "cind_minimal",
     "condition_counts_frequent",
-    "count_distinct_values",
     "join_line_histogram",
     "hash_collisions",
     "text_token_stats",

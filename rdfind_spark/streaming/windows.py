@@ -236,6 +236,39 @@ def streaming_exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_deliveries(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """At-least-once delivery dedup — the stateful streaming operator
+    every streaming ingest pipeline needs: upstream retries deliver
+    the same event more than once (simulated here by unioning the
+    stream with itself, so every event arrives exactly twice), and
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    delivery fingerprint while EXPIRING its key state once the
+    watermark passes the event's time — bounded state on an unbounded
+    stream, which plain ``dropDuplicates`` (state grows forever, see
+    ``streaming_exact_dedup``) cannot give.
+
+    The dedup key is the full delivery fingerprint (every projected
+    column), so whichever physical copy survives, the OUTPUT row is
+    identical — that makes the operator oracle-deterministic: under
+    the guaranteed single AvailableNow micro-batch the result is
+    exactly ``SELECT DISTINCT`` over the projection (the
+    batch-equivalent oracle; at steady state the streaming semantics
+    additionally re-admit a key after its watermark expires, which no
+    batch query expresses — documented, not oracle-checked)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    doubled = events.select(*cols).unionByName(events.select(*cols))
+    return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        cols
+    )
+
+
+def streaming_dedup_deliveries_oracle_sql() -> str:
+    return """SELECT DISTINCT event_id, ts, user_id, event_type, value
+FROM events"""
+
+
 def stream_error_click_join(
     events: DataFrame, window_s: int = 600, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -167,6 +167,34 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
     assert got.select("text_hash").distinct().count() == n_distinct
 
 
+def test_streaming_dedup_deliveries_matches_batch_distinct(spark, sf_dir):
+    """Every event is delivered twice (self-union inside the operator);
+    dropDuplicatesWithinWatermark must emit each full-row fingerprint
+    exactly once — under the single AvailableNow micro-batch, exactly
+    the batch SELECT DISTINCT over the projection, row for row."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.events import normalize_event_ts
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_events,
+        streaming_dedup_deliveries,
+    )
+
+    sdf = streaming_dedup_deliveries(stream_events(spark, sf_dir))
+    name = run_available_now(sdf, "dedup_deliveries", output_mode="append")
+    got = spark.table(name)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    batch = (
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .select(*cols)
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_resize_images_plumbing(spark, sf_dir):
     from rdfind_spark.functions.multimodal import attach_blobs, resize_images
 
