@@ -219,3 +219,49 @@ def test_rp_reduce_matches_integer_reference(spark, vec):
     mat = similarity._rp_matrix()
     for j in range(similarity.RP_OUT_DIM):
         assert got[j] == sum(s * v for s, v in zip(mat[j], q))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find_reference(spark, raw_edges):
+    """The pointer-jumping components loop must agree with a plain
+    Python union-find on arbitrary small graphs (self-loops and
+    duplicate edges included): same partition into components, each
+    labeled by its minimum node id."""
+    from rdfind_spark.functions.dedup import _min_label_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, ["a_id", "b_id"]).distinct()
+    labels, _ = _min_label_components(df)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
