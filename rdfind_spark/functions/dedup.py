@@ -535,12 +535,16 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20):
             prop.select(F.col("a_id").alias("doc_id"), "n_min"), on="doc_id"
         ).select(
             "doc_id",
+            F.col("cluster_id").alias("old_id"),
             F.least(F.col("cluster_id"), F.col("n_min")).alias("cluster_id"),
         )
         # pointer jump: L := L[L].  Every label value is itself a node
         # id present in `stepped` (labels only ever take min's of node
         # ids), so the lookup join always matches; the left join +
-        # coalesce is belt-and-braces.
+        # coalesce is belt-and-braces.  The previous round's label
+        # rides along as old_id so convergence detection below is a
+        # flag filter over the materialized result — NOT a second
+        # new-vs-old join (one fewer shuffle per round).
         lookup = stepped.select(
             F.col("doc_id").alias("cluster_id"),
             F.col("cluster_id").alias("jumped"),
@@ -549,17 +553,13 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20):
             stepped.join(lookup, on="cluster_id", how="left")
             .select(
                 "doc_id",
+                "old_id",
                 F.coalesce("jumped", "cluster_id").alias("cluster_id"),
             )
             .transform(materialize)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("cluster_id") != F.col("old_id")).count()
+        labels = new.select("doc_id", "cluster_id")
         if changed == 0:
             return labels, rounds
     raise RuntimeError(
