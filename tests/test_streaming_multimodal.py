@@ -457,3 +457,80 @@ def test_image_stats_decodes_and_flags_errors(spark):
         rows[1].decode_error,
     ) == (2, 1, 3, 30, 0)
     assert rows[2].decode_error == 1 and rows[2].width is None
+def test_streaming_dedup_deliveries_state_spans_micro_batches(spark, tmp_path):
+    """The cross-batch behavior the single-AvailableNow-batch oracle
+    cannot see, pinned: with two files and maxFilesPerTrigger=1 the
+    stream runs two micro-batches; a duplicate delivery arriving in
+    batch 2 of an event from batch 1 must be dropped by RETAINED key
+    state (its event time sits above the watermark), and a re-delivery
+    whose event time has fallen below the watermark is dropped as late
+    data — so no key is ever emitted twice, while genuinely new events
+    in batch 2 still pass."""
+    import os
+    import time
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from rdfind_spark.streaming import run_available_now, streaming_dedup_deliveries
+
+    def t(h):
+        return datetime(2026, 1, 1, h)
+
+    def write(path, rows):
+        ids, tss, users, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            ),
+            path,
+        )
+
+    d = str(tmp_path / "evsrc")
+    os.makedirs(d)
+    # batch 1: two events, 10 hours apart -> post-batch watermark
+    # (2h delay) lands at 08:00, between them
+    write(f"{d}/b1.parquet", [(1, t(0), 1, "view", 1.0), (2, t(10), 1, "view", 2.0)])
+    time.sleep(1.1)  # distinct mtime => deterministic batch order
+    # batch 2: re-delivery of 2 (ts 10:00 >= watermark: dropped by
+    # RETAINED state), re-delivery of 1 (ts 00:00 < watermark: dropped
+    # as late), new event 3 (passes)
+    write(
+        f"{d}/b2.parquet",
+        [(2, t(10), 1, "view", 2.0), (1, t(0), 1, "view", 1.0), (3, t(11), 1, "view", 3.0)],
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    name = run_available_now(
+        streaming_dedup_deliveries(sdf, watermark="2 hours"),
+        "dedup_ttl_batches",
+        output_mode="append",
+    )
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
