@@ -220,20 +220,34 @@ def knn_ivf_recall(
     """ANN quality evaluation: per-query recall@k of the IVF index
     against the exact brute-force top-k — the metric that decides
     whether n_probe/n_centroids are adequate before scaling out."""
+    return _recall_vs_exact(
+        embeddings, knn_ivf(embeddings, n_queries, k, n_centroids, n_probe),
+        n_queries, k,
+    )
+
+
+def _recall_vs_exact(
+    embeddings: DataFrame, approx: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Per-query recall@k of any approximate top-k (query_id,
+    neighbor_id, ...) against the exact brute-force top-k — the one
+    hit-join shared by every `*_recall` wrapper in this module."""
     exact = knn_bruteforce(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    approx = knn_ivf(embeddings, n_queries, k, n_centroids, n_probe).select(
-        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    a = approx.select(
+        "query_id", F.col("neighbor_id").alias("approx_neighbor_id")
     )
     hits = exact.join(
-        approx,
+        a,
         on=[
-            exact.query_id == approx.query_id,
-            exact.neighbor_id == approx.ivf_neighbor_id,
+            exact.query_id == a.query_id,
+            exact.neighbor_id == a.approx_neighbor_id,
         ],
         how="left",
-    ).select(exact.query_id, F.col("ivf_neighbor_id").isNotNull().alias("hit"))
+    ).select(
+        exact.query_id, F.col("approx_neighbor_id").isNotNull().alias("hit")
+    )
     return (
         hits.groupBy("query_id")
         .agg(
@@ -243,6 +257,31 @@ def knn_ivf_recall(
         )
         .orderBy("query_id")
     )
+
+
+def _recall_sql(approx_sql: str, n_queries: int, k: int) -> str:
+    """Oracle twin of ``_recall_vs_exact`` for approx queries whose SQL
+    is a self-contained WITH chain ending in a ``ranked`` CTE: inline
+    the chain's prefix, bound it at rank <= k, and hit-join against the
+    brute-force exact top-k."""
+    exact = knn_bruteforce_sql(n_queries, k)
+    assert approx_sql.startswith("WITH ")
+    prefix = approx_sql[5:].rsplit("SELECT query_id", 1)[0].rstrip()
+    return f"""WITH {prefix},
+approx_knn AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+),
+exact_knn AS MATERIALIZED (
+{exact}
+)
+SELECT e.query_id,
+       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS recall_at_k
+FROM exact_knn e
+LEFT JOIN approx_knn i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
 
 
 def knn_ivf_recall_sql(
@@ -908,6 +947,38 @@ SELECT vec_id, cid AS centroid_id, round(cosine, 6) AS cosine FROM afinal"""
     )
 
 
+def _trained_probes(
+    q: DataFrame, cents: list, n_queries: int, n_probe: int
+) -> DataFrame:
+    """Top-n_probe trained centroids per query by the exact integer
+    cosine: array_sort of struct(-cos, cid) → slice(1..n_probe)
+    (lexicographic sort = cosine desc, centroid id asc — the
+    ``_km_argmax`` tie-break).  Map-side literal-centroid work only, no
+    shuffle; shared by ``knn_ivf_trained`` and ``knn_ivf_pq_trained``
+    so their coarse probe selection can never drift apart."""
+    probe_arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_km_cosine(F.col("q"), cvec, _km_norm2(cvec))).alias(
+                        "neg"
+                    ),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+    )
+    return (
+        q.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(probe_arr, 1, n_probe)).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("centroid_id"))
+    )
+
+
 def knn_ivf_trained(
     embeddings: DataFrame,
     n_queries: int = N_QUERIES,
@@ -944,28 +1015,7 @@ def knn_ivf_trained(
     )
     cents = _train_centroids(q, n_centroids, iters)
     assign = _km_argmax(q, cents).select("vec_id", "centroid_id")
-    # top-n_probe centroids per query by the same exact integer cosine:
-    # array_sort of struct(-cos, cid) → slice(1..n_probe) (lexicographic
-    # sort = cosine desc, centroid id asc — the _km_argmax tie-break)
-    probe_arr = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-_km_cosine(F.col("q"), cvec, _km_norm2(cvec))).alias("neg"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-    )
-    probes = (
-        q.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(probe_arr, 1, n_probe)).alias("p"),
-        )
-        .select("query_id", F.col("p.cid").alias("centroid_id"))
-    )
+    probes = _trained_probes(q, cents, n_queries, n_probe)
     qv = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1044,28 +1094,11 @@ def knn_ivf_trained_recall(
     brute-force top-k — the apples-to-apples companion of
     ``knn_ivf_recall`` (seeded centroids), documenting what training
     buys at the same n_probe."""
-    exact = knn_bruteforce(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = knn_ivf_trained(
-        embeddings, n_queries, k, n_centroids, iters, n_probe
-    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
-    hits = exact.join(
-        approx,
-        on=[
-            exact.query_id == approx.query_id,
-            exact.neighbor_id == approx.ivf_neighbor_id,
-        ],
-        how="left",
-    ).select(exact.query_id, F.col("ivf_neighbor_id").isNotNull().alias("hit"))
-    return (
-        hits.groupBy("query_id")
-        .agg(
-            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
-                "recall_at_k"
-            )
-        )
-        .orderBy("query_id")
+    return _recall_vs_exact(
+        embeddings,
+        knn_ivf_trained(embeddings, n_queries, k, n_centroids, iters, n_probe),
+        n_queries,
+        k,
     )
 
 
@@ -1076,28 +1109,11 @@ def knn_ivf_trained_recall_sql(
     iters: int = KMEANS_ITERS,
     n_probe: int = N_PROBE,
 ) -> str:
-    exact = knn_bruteforce_sql(n_queries, k)
-    approx = knn_ivf_trained_sql(n_queries, k, n_centroids, iters, n_probe)
-    # the trained-IVF SQL starts with its own WITH chain — inline it as
-    # a materialized CTE body by stripping the leading WITH and the
-    # final SELECT (the CTE prefix ends at the last ')')
-    assert approx.startswith("WITH ")
-    prefix = approx[5:].rsplit("SELECT query_id", 1)[0].rstrip()
-    return f"""WITH {prefix},
-ivf_knn AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
-),
-exact_knn AS MATERIALIZED (
-{exact}
-)
-SELECT e.query_id,
-       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
-         AS recall_at_k
-FROM exact_knn e
-LEFT JOIN ivf_knn i
-  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id"""
+    return _recall_sql(
+        knn_ivf_trained_sql(n_queries, k, n_centroids, iters, n_probe),
+        n_queries,
+        k,
+    )
 
 
 # --------------------------------------------------- hard-negative mining
@@ -1681,8 +1697,14 @@ def knn_ivf_pq_trained(
     argmax over the quantized integer vectors (the ``_km_argmax``
     expression — no shuffle, bit-identical in the oracle), exactly as
     in ``knn_ivf_trained``; the seeded variant scores coarse probes
-    with the double cosine over raw embeddings instead.  Recall is
-    reported by ``knn_ivf_pq_trained_recall``.
+    with the double cosine over raw embeddings instead.  One caveat to
+    "exactly": this variant TRAINS on the validity-filtered q (the PQ
+    sub-slicing requires well-formed RP_IN_DIM vectors) while
+    ``knn_ivf_trained`` tolerates and trains on malformed rows too —
+    identical coarse stages whenever every embedding row is
+    well-formed (true of the sf tables; the unbounded-rescore
+    reduction test pins that case).  Recall is reported by
+    ``knn_ivf_pq_trained_recall``.
 
     Training cost: coarse_iters + pq_iters full scans (one per Lloyd
     round, collects stay model-sized).  At 100 TB both quantizers
@@ -1701,27 +1723,7 @@ def knn_ivf_pq_trained(
     books = _pq_codebooks(q, m, dsub, ksub, iters)
     cents = _train_centroids(q, n_centroids, coarse_iters)
     assign = _km_argmax(q, cents).select("vec_id", "centroid_id")
-    probe_arr = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-_km_cosine(F.col("q"), cvec, _km_norm2(cvec))).alias(
-                        "neg"
-                    ),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-    )
-    probes = (
-        q.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(probe_arr, 1, n_probe)).alias("p"),
-        )
-        .select("query_id", F.col("p.cid").alias("centroid_id"))
-    )
+    probes = _trained_probes(q, cents, n_queries, n_probe)
     cand = (
         probes.join(
             assign.withColumnRenamed("vec_id", "neighbor_id"),
@@ -1946,53 +1948,20 @@ def knn_ivf_pq_trained_recall(
     top-k — completes the 2x2 recall grid (seeded/trained x
     exact-scoring/PQ): what quantization costs ON TOP of a trained
     coarse index, vs ``knn_ivf_trained_recall``'s unquantized row."""
-    exact = knn_bruteforce(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = knn_ivf_pq_trained(embeddings, n_queries, k, **kwargs).select(
-        "query_id", F.col("neighbor_id").alias("pq_neighbor_id")
-    )
-    hits = exact.join(
-        approx,
-        on=[
-            exact.query_id == approx.query_id,
-            exact.neighbor_id == approx.pq_neighbor_id,
-        ],
-        how="left",
-    ).select(exact.query_id, F.col("pq_neighbor_id").isNotNull().alias("hit"))
-    return (
-        hits.groupBy("query_id")
-        .agg(
-            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
-                "recall_at_k"
-            )
-        )
-        .orderBy("query_id")
+    return _recall_vs_exact(
+        embeddings,
+        knn_ivf_pq_trained(embeddings, n_queries, k, **kwargs),
+        n_queries,
+        k,
     )
 
 
 def knn_ivf_pq_trained_recall_sql(
     n_queries: int = N_QUERIES, k: int = TOP_K, **kwargs
 ) -> str:
-    exact = knn_bruteforce_sql(n_queries, k)
-    approx = knn_ivf_pq_trained_sql(n_queries, k, **kwargs)
-    assert approx.startswith("WITH ")
-    prefix = approx[5:].rsplit("SELECT query_id", 1)[0].rstrip()
-    return f"""WITH {prefix},
-pq_knn AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
-),
-exact_knn AS MATERIALIZED (
-{exact}
-)
-SELECT e.query_id,
-       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
-         AS recall_at_k
-FROM exact_knn e
-LEFT JOIN pq_knn i
-  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id"""
+    return _recall_sql(
+        knn_ivf_pq_trained_sql(n_queries, k, **kwargs), n_queries, k
+    )
 
 
 def knn_ivf_pq_recall(
@@ -2006,50 +1975,12 @@ def knn_ivf_pq_recall(
     ``knn_ivf_recall`` / ``knn_ivf_trained_recall``): what 16× index
     compression plus LUT scoring costs at the default probe/rescore
     settings."""
-    exact = knn_bruteforce(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = knn_ivf_pq(embeddings, n_queries, k, **kwargs).select(
-        "query_id", F.col("neighbor_id").alias("pq_neighbor_id")
-    )
-    hits = exact.join(
-        approx,
-        on=[
-            exact.query_id == approx.query_id,
-            exact.neighbor_id == approx.pq_neighbor_id,
-        ],
-        how="left",
-    ).select(exact.query_id, F.col("pq_neighbor_id").isNotNull().alias("hit"))
-    return (
-        hits.groupBy("query_id")
-        .agg(
-            F.round(F.sum(F.col("hit").cast("int")) / F.count("*"), 6).alias(
-                "recall_at_k"
-            )
-        )
-        .orderBy("query_id")
+    return _recall_vs_exact(
+        embeddings, knn_ivf_pq(embeddings, n_queries, k, **kwargs), n_queries, k
     )
 
 
 def knn_ivf_pq_recall_sql(
     n_queries: int = N_QUERIES, k: int = TOP_K, **kwargs
 ) -> str:
-    exact = knn_bruteforce_sql(n_queries, k)
-    approx = knn_ivf_pq_sql(n_queries, k, **kwargs)
-    assert approx.startswith("WITH ")
-    prefix = approx[5:].rsplit("SELECT query_id", 1)[0].rstrip()
-    return f"""WITH {prefix},
-pq_knn AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
-),
-exact_knn AS MATERIALIZED (
-{exact}
-)
-SELECT e.query_id,
-       round(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
-         AS recall_at_k
-FROM exact_knn e
-LEFT JOIN pq_knn i
-  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id"""
+    return _recall_sql(knn_ivf_pq_sql(n_queries, k, **kwargs), n_queries, k)

@@ -1042,17 +1042,18 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-6 rotation: 48 of the round-5 complement (the r4-board
-    # queries, whose freshest driver row is CORRECTNESS_r04) + the 2
+    # round-6 rotation: 47 of the round-5 complement (the r4-board
+    # queries, whose freshest driver row is CORRECTNESS_r04) + the 3
     # round-6 additions.  The registry now exceeds 2x the 50-entry
     # board, so the staleness contract is the 3-round window enforced
     # by test_driver_evidence_staleness_bounded (current board + the
-    # two prior boards must cover the registry).  The 2 bumped r4-board
-    # queries — count_triples, condition_histogram (chosen because
-    # their operators are additionally pinned by unit tests) — MUST
-    # lead the round-7 board: after this round's artifact lands they
-    # are covered only by CORRECTNESS_r04, which leaves the window
-    # next round.  Policy note in COVERAGE.md.
+    # two prior boards must cover the registry).  The 3 bumped r4-board
+    # queries — count_triples, condition_histogram,
+    # count_distinct_values (chosen because their operators are
+    # additionally pinned by unit tests) — MUST lead the round-7
+    # board: after this round's artifact lands they are covered only
+    # by CORRECTNESS_r04, which leaves the window next round.  Policy
+    # note in COVERAGE.md.
     # new this session (evidence-gapped until their first driver row)
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",

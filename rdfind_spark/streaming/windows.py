@@ -265,7 +265,12 @@ def streaming_dedup_deliveries(
 
 
 def streaming_dedup_deliveries_oracle_sql() -> str:
-    return """SELECT DISTINCT event_id, ts, user_id, event_type, value
+    # ts is cast through µs-precision TIMESTAMP: events.parquet has
+    # shipped both micros and nanos physical types, and the strict
+    # oracle gate flags a raw TIMESTAMP_NS column as a type mismatch
+    # (the Spark side is µs via normalize_event_ts)
+    return """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts,
+       user_id, event_type, value
 FROM events"""
 
 

@@ -457,6 +457,8 @@ def test_image_stats_decodes_and_flags_errors(spark):
         rows[1].decode_error,
     ) == (2, 1, 3, 30, 0)
     assert rows[2].decode_error == 1 and rows[2].width is None
+
+
 def test_streaming_dedup_deliveries_state_spans_micro_batches(spark, tmp_path):
     """The cross-batch behavior the single-AvailableNow-batch oracle
     cannot see, pinned: with two files and maxFilesPerTrigger=1 the
