@@ -93,6 +93,147 @@ SELECT direction, degree, COUNT(*) AS n_nodes
 FROM deg GROUP BY direction, degree"""
 
 
+# Hub-removal threshold for the component decomposition — the classic
+# "remove hubs, then find communities" shape, and the threshold is part
+# of the query definition (the oracle embeds the same constant).  The
+# value is chosen SUBCRITICAL deliberately: parts average ~30 lineitems
+# at every SF, so P(part degree <= 10) ~ 4e-5 and essentially no part
+# survives to bridge customer neighborhoods — the surviving graph is
+# order/lineitem stars bound per-customer where the customer (degree ~
+# Poisson(11)) survives, with diameter bounded by COMMUNITY size, not
+# corpus size.  A threshold of 20 instead sits near the bridge graph's
+# percolation critical point (the ~4% of parts below it weave one giant
+# snake-like component): measured rounds-to-converge grew 9 (sf0.001)
+# -> 14 (sf0.01) -> >12 budget, with ONE component left at sf0.001 —
+# the structure a hub-removal query exists to avoid.  At 10, measured
+# convergence is 3-5 rounds at every SF probed, scale-independently.
+COMPONENTS_MAX_DEGREE = 10
+# Fixed round budget shared by the Spark loop (raise-on-exceed) and the
+# chained-CTE oracle (identity once the fixed point is reached) — see
+# graph_components for the equivalence argument.  Measured usage is
+# 3-5 rounds (subcritical regime, above); 12 = ~4x headroom, and the
+# loop raises loudly rather than emit a non-converged labeling.
+COMPONENTS_MAX_ROUNDS = 12
+
+
+def graph_components(
+    triples: DataFrame,
+    max_degree: int = COMPONENTS_MAX_DEGREE,
+    max_iters: int = COMPONENTS_MAX_ROUNDS,
+) -> DataFrame:
+    """Connected components of the entity graph after hub removal —
+    the second half of the graph-analytics pair (with ``pagerank``).
+    The raw entity graph is one giant component (everything reaches
+    everything through the nation/region hubs), so the structural
+    query removes nodes with total degree > ``max_degree`` first and
+    labels what remains: order/lineitem stars, bound into per-customer
+    communities where the customer node survives the degree cut (see
+    ``COMPONENTS_MAX_DEGREE`` for why the threshold must sit below the
+    bridge graph's percolation critical point).
+
+    Spark side: min-label propagation WITH pointer jumping
+    (``_min_label_components``, functions/dedup.py — the same loop that
+    clusters near-duplicates), run over the symmetrized hub-pruned
+    edges.  O(log diameter) rounds, one join+aggregate and one lookup
+    join per round, state bounded by the surviving edge endpoints;
+    raises rather than return a non-converged labeling.  Labels are the
+    node STRINGS (min = lexicographic, identical in Spark and DuckDB
+    for the ASCII ``prefix:id`` vocabulary) — unlike PageRank there is
+    no per-iteration arithmetic to keep narrow, and the final label IS
+    the output column, so dictionary-encoding would just add two
+    restore joins.
+
+    Oracle equivalence: the oracle runs the IDENTICAL recurrence
+    (min over own+neighbor labels, then pointer jump L := L[L]) as
+    ``max_iters`` chained materialized CTEs.  Both sides compute the
+    same deterministic label sequence; the Spark loop stops early at
+    the fixed point (and RAISES if it is not reached by ``max_iters``),
+    while the oracle's surplus rounds past the fixed point are the
+    identity map — so equal results are guaranteed, never coincidental.
+
+    Returns (node, component_id) for every NON-HUB node; nodes whose
+    every neighbor was a hub become their own singleton component."""
+    from rdfind_spark.functions.dedup import _min_label_components
+
+    edges = materialize(entity_edges(triples))
+    deg = materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    hubs = deg.filter(F.col("degree") > max_degree).select("node")
+    kept = deg.filter(F.col("degree") <= max_degree).select("node")
+    # Hub removal: two anti-joins against the hub set (hub count is
+    # corpus_degree_mass / max_degree — broadcast-sized, AQE promotes).
+    ke = edges.join(
+        hubs.select(F.col("node").alias("src")), on="src", how="left_anti"
+    ).join(hubs.select(F.col("node").alias("dst")), on="dst", how="left_anti")
+    sym = (
+        ke.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+        .unionByName(
+            ke.select(F.col("dst").alias("a_id"), F.col("src").alias("b_id"))
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    labels, _ = _min_label_components(sym, max_iters)
+    return kept.join(
+        labels.withColumnRenamed("doc_id", "node"), on="node", how="left"
+    ).select("node", F.coalesce("cluster_id", "node").alias("component_id"))
+
+
+def graph_components_sql(
+    max_degree: int = COMPONENTS_MAX_DEGREE,
+    rounds: int = COMPONENTS_MAX_ROUNDS,
+) -> str:
+    """The identical min-label + pointer-jump recurrence as chained
+    MATERIALIZED CTEs (two per round) — same pattern as pagerank_sql;
+    surplus rounds past the fixed point are the identity map."""
+    parts = [
+        f"""WITH triples AS (
+{triple_view_sql()}
+),
+edges AS ({ENTITY_EDGES_SQL}),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  ) GROUP BY node
+),
+kept AS (SELECT node FROM deg WHERE degree <= {max_degree}),
+ke AS (
+  SELECT e.src, e.dst FROM edges e
+  WHERE e.src IN (SELECT node FROM kept)
+    AND e.dst IN (SELECT node FROM kept)
+),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ke UNION SELECT dst AS a, src AS b FROM ke
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT l.node, LEAST(l.lab, MIN(n.lab)) AS lab
+  FROM l{i - 1} l
+  JOIN sym e ON e.a = l.node
+  JOIN l{i - 1} n ON n.node = e.b
+  GROUP BY l.node, l.lab
+),
+l{i} AS MATERIALIZED (
+  SELECT s.node, COALESCE(j.lab, s.lab) AS lab
+  FROM s{i} s LEFT JOIN s{i} j ON j.node = s.lab
+)"""
+        )
+    parts.append(
+        f"""
+SELECT k.node, COALESCE(l.lab, k.node) AS component_id
+FROM kept k LEFT JOIN l{rounds} l ON l.node = k.node"""
+    )
+    return "".join(parts)
+
+
 def pagerank(
     triples: DataFrame,
     iterations: int = PR_ITERATIONS,

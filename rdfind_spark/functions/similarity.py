@@ -266,7 +266,19 @@ def _recall_sql(approx_sql: str, n_queries: int, k: int) -> str:
     brute-force exact top-k."""
     exact = knn_bruteforce_sql(n_queries, k)
     assert approx_sql.startswith("WITH ")
+    # guard the string surgery (round-6 advisor): the splice assumes the
+    # chain defines a `ranked` CTE and ends in a top-level
+    # `SELECT query_id ...` — a future *_sql variant breaking either
+    # convention must fail HERE, not produce a mis-spliced oracle
+    assert "ranked AS" in approx_sql, "approx chain must define a 'ranked' CTE"
     prefix = approx_sql[5:].rsplit("SELECT query_id", 1)[0].rstrip()
+    assert prefix != approx_sql[5:].rstrip(), (
+        "approx chain must end in a top-level 'SELECT query_id' to splice"
+    )
+    assert prefix.endswith(")"), (
+        "splice must cut exactly at the end of the CTE chain; got a "
+        f"prefix ending {prefix[-40:]!r}"
+    )
     return f"""WITH {prefix},
 approx_knn AS MATERIALIZED (
   SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
@@ -761,6 +773,22 @@ def _quantized(col: F.Column | str):
     )
 
 
+def _valid_quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q=quantized integer vector) over the WELL-FORMED rows
+    only (exactly RP_IN_DIM non-null components) — the shared training
+    input of every kmeans-derived operator.  The per-dimension Lloyd
+    sums and the PQ sub-slicing both index positions 1..dim, so a
+    malformed row would crash the loop mid-aggregate
+    (ArrayIndexOutOfBounds — measured); filtering here makes every
+    trained variant share one coarse stage unconditionally (the oracle
+    chain ``_km_cte_chain`` applies the identical predicate).  A no-op
+    on the sf tables, whose rows are all well-formed."""
+    return embeddings.filter(
+        (F.size("embedding") == RP_IN_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    ).select("vec_id", _quantized("embedding").alias("q"))
+
+
 def _km_cosine(qcol, cvec: list, nc: int):
     """Cosine of an integer vector column against an integer literal
     centroid: exact BIGINT dot/norms, ONE double division — the same
@@ -806,7 +834,7 @@ def embedding_kmeans(
     set from the same assignment table).
 
     Output: final assignment (vec_id, centroid_id, cosine)."""
-    q = embeddings.select("vec_id", _quantized("embedding").alias("q"))
+    q = _valid_quantized(embeddings)
     q = materialize(q)  # quantize once, reuse per round
     cents = _train_centroids(q, k, iters)
     return _km_argmax(q, cents).select(
@@ -925,6 +953,8 @@ def _km_cte_chain(k: int, iters: int) -> str:
   SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS q
   FROM embeddings
+  WHERE len(embedding) = {RP_IN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 c0 AS (SELECT vec_id AS cid, q AS cvec FROM q WHERE vec_id < {k})"""
     ]
@@ -1006,13 +1036,17 @@ def knn_ivf_trained(
     trained 0.92 vs seeded 0.94, bucket max/mean 1.14 vs 1.12, min
     bucket 53 vs 48 — a tie, because the synthetic embeddings are
     UNIFORM so first-N seeding is already a random (= good) sample.
-    The trained path exists for the skewed-corpus regime, where id
-    order correlates with content and seeding from it concentrates the
-    index; the Lloyd rounds re-spread the centroids regardless of how
-    the ids fall."""
-    q = materialize(
-        embeddings.select("vec_id", _quantized("embedding").alias("q"))
-    )
+    The skewed regime was measured in round 7
+    (``scripts/pq_recall_grid.py --skewed``, README "skewed-corpus
+    claim"): on an id-sorted blob corpus with a query workload
+    decoupled from the seed prefix, seeded recall@10 melts to 0.40
+    (non-seed blobs scatter across the blob-0 centroids by noise)
+    while trained reaches 0.45 at these 2 Lloyd rounds and 0.53 at
+    convergence — training wins where id order correlates with
+    content, with the measured caveat that Lloyd's own first-N init
+    bounds the gain (a spread init is the next lever at scale, not
+    more rounds)."""
+    q = materialize(_valid_quantized(embeddings))
     cents = _train_centroids(q, n_centroids, iters)
     assign = _km_argmax(q, cents).select("vec_id", "centroid_id")
     probes = _trained_probes(q, cents, n_queries, n_probe)
@@ -1543,12 +1577,7 @@ def knn_ivf_pq(
     exploit), so these numbers are a floor: on real clustered
     embeddings ADC ranks better at the same rescore depth."""
     dsub = RP_IN_DIM // m
-    q = materialize(
-        embeddings.filter(
-            (F.size("embedding") == RP_IN_DIM)
-            & ~F.exists("embedding", lambda x: x.isNull())
-        ).select("vec_id", _quantized("embedding").alias("q"))
-    )
+    q = materialize(_valid_quantized(embeddings))
     books = _pq_codebooks(q, m, dsub, ksub, iters)
 
     # coarse probe selection — identical to knn_ivf's seeded stage
@@ -1697,14 +1726,14 @@ def knn_ivf_pq_trained(
     argmax over the quantized integer vectors (the ``_km_argmax``
     expression — no shuffle, bit-identical in the oracle), exactly as
     in ``knn_ivf_trained``; the seeded variant scores coarse probes
-    with the double cosine over raw embeddings instead.  One caveat to
-    "exactly": this variant TRAINS on the validity-filtered q (the PQ
-    sub-slicing requires well-formed RP_IN_DIM vectors) while
-    ``knn_ivf_trained`` tolerates and trains on malformed rows too —
-    identical coarse stages whenever every embedding row is
-    well-formed (true of the sf tables; the unbounded-rescore
-    reduction test pins that case).  Recall is reported by
-    ``knn_ivf_pq_trained_recall``.
+    with the double cosine over raw embeddings instead.  "Exactly"
+    holds unconditionally: every kmeans-derived operator trains on the
+    same ``_valid_quantized`` input (round-6 advisor — previously
+    ``knn_ivf_trained`` trained unfiltered, so the shared-coarse-stage
+    reduction held only on well-formed data, and a malformed row
+    crashed its Lloyd aggregate mid-loop;
+    test_trained_variants_invariant_to_malformed_rows pins the
+    invariance).  Recall is reported by ``knn_ivf_pq_trained_recall``.
 
     Training cost: coarse_iters + pq_iters full scans (one per Lloyd
     round, collects stay model-sized).  At 100 TB both quantizers
@@ -1714,12 +1743,7 @@ def knn_ivf_pq_trained(
     trains on the full table only because the sf tables are already
     sample-sized."""
     dsub = RP_IN_DIM // m
-    q = materialize(
-        embeddings.filter(
-            (F.size("embedding") == RP_IN_DIM)
-            & ~F.exists("embedding", lambda x: x.isNull())
-        ).select("vec_id", _quantized("embedding").alias("q"))
-    )
+    q = materialize(_valid_quantized(embeddings))
     books = _pq_codebooks(q, m, dsub, ksub, iters)
     cents = _train_centroids(q, n_centroids, coarse_iters)
     assign = _km_argmax(q, cents).select("vec_id", "centroid_id")

@@ -570,6 +570,19 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(triple_view(spark, sf_dir))
 
 
+@register("graph_components", graph.graph_components_sql())
+def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the hub-pruned entity graph — the
+    graph-analytics pair-completer with graph_pagerank.  Min-label
+    propagation + pointer jumping (functions/dedup.py:
+    _min_label_components, the near-dup clustering loop, reused over a
+    second graph); oracle = the identical recurrence as chained
+    materialized CTEs.  Measured convergence: 5 rounds at sf0.001,
+    3 at sf0.01 (subcritical hub threshold — see
+    graph.COMPONENTS_MAX_DEGREE)."""
+    return graph.graph_components(triple_view(spark, sf_dir))
+
+
 # ------------------------------------ training-data pipeline: curation
 
 
@@ -939,6 +952,7 @@ def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from rdfind_spark.streaming.windows import (
     streaming_anomalies_oracle_sql,
+    streaming_contamination_oracle_sql,
     streaming_dedup_deliveries_oracle_sql,
     streaming_sessionize_oracle_sql,
 )
@@ -1014,6 +1028,45 @@ def stream_dedup_deliveries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup_deliveries(stream_events(spark, sf_dir)),
         f"stream_dedup_{uuid.uuid4().hex[:8]}",
         output_mode="append",
+        # the SELECT DISTINCT oracle is equivalent only under one data
+        # micro-batch (steady-state watermark expiry re-admits keys) —
+        # make the contract self-checking instead of prose-only
+        expect_single_data_batch=True,
+    )
+    return spark.table(name)
+
+
+@register(
+    "stream_contamination",
+    streaming_contamination_oracle_sql(dedup.CONTAM_FUZZY_EVAL_MOD),
+)
+def stream_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time eval-set contamination guard: incoming
+    (train) documents are LSH-banded per micro-batch with the batch
+    dedup's expression tree and stream-static joined against the eval
+    set's hot-capped band-key table; collisions are quarantined doc_ids
+    (distinct — dropDuplicates state IS the quarantine set, bounded by
+    contamination incidence).  Batch-count-independent output, full SQL
+    oracle shared with the batch twin via dedup._lsh_sql_parts."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        run_available_now,
+        stream_documents,
+        streaming_contamination_guard,
+    )
+
+    eval_docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.CONTAM_FUZZY_EVAL_MOD == 0
+    )
+    eval_keys = dedup._cold_band_keys(eval_docs).select("band", "key").distinct()
+    train_stream = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.CONTAM_FUZZY_EVAL_MOD != 0
+    )
+    name = run_available_now(
+        streaming_contamination_guard(train_stream, eval_keys),
+        f"stream_contam_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
     )
     return spark.table(name)
 
@@ -1042,70 +1095,72 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-6 rotation: 47 of the round-5 complement (the r4-board
-    # queries, whose freshest driver row is CORRECTNESS_r04) + the 3
-    # round-6 additions.  The registry now exceeds 2x the 50-entry
-    # board, so the staleness contract is the 3-round window enforced
-    # by test_driver_evidence_staleness_bounded (current board + the
-    # two prior boards must cover the registry).  The 3 bumped r4-board
-    # queries — count_triples, condition_histogram,
-    # count_distinct_values (chosen because their operators are
-    # additionally pinned by unit tests) — MUST lead the round-7
-    # board: after this round's artifact lands they are covered only
-    # by CORRECTNESS_r04, which leaves the window next round.  Policy
-    # note in COVERAGE.md.
-    # new this session (evidence-gapped until their first driver row)
-    "knn_ivf_pq_trained",
-    "knn_ivf_pq_trained_recall",
-    "stream_dedup_deliveries",
-    # the r5 complement minus the 3 bumped queries
-    "cind_minimal",
-    "condition_counts_frequent",
-    "join_line_histogram",
-    "hash_collisions",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "text_redact",
-    "text_tfidf_keywords",
-    "docs_quality_filter",
-    "text_bigrams",
-    "text_bpe_vocab",
-    "text_pmi_bigrams",
-    "docs_inverted_index",
-    "text_token_length_hist",
-    "docs_length_deciles",
-    "docs_vocab_coverage",
-    "docs_length_digest",
-    "docs_cube_counts",
-    "docs_length_percentiles",
-    "warehouse_revenue_by_nation",
-    "warehouse_pricing_summary",
-    "warehouse_revenue_forecast",
-    "warehouse_late_priority",
-    "warehouse_min_cost_supplier",
-    "warehouse_volume_shipping",
-    "warehouse_big_spenders",
-    "warehouse_promo_bands",
-    "graph_degree_distribution",
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_contamination",
-    "docs_contamination_fuzzy",
-    "docs_pack_sequences",
-    "docs_export_train",
-    "docs_span_dedup",
-    "docs_dsir_weights",
-    "knn_ivf_trained",
-    "knn_ivf_trained_recall",
-    "knn_hard_negatives",
-    "embedding_rp_reduce",
-    "stream_anomalies",
-    "stream_sessions",
+    # round-7 rotation (policy note in COVERAGE.md; 3-round staleness
+    # window enforced by test_driver_evidence_staleness_bounded):
+    #   1-3: the three queries whose only driver evidence is
+    #        CORRECTNESS_r04, which exits the window this round — they
+    #        MUST collect fresh rows now;
+    #   4-5: this round's new queries (evidence-gapped until their
+    #        first driver row);
+    #   6-50: 45 of the 50-key round-5 board, in its order — r5's rows
+    #        exit the window at r8, so this board re-covers them, minus
+    #        five deferrals that MUST lead the round-8 board:
+    #        events_hourly_counts, events_moving_window,
+    #        events_transitions, events_pivot, events_funnel (cheap,
+    #        all additionally unit-pinned: test_hourly_counts,
+    #        test_event_transitions_census, test_events_pivot_counts,
+    #        test_funnel_ordering_matters).
+    "count_triples",
+    "condition_histogram",
+    "count_distinct_values",
+    "stream_contamination",
+    "graph_components",
+    # the r5 board minus the five deferrals, in r5 order
+    "cind_all",
+    "cind_minimal_ar",
+    "cind_small_to_large",
+    "cind_approx_verify",
+    "cind_minimal_proj_s",
+    "capture_supports",
+    "capture_overlaps",
+    "association_rules",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_neardup",
+    "docs_repetition_filter",
+    "text_skipgram_cooc",
+    "warehouse_top_unshipped",
+    "warehouse_local_supplier",
+    "graph_pagerank",
+    "docs_mix_sources",
+    "knn_bruteforce",
+    "embedding_prep",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "embedding_kmeans",
+    "dedup_semantic",
+    "knn_ivf",
+    "events_sessionize",
+    "events_top_purchasers",
+    "events_interarrival",
+    "events_daily_rollup",
+    "events_retention",
+    "events_asof_join",
+    "events_range_join",
+    "events_anomalies",
+    "events_hourly_profile",
+    "events_dau_wau",
+    "events_grouping_sets",
+    "events_distinct_sketch",
+    "stream_hourly_counts",
+    "stream_interval_join",
+    "stream_purchase_totals",
+    "multimodal_features",
+    "warehouse_market_share",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
 ]
 
 

@@ -13,6 +13,8 @@ from rdfind_spark.streaming.windows import (  # noqa: F401
     stream_events,
     stream_to_partitioned_parquet,
     streaming_anomalies,
+    streaming_contamination_guard,
+    streaming_contamination_oracle_sql,
     streaming_dedup_deliveries,
     streaming_dedup_deliveries_oracle_sql,
     streaming_exact_dedup,

@@ -274,6 +274,84 @@ def streaming_dedup_deliveries_oracle_sql() -> str:
 FROM events"""
 
 
+def streaming_contamination_guard(
+    stream_docs: DataFrame, eval_band_keys: DataFrame
+) -> DataFrame:
+    """Ingest-time eval-set contamination guard — the streaming twin of
+    ``functions.dedup.contamination_fuzzy``'s candidate stage.  A real
+    100 TB pipeline filters eval-set leakage AT INGEST, not in a
+    nightly batch: each micro-batch's documents are LSH-banded with the
+    SAME ``_band_keys`` expression tree the batch dedup uses (pure
+    column expressions — minhash is stateless, so it streams as-is),
+    then stream-static joined against the eval set's band-key table; a
+    band collision flags the document for quarantine before it lands in
+    the training corpus.  Output = distinct flagged doc_ids.
+
+    State & scale: the banding carries no streaming state at all.  The
+    only state is ``dropDuplicates`` on the OUTPUT doc_id — i.e. the
+    quarantine set itself, bounded by contamination incidence
+    (result-class), never corpus size.  The static side is distinct
+    (band, key) over the EVAL set — eval suites are fixed and orders of
+    magnitude smaller than the corpus, and the caller hot-bucket-caps
+    them via ``_cold_band_keys`` so a degenerate eval bucket cannot
+    inflate the join.  Unlike ``streaming_dedup_deliveries`` (whose
+    oracle holds only under a single micro-batch), this output is
+    batch-count-INDEPENDENT: dropDuplicates state spans micro-batches,
+    so the run yields exactly the distinct collision set however the
+    input stream is chopped.
+
+    Recall contract is the batch twin's: a leaked document is flagged
+    iff it collides with an eval document in ≥1 of the LSH bands —
+    same banding, same recall curve (``dedup.MINHASH_K`` /
+    ``dedup.LSH_BANDS``).  Flagged docs are LSH *candidates*; a
+    pipeline wanting exact-Jaccard confirmation runs the batch
+    verifier over the (small) quarantine set."""
+    from rdfind_spark.functions.dedup import _band_keys
+
+    skeys = _band_keys(stream_docs)
+    return (
+        skeys.join(eval_band_keys, on=["band", "key"])
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def streaming_contamination_oracle_sql(eval_mod: int) -> str:
+    """Batch-equivalent oracle: band keys over ALL documents in one
+    pass (the oracle has no stream/static split — eval docs are the
+    ``doc_id % eval_mod == 0`` rows), eval-side hot buckets dropped
+    exactly as ``_cold_band_keys`` does, flagged = distinct TRAIN
+    doc_ids sharing a surviving (band, key) with any eval doc.
+    Deterministic regardless of micro-batch count (see
+    ``streaming_contamination_guard``)."""
+    from rdfind_spark.functions.dedup import (
+        MAX_BAND_DOCS,
+        NGRAM_K,
+        _lsh_sql_parts,
+    )
+
+    mh_cols, band_cols, band_union = _lsh_sql_parts()
+    return f"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+shl AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(toks) - {NGRAM_K - 2}, 2)),
+      i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))) AS sh
+  FROM docs
+),
+sig AS (SELECT doc_id, {mh_cols} FROM shl),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+keys AS MATERIALIZED ({band_union}),
+ekeys AS (SELECT * FROM keys WHERE doc_id % {eval_mod} = 0),
+hotb AS (SELECT band, key FROM ekeys
+         GROUP BY band, key HAVING COUNT(*) > {MAX_BAND_DOCS}),
+coldk AS (SELECT DISTINCT band, key FROM ekeys e WHERE NOT EXISTS
+          (SELECT 1 FROM hotb h WHERE h.band = e.band AND h.key = e.key))
+SELECT DISTINCT k.doc_id FROM keys k JOIN coldk USING (band, key)
+WHERE k.doc_id % {eval_mod} <> 0"""
+
+
 def stream_error_click_join(
     events: DataFrame, window_s: int = 600, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -348,10 +426,22 @@ def stream_to_partitioned_parquet(
     return writer.trigger(availableNow=True).start()
 
 
-def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
+def run_available_now(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    expect_single_data_batch: bool = False,
+):
     """Drive a streaming DataFrame to a memory sink with
     Trigger.AvailableNow and block until done; returns the sink table
-    name (query results via ``spark.table(name)``)."""
+    name (query results via ``spark.table(name)``).
+
+    ``expect_single_data_batch`` makes an oracle contract self-checking:
+    operators whose batch-SQL oracle is only equivalent when all input
+    arrives in ONE micro-batch (``streaming_dedup_deliveries`` — at
+    steady state watermark expiry re-admits keys) pass True, and the
+    run RAISES if the source delivered data across several batches
+    instead of silently diverging from the oracle."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -360,6 +450,17 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "complete"):
         .start()
     )
     q.awaitTermination()
+    if expect_single_data_batch:
+        progresses = [
+            p if isinstance(p, dict) else p.asDict() for p in q.recentProgress
+        ]
+        data_batches = sum(1 for p in progresses if p.get("numInputRows", 0) > 0)
+        if data_batches != 1:
+            raise RuntimeError(
+                f"streaming query {name!r} processed {data_batches} data "
+                "micro-batches; the registered batch oracle is only "
+                "equivalent under exactly one"
+            )
     return name
 
 

@@ -2,11 +2,23 @@
 """Mean recall@k grid for the ANN variants — seeded vs trained coarse
 quantizer, exact scoring vs PQ+ADC, at several rescore depths.
 
-Usage: python scripts/pq_recall_grid.py [sf_dir]   (default sf0.01)
+Usage:
+    python scripts/pq_recall_grid.py [sf_dir]     (default sf0.01)
+    python scripts/pq_recall_grid.py --skewed     (clustered fixture)
 
-Prints one line per cell; the README quotes the table.  The synthetic
-embeddings are UNIFORM random (PQ's adversarial case, no cluster
-structure), so these are floor numbers — see knn_ivf_pq's docstring.
+Prints one line per cell; the README quotes the tables.
+
+The sf embeddings are UNIFORM random (PQ's adversarial case, no
+cluster structure), so first-N-by-id seeding is already a random (=
+good) centroid sample and trained ties seeded — those numbers are
+recall FLOORS, not evidence about training.  ``--skewed`` builds the
+fixture the trained path exists for: Gaussian blobs with ID-CORRELATED
+placement (vec_ids assigned sorted by blob, the crawl-order-correlates-
+with-content shape), so the first-8 seed centroids all land inside one
+blob and the seeded coarse index concentrates; the query workload
+(vec_id < 5) then also sits in that first blob, exactly as a
+first-crawled source would.  Same n/dim as sf0.01 (500 x 64),
+deterministic (fixed numpy seed, written once to /tmp).
 """
 
 from __future__ import annotations
@@ -21,28 +33,40 @@ from pyspark.sql import functions as F
 
 from rdfind_spark.functions import similarity as sim
 
+SKEW_N = 500
+SKEW_DIM = 64
+SKEW_BLOBS = 16
+SKEW_NOISE = 0.35  # intra-blob cosine ~0.8-0.9, inter ~0
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
+
+def build_skewed_fixture(spark, path: str):
+    """Gaussian-blob embeddings with vec_id sorted by blob (id order
+    correlates with content).  numpy only at fixture-build time —
+    deterministic via fixed seed, never in a query path."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(SKEW_BLOBS, SKEW_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = np.sort(rng.integers(0, SKEW_BLOBS, size=SKEW_N))  # id-sorted
+    pts = centers[blob] + SKEW_NOISE * rng.normal(size=(SKEW_N, SKEW_DIM))
+    rows = [
+        (int(i), [float(x) for x in pts[i]], int(blob[i]))
+        for i in range(SKEW_N)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
+
+def print_grid(embs, tag: str):
     def mean_recall(df):
-        return round(
-            df.agg(F.avg("recall_at_k")).collect()[0][0], 3
-        )
+        return round(df.agg(F.avg("recall_at_k")).collect()[0][0], 3)
 
-    print(f"# sf_dir={sf_dir}")
     print(
-        "# exact-scoring ceilings: seeded",
+        f"# [{tag}] exact-scoring ceilings: seeded",
         mean_recall(sim.knn_ivf_recall(embs)),
         "trained",
         mean_recall(sim.knn_ivf_trained_recall(embs)),
@@ -54,9 +78,120 @@ def main() -> int:
             sim.knn_ivf_pq_trained_recall(embs, rescore=rescore)
         )
         print(
-            f"# rescore={rescore}: pq_seeded={seeded} pq_trained={trained}",
+            f"# [{tag}] rescore={rescore}: pq_seeded={seeded} "
+            f"pq_trained={trained}",
             flush=True,
         )
+
+
+def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
+    """Index quality for a query workload DECOUPLED from the seed
+    prefix.  The registered `*_recall` queries pin queries = vec_id <
+    5, which on an id-sorted corpus is the same blob as every seed
+    centroid — maximally seed-favorable (a query probing buckets built
+    from its own blob's vectors always finds its neighbors).  The
+    melted-index failure mode the trained path exists for hits the
+    OTHER blobs: their vectors' argmax over 8 near-identical blob-0
+    centroids is decided by the noise component, scattering each blob's
+    members ~uniformly over all buckets, so probing n_probe of 8 caps
+    recall near n_probe/8.  Measure that directly: recall@k over 2
+    members of EVERY blob, buckets per the engine's own assignment
+    functions, ground truth = exact float cosine (numpy — this is a
+    measurement, not an oracle)."""
+    import numpy as np
+
+    from rdfind_spark.functions.similarity import (
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        _km_argmax,
+        _quantized,
+        _train_centroids,
+        ivf_assignments,
+    )
+
+    rows = embs.select("vec_id", "embedding", "label").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    np.fill_diagonal(S, -2.0)
+    blob = np.array([r.label for r in rows])
+    # 2 query ids per blob, skipping the seed prefix where possible
+    queries = []
+    for b in sorted(set(blob.tolist())):
+        ids = [i for i in np.flatnonzero(blob == b) if i >= N_CENTROIDS]
+        queries.extend(ids[:2])
+
+    q = embs.select("vec_id", _quantized("embedding").alias("q"))
+    trained_cents = _train_centroids(q, N_CENTROIDS, KMEANS_ITERS)
+    variants = {
+        # (assignment map, centroid vectors the engine probes by)
+        "seeded": (
+            {r.vec_id: r.centroid_id for r in ivf_assignments(embs).collect()},
+            {cid: E[cid] for cid in range(N_CENTROIDS)},
+        ),
+        "trained": (
+            {r.vec_id: r.centroid_id for r in _km_argmax(q, trained_cents).collect()},
+            {cid: np.array(vec, dtype=np.float64) for cid, vec in trained_cents},
+        ),
+    }
+    for tag, (amap, cvecs) in variants.items():
+        buckets = {}
+        for vid, cid in amap.items():
+            buckets.setdefault(cid, []).append(vid)
+        cn = {
+            cid: v / np.linalg.norm(v) for cid, v in cvecs.items()
+        }
+        recalls = []
+        for qi in queries:
+            exact = set(np.argsort(-S[qi])[:k].tolist())
+            # probe exactly as the engine does: top n_probe centroids
+            # by cosine(query, centroid vector)
+            scored = sorted(
+                ((float(En[qi] @ cv), cid) for cid, cv in cn.items()),
+                reverse=True,
+            )
+            probed = [cid for _, cid in scored[:n_probe]]
+            cand = {
+                v for cid in probed for v in buckets.get(cid, []) if v != qi
+            }
+            recalls.append(len(exact & cand) / k)
+        occ = sorted(len(v) for v in buckets.values())
+        print(
+            f"# [skewed/decoupled] {tag}: mean recall@{k} over "
+            f"{len(queries)} all-blob queries = "
+            f"{round(float(np.mean(recalls)), 3)}  "
+            f"bucket occupancy min/median/max = {occ[0]}/"
+            f"{occ[len(occ) // 2]}/{occ[-1]} over {len(occ)} buckets",
+            flush=True,
+        )
+
+
+def main() -> int:
+    skewed = "--skewed" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if skewed:
+        embs = build_skewed_fixture(spark, "/tmp/skewed_embeddings.parquet")
+        print(
+            f"# skewed fixture: n={SKEW_N} dim={SKEW_DIM} blobs={SKEW_BLOBS} "
+            f"noise={SKEW_NOISE} (ids sorted by blob)"
+        )
+        print_grid(embs, "skewed")
+        decoupled_workload_recall(spark, embs)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        print(f"# sf_dir={sf_dir}")
+        print_grid(embs, "uniform")
     spark.stop()
     return 0
 

@@ -766,3 +766,28 @@ def test_contamination_fuzzy_reports_cross_set_pairs_only(spark):
         (0, 3, 1.0),
         (10, 3, 1.0),
     ]
+
+
+def test_trained_variants_invariant_to_malformed_rows(spark, sf_dir):
+    """Every kmeans-derived operator trains on _valid_quantized (round-6
+    advisor): a malformed embedding row (wrong length) must not perturb
+    — or crash — knn_ivf_trained / embedding_kmeans / knn_ivf_pq_trained.
+    Before the shared filter, knn_ivf_trained's Lloyd aggregate indexed
+    positions 1..dim and died with ArrayIndexOutOfBounds on such a row
+    (measured), so the shared-coarse-stage reduction held only on
+    well-formed data."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bad = spark.createDataFrame(
+        [(99_990, [0.5] * 7, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    mixed = embs.unionByName(bad)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (
+        lambda e: similarity.knn_ivf_trained(e, n_queries=3, k=5),
+        lambda e: similarity.embedding_kmeans(e),
+        lambda e: similarity.knn_ivf_pq_trained(e, n_queries=3, k=5),
+    ):
+        assert rows(fn(embs)) == rows(fn(mixed))

@@ -74,13 +74,18 @@ def test_driver_evidence_staleness_bounded():
     "Prior" matters: the moment the driver lands the CURRENT round's
     artifact, the newest CORRECTNESS file's key set equals the current
     board — comparing against it alone made this test red at judge
-    time two rounds running (round-5 verdict, What's wrong #1).  An
-    artifact whose key set is a SUBSET of the current board is the
-    current round's own evidence (possibly partial, from an aborted
-    driver run) and can never extend coverage beyond the board, so it
-    is skipped and the next two artifacts form the prior-board window.  The 3-round bound (vs the old 2)
-    frees board slots for newly-registered queries now that the
-    registry exceeds 2x the 50-entry board (policy in COVERAGE.md)."""
+    time two rounds running (round-5 verdict, What's wrong #1).  Only
+    the single NEWEST artifact is skipped, and only when its key set is
+    a subset of the current board (the current round's own evidence,
+    possibly partial from an aborted driver run); a board-subset
+    artifact cannot extend coverage beyond the board anyway, so
+    skipping it loses nothing.  Earlier artifacts are never skipped —
+    a genuine prior round that happens to be a board subset must still
+    consume its window slot, or evidence older than the claimed bound
+    could satisfy the test (round-6 advisor finding).  The 3-round
+    bound (vs the old 2) frees board slots for newly-registered
+    queries now that the registry exceeds 2x the 50-entry board
+    (policy in COVERAGE.md)."""
     import glob
     import json
 
@@ -89,21 +94,12 @@ def test_driver_evidence_staleness_bounded():
     if not rounds:
         pytest.skip("no driver correctness files yet")
     board = set(list(entry.queries())[:50])
+    ordered = list(reversed(rounds))
+    if ordered and set(json.load(open(ordered[0]))) <= board:
+        ordered = ordered[1:]
     prior: set[str] = set()
-    taken = 0
-    for path in reversed(rounds):
-        keys = set(json.load(open(path)))
-        if keys <= board:
-            # the current round's own artifact — including a PARTIAL
-            # one from an aborted driver run.  A board-subset artifact
-            # can never extend coverage beyond the board anyway (stale
-            # already excludes board members), so skipping it loses
-            # nothing and keeps it from consuming a prior-window slot.
-            continue
-        prior |= keys
-        taken += 1
-        if taken == 2:
-            break
+    for path in ordered[:2]:
+        prior |= set(json.load(open(path)))
     stale = sorted(set(entry.queries()) - board - prior)
     assert not stale, (
         f"queries neither on the current board nor checked in the two "

@@ -536,3 +536,91 @@ def test_streaming_dedup_deliveries_state_spans_micro_batches(spark, tmp_path):
     )
     got = sorted(r.event_id for r in spark.table(name).collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_contamination_matches_batch_across_micro_batches(spark, sf_dir, tmp_path):
+    """Batch parity for the ingest-time contamination guard, under
+    MULTIPLE micro-batches: the corpus is split into 3 parquet files
+    streamed one per trigger, and the flagged set must equal the batch
+    band-probe reference exactly — pinning the docstring's claim that
+    the output is batch-count-independent (dropDuplicates state spans
+    micro-batches)."""
+    from rdfind_spark.functions.dedup import (
+        CONTAM_FUZZY_EVAL_MOD,
+        _band_keys,
+        _cold_band_keys,
+    )
+    from rdfind_spark.streaming import streaming_contamination_guard
+    from rdfind_spark.streaming.windows import DOCS_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_sliced")
+    docs.withColumn("slice", F.col("doc_id") % 3).write.partitionBy(
+        "slice"
+    ).parquet(src)
+
+    eval_docs = docs.filter(F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD == 0)
+    eval_keys = _cold_band_keys(eval_docs).select("band", "key").distinct()
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .filter(F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD != 0)
+    )
+    q = (
+        streaming_contamination_guard(stream, eval_keys)
+        .writeStream.format("memory")
+        .queryName("contam_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        p if isinstance(p, dict) else p.asDict() for p in q.recentProgress
+    ]
+    data_batches = sum(1 for p in progresses if p.get("numInputRows", 0) > 0)
+    assert data_batches >= 2, "test must actually exercise multiple batches"
+
+    got = {r.doc_id for r in spark.table("contam_stream_test").collect()}
+    ref = {
+        r.doc_id
+        for r in _band_keys(
+            docs.filter(F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD != 0)
+        )
+        .join(eval_keys, on=["band", "key"])
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == ref
+    assert len(ref) > 0
+
+
+def test_run_available_now_single_batch_contract_raises(spark, sf_dir, tmp_path):
+    """expect_single_data_batch must RAISE when the source delivers
+    data across several micro-batches (the self-checking oracle
+    contract of stream_dedup_deliveries), and pass when it doesn't."""
+    import pytest as _pytest
+
+    from rdfind_spark.streaming.windows import DOCS_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    src = str(tmp_path / "docs_sliced2")
+    docs.withColumn("slice", F.col("doc_id") % 2).write.partitionBy(
+        "slice"
+    ).parquet(src)
+    multi = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("doc_id")
+    )
+    with _pytest.raises(RuntimeError, match="micro-batches"):
+        run_available_now(
+            multi, "single_batch_violation", output_mode="append",
+            expect_single_data_batch=True,
+        )
