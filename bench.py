@@ -70,7 +70,26 @@ BENCH_QUERIES = [
     "docs_export_train",
     "warehouse_revenue_by_nation",
     "graph_pagerank",
+    "graph_components",
+    "multimodal_frame_stats",
 ]
+
+# Min-of-2 set: the 7 heavies plus the next tier (10-15s single runs
+# whose one bad draw on a ±40% VM reads as a fake regression next
+# round — round-6 verdict item 6); at observed sf0.1 costs the full
+# repeat is ~420s, inside the default budget.
+HEAVY_QUERIES = {
+    "cind_minimal",
+    "cind_small_to_large",
+    "cind_approx_verify",
+    "cind_all",
+    "capture_overlaps",
+    "capture_supports",
+    "graph_pagerank",
+    "dedup_ngram_jaccard",
+    "knn_ivf_pq_trained",
+    "association_rules",
+}
 
 
 def format_result(
@@ -213,15 +232,7 @@ def main() -> int:
     # capture_supports / graph_pagerank as unusable single cold runs).
     # The budget default covers the full heavy-set repeat at observed
     # sf0.1 costs (~380s), so starvation needs real VM weather.
-    heavy = {
-        "cind_minimal",
-        "cind_small_to_large",
-        "cind_approx_verify",
-        "cind_all",
-        "capture_overlaps",
-        "capture_supports",
-        "graph_pagerank",
-    }
+    heavy = HEAVY_QUERIES
     repeat_budget_s = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "450"))
     timings: dict[str, float] = {}
     runs_per_query: dict[str, int] = {}

@@ -53,17 +53,11 @@ def attach_blobs(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Decode a binary NetPBM payload (P5 grayscale / P6 RGB, maxval
-    <= 255) into an (height, width, channels) uint8 numpy array — pure
-    numpy header parse + frombuffer, no codec library needed, so THIS
-    path is real and tested.  Compressed formats (JPEG/PNG/...) still
-    raise NotImplementedError: their codecs are not in this
-    environment; plug PIL/libvips into this function in a real
-    deployment."""
-    import numpy as np
-
-    magic = bytes(payload[:2])
+def _parse_netpbm_header(payload: bytes, pos: int = 0):
+    """Parse one binary NetPBM header starting at ``pos``.  Returns
+    (width, height, channels, data_start); shared by ``decode_image``
+    and the concatenated-frame scanner in ``sample_frames``."""
+    magic = bytes(payload[pos : pos + 2])
     if magic not in (b"P5", b"P6"):
         raise NotImplementedError(
             "only binary NetPBM (P5/P6) decodes without a codec "
@@ -72,7 +66,7 @@ def decode_image(payload: bytes):
     # header: magic, width, height, maxval as ASCII tokens separated by
     # whitespace, '#' comments run to end-of-line; pixel data begins
     # exactly one whitespace byte after the maxval token
-    pos, vals = 2, []
+    pos, vals = pos + 2, []
     while len(vals) < 3:
         c = payload[pos : pos + 1]
         if c.isspace():
@@ -97,6 +91,20 @@ def decode_image(payload: bytes):
         raise NotImplementedError("16-bit NetPBM not supported")
     pos += 1  # the single whitespace byte after maxval
     channels = 3 if magic == b"P6" else 1
+    return width, height, channels, pos
+
+
+def decode_image(payload: bytes):
+    """Decode a binary NetPBM payload (P5 grayscale / P6 RGB, maxval
+    <= 255) into an (height, width, channels) uint8 numpy array — pure
+    numpy header parse + frombuffer, no codec library needed, so THIS
+    path is real and tested.  Compressed formats (JPEG/PNG/...) still
+    raise NotImplementedError: their codecs are not in this
+    environment; plug PIL/libvips into this function in a real
+    deployment."""
+    import numpy as np
+
+    width, height, channels, pos = _parse_netpbm_header(payload)
     n = width * height * channels
     data = np.frombuffer(bytes(payload[pos : pos + n]), dtype=np.uint8)
     if data.size != n:
@@ -223,8 +231,6 @@ def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-FRAME_SIZE = 64  # bytes per fake frame
-
 FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -233,29 +239,154 @@ FRAMES_SCHEMA = StructType(
     ]
 )
 
+# attach_videos frame geometry — shared by the oracle SQL
+VIDEO_FRAMES = 4
+VIDEO_W = 8
+VIDEO_H = 6
+
+
+def iter_netpbm_frames(payload: bytes):
+    """Scan a concatenated-NetPBM byte stream (the uncompressed "video
+    container": complete P5/P6 frames back to back), yielding each
+    frame's bytes.  Frame boundaries come from the REAL header parse —
+    width·height·channels pixel bytes after the header — not from a
+    fixed chunk size, so variable-geometry frames are handled.  A
+    truncated trailing frame raises ValueError."""
+    b, pos, n = bytes(payload), 0, len(payload)
+    while pos < n:
+        width, height, channels, data = _parse_netpbm_header(b, pos)
+        end = data + width * height * channels
+        if end > n:
+            raise ValueError(f"truncated frame at byte {pos}: needs {end - n} more")
+        yield b[pos:end]
+        pos = end
+
 
 def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame sampling plumbing: each binary payload is treated as a
-    sequence of FRAME_SIZE-byte frames; every ``every_n``-th frame is
-    emitted as its own row (one input batch → many output rows, the
-    shape a real video decoder produces).  Deterministic fake decode —
-    swap the chunking for ffmpeg/pyav in a real deployment."""
+    """REAL frame sampling over a concatenated-NetPBM container: each
+    payload is scanned frame by frame (``iter_netpbm_frames`` — actual
+    header parses, not fixed-size chunking), and every ``every_n``-th
+    frame is emitted as its own row whose ``frame`` bytes are a
+    standalone decodable NetPBM image (one input row → many output
+    rows, the shape a real video decoder produces).  ``frame_idx`` is
+    the absolute position in the container, so the sampling stride is
+    visible downstream.  Containers the codec-less scanner cannot read
+    (compressed formats, corrupt streams) yield zero frames — run
+    ``image_stats`` on the container column for error accounting; swap
+    the scanner for ffmpeg/pyav in a real deployment.  Arrow-batched
+    mapInPandas, no shuffle, embarrassingly parallel."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                n = len(b) // FRAME_SIZE
-                for i in range(0, n, every_n):
+                try:
+                    decoded = list(iter_netpbm_frames(bytes(p)))
+                except (NotImplementedError, ValueError):
+                    continue
+                for i in range(0, len(decoded), every_n):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE])
+                    frames.append(decoded[i])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return videos.select("doc_id", "payload").mapInPandas(
         _frames, schema=FRAMES_SCHEMA
     )
+
+
+def attach_videos(documents: DataFrame) -> DataFrame:
+    """Build a deterministic uncompressed "video" per document: a
+    concatenation of VIDEO_FRAMES P5 grayscale frames (VIDEO_W×VIDEO_H)
+    whose pixel value for frame f is ``32 + (doc_id·37 + f·17) mod 95``
+    — printable ASCII so the payload is assembled entirely JVM-side
+    (format_string/repeat/char/encode, no UDF) and the same arithmetic
+    is reproducible in the SQL oracle.  Stands in for real video bytes
+    the way ``attach_blobs`` stands in for image bytes."""
+    header = F.encode(
+        F.lit("P5\n%d %d\n255\n" % (VIDEO_W, VIDEO_H)), "utf-8"
+    )
+    frames = []
+    for f in range(VIDEO_FRAMES):
+        pixel = (F.col("doc_id") * F.lit(37) + F.lit(f * 17)) % F.lit(95) + F.lit(32)
+        body = F.encode(F.repeat(F.char(pixel), VIDEO_W * VIDEO_H), "utf-8")
+        frames.append(F.concat(header, body))
+    return documents.select("doc_id", F.concat(*frames).alias("payload"))
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", IntegerType()),
+    ]
+)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, frame) → per-frame decode stats via the real
+    NetPBM decoder — the frame-level sibling of ``image_stats`` that
+    keeps the frame index.  Sampled frames are standalone NetPBM by
+    construction, so a decode failure here is a bug, not crawl noise —
+    it raises rather than being swallowed."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, p in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                arr = decode_image(bytes(p))
+                rows.append(
+                    (
+                        doc_id,
+                        idx,
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        int(arr.sum()) // arr.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_pixel",
+                ],
+            )
+
+    return frames.mapInPandas(_stats, schema=FRAME_STATS_SCHEMA)
+
+
+def video_frame_stats(documents: DataFrame, every_n: int = 2) -> DataFrame:
+    """End-to-end video path: documents → concatenated-NetPBM videos →
+    real frame-boundary sampling (every ``every_n``-th frame) → real
+    per-frame decode stats.  Every byte of the container is produced
+    JVM-side and every emitted stat comes from an actual pixel decode,
+    so the SQL oracle verifies the whole encode→scan→sample→decode
+    loop."""
+    return frame_stats(sample_frames(attach_videos(documents), every_n))
+
+
+def video_frame_stats_sql(every_n: int = 2) -> str:
+    """Oracle rendering: sampled frame indices are 0, every_n, …
+    < VIDEO_FRAMES; each frame is uniform, so its integer mean pixel is
+    exactly the attach_videos arithmetic."""
+    return f"""SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST({VIDEO_W} AS INTEGER) AS width,
+       CAST({VIDEO_H} AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(32 + (doc_id * 37 + f * 17) % 95 AS INTEGER) AS mean_pixel
+FROM documents, range(0, {VIDEO_FRAMES}) r(f)
+WHERE f % {every_n} = 0"""
 
 
 def multimodal_features(documents: DataFrame) -> DataFrame:

@@ -773,18 +773,21 @@ def _quantized(col: F.Column | str):
     )
 
 
-def _valid_quantized(embeddings: DataFrame) -> DataFrame:
+def _valid_quantized(embeddings: DataFrame, dim: int | None = None) -> DataFrame:
     """(vec_id, q=quantized integer vector) over the WELL-FORMED rows
-    only (exactly RP_IN_DIM non-null components) — the shared training
-    input of every kmeans-derived operator.  The per-dimension Lloyd
-    sums and the PQ sub-slicing both index positions 1..dim, so a
-    malformed row would crash the loop mid-aggregate
-    (ArrayIndexOutOfBounds — measured); filtering here makes every
-    trained variant share one coarse stage unconditionally (the oracle
-    chain ``_km_cte_chain`` applies the identical predicate).  A no-op
-    on the sf tables, whose rows are all well-formed."""
+    only (exactly ``dim`` non-null components; default = the declared
+    embeddings-table dimension) — the shared training input of every
+    kmeans-derived operator.  The per-dimension Lloyd sums and the PQ
+    sub-slicing both index positions 1..dim, so a malformed row would
+    crash the loop mid-aggregate (ArrayIndexOutOfBounds — measured);
+    filtering here makes every trained variant share one coarse stage
+    unconditionally (the oracle chain ``_km_cte_chain`` applies the
+    identical predicate).  A no-op on the sf tables, whose rows are all
+    well-formed."""
+    if dim is None:
+        dim = RP_IN_DIM  # defined below; resolved lazily on purpose
     return embeddings.filter(
-        (F.size("embedding") == RP_IN_DIM)
+        (F.size("embedding") == dim)
         & ~F.exists("embedding", lambda x: x.isNull())
     ).select("vec_id", _quantized("embedding").alias("q"))
 
@@ -813,6 +816,7 @@ def embedding_kmeans(
     embeddings: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd k-means over the embeddings — the real IVF index training
     step (``ivf_assignments`` seeds centroids but never refines them).
@@ -833,8 +837,12 @@ def embedding_kmeans(
     that lose all members drop out (both engines derive the centroid
     set from the same assignment table).
 
-    Output: final assignment (vec_id, centroid_id, cosine)."""
-    q = _valid_quantized(embeddings)
+    Output: final assignment (vec_id, centroid_id, cosine).  ``dim``
+    is the declared embedding width — rows of any other width are
+    malformed and filtered (pass the actual width for non-standard
+    tables; validity must be declared, not inferred, to keep the plan
+    scan-free and the oracle predicate literal)."""
+    q = _valid_quantized(embeddings, dim)
     q = materialize(q)  # quantize once, reuse per round
     cents = _train_centroids(q, k, iters)
     return _km_argmax(q, cents).select(

@@ -1081,6 +1081,18 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_features(_docs(spark, sf_dir))
 
 
+@register("multimodal_frame_stats", multimodal.video_frame_stats_sql())
+def multimodal_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-frame path end to end: deterministic concatenated-
+    NetPBM containers built JVM-side (attach_videos), frame boundaries
+    found by actual header parses (sample_frames), every 2nd frame
+    decoded to pixel stats (frame_stats).  The oracle recomputes the
+    container arithmetic, so a wrong boundary, stride, or decode breaks
+    the hash.  Pixel-exact mixed-geometry sampling is pinned in
+    tests/test_streaming_multimodal.py."""
+    return multimodal.video_frame_stats(_docs(spark, sf_dir), every_n=2)
+
+
 # --------------------------------------------------- board ordering
 #
 # The driver's correctness board caps at 50 entries taken in registry
@@ -1100,21 +1112,23 @@ _BOARD_PRIORITY = [
     #   1-3: the three queries whose only driver evidence is
     #        CORRECTNESS_r04, which exits the window this round — they
     #        MUST collect fresh rows now;
-    #   4-5: this round's new queries (evidence-gapped until their
+    #   4-6: this round's new queries (evidence-gapped until their
     #        first driver row);
-    #   6-50: 45 of the 50-key round-5 board, in its order — r5's rows
+    #   7-50: 44 of the 50-key round-5 board, in its order — r5's rows
     #        exit the window at r8, so this board re-covers them, minus
-    #        five deferrals that MUST lead the round-8 board:
+    #        six deferrals that MUST lead the round-8 board:
     #        events_hourly_counts, events_moving_window,
-    #        events_transitions, events_pivot, events_funnel (cheap,
-    #        all additionally unit-pinned: test_hourly_counts,
-    #        test_event_transitions_census, test_events_pivot_counts,
-    #        test_funnel_ordering_matters).
+    #        events_transitions, events_pivot, events_funnel,
+    #        multimodal_features (cheap, all additionally unit-pinned:
+    #        test_hourly_counts, test_event_transitions_census,
+    #        test_events_pivot_counts, test_funnel_ordering_matters,
+    #        test_streaming_multimodal.py's feature-extraction tests).
     "count_triples",
     "condition_histogram",
     "count_distinct_values",
     "stream_contamination",
     "graph_components",
+    "multimodal_frame_stats",
     # the r5 board minus the five deferrals, in r5 order
     "cind_all",
     "cind_minimal_ar",
@@ -1157,7 +1171,6 @@ _BOARD_PRIORITY = [
     "stream_hourly_counts",
     "stream_interval_join",
     "stream_purchase_totals",
-    "multimodal_features",
     "warehouse_market_share",
     "knn_ivf_pq",
     "knn_ivf_pq_recall",

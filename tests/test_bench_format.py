@@ -11,17 +11,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import BENCH_QUERIES, format_result
+from bench import BENCH_QUERIES, HEAVY_QUERIES, format_result
 
-HEAVY = {
-    "cind_minimal",
-    "cind_small_to_large",
-    "cind_approx_verify",
-    "cind_all",
-    "capture_overlaps",
-    "capture_supports",
-    "graph_pagerank",
-}
+HEAVY = HEAVY_QUERIES
 
 
 def test_current_bench_list_fits_tail_capture():

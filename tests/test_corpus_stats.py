@@ -109,7 +109,9 @@ def test_embedding_kmeans_converges_to_blobs(spark):
     blob_a = [[1.0, 0.05 * i, 0.0] for i in range(5)]
     blob_b = [[0.0, 1.0, 0.05 * i] for i in range(5)]
     df = _embs(spark, [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])
-    out = similarity.embedding_kmeans(df, k=2, iters=2).collect()
+    # dim=3: the validity filter compares against the DECLARED width
+    # (default RP_IN_DIM) — a non-standard table must say so
+    out = similarity.embedding_kmeans(df, k=2, iters=2, dim=3).collect()
     assert len(out) == 10
     by_vec = {r["vec_id"]: r["centroid_id"] for r in out}
     a_ids = [0] + list(range(2, 6))

@@ -232,28 +232,77 @@ def test_resize_images_really_resizes_netpbm(spark):
     assert got[1, 1].tolist() == [7, 8, 9]
 
 
-def test_sample_frames_plumbing(spark, sf_dir):
+def test_sample_frames_pixel_exact(spark):
+    """The sampler must find REAL frame boundaries in a concatenated
+    NetPBM stream — mixed geometry (P6 2×2, P5 3×1, P6 2×2) so a
+    fixed-chunk fake cannot pass — and each emitted frame must decode
+    bit-exactly to its source pixels."""
+    import numpy as np
+
     from rdfind_spark.functions.multimodal import (
-        FRAME_SIZE,
-        attach_blobs,
+        decode_image,
+        encode_netpbm,
+        sample_frames,
+    )
+
+    f0 = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    f1 = np.array([[[200], [201], [202]]], dtype=np.uint8)  # P5 3×1
+    f2 = (np.arange(12, dtype=np.uint8) + 100).reshape(2, 2, 3)
+    video = b"".join(encode_netpbm(a) for a in (f0, f1, f2))
+    videos = spark.createDataFrame(
+        [(1, bytearray(video))], "doc_id LONG, payload BINARY"
+    )
+    rows = sorted(sample_frames(videos, every_n=2).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert decode_image(bytes(rows[0].frame)).tolist() == f0.tolist()
+    assert decode_image(bytes(rows[1].frame)).tolist() == f2.tolist()
+
+
+def test_sample_frames_skips_undecodable_and_counts(spark, sf_dir):
+    """attach_videos containers yield exactly ceil(VIDEO_FRAMES /
+    every_n) frames per doc with stride-visible indices; a non-NetPBM
+    payload yields zero frames (documented: run image_stats on the
+    container for error accounting)."""
+    import collections
+
+    from rdfind_spark.functions.multimodal import (
+        VIDEO_FRAMES,
+        attach_videos,
         sample_frames,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
-    blobs = attach_blobs(docs)
-    out = sample_frames(blobs, every_n=2)
-    rows = out.collect()
-    assert rows, "documents long enough for at least one frame expected"
-    assert all(len(r.frame) == FRAME_SIZE for r in rows)
+    rows = sample_frames(attach_videos(docs), every_n=2).collect()
+    per_doc = collections.Counter(r.doc_id for r in rows)
+    assert len(per_doc) == 20
+    expected = len(range(0, VIDEO_FRAMES, 2))
+    assert all(n == expected for n in per_doc.values())
     assert all(r.frame_idx % 2 == 0 for r in rows)
-    # per-doc frame count matches the payload length arithmetic
-    lens = {r.doc_id: len(bytes(r.payload)) for r in blobs.collect()}
-    import collections
 
-    got = collections.Counter(r.doc_id for r in rows)
-    for doc_id, n_bytes in lens.items():
-        expected = len(range(0, n_bytes // FRAME_SIZE, 2))
-        assert got.get(doc_id, 0) == expected
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8not-a-netpbm-stream"))],
+        "doc_id LONG, payload BINARY",
+    )
+    assert sample_frames(junk, every_n=1).count() == 0
+
+
+def test_video_frame_stats_matches_arithmetic(spark, sf_dir):
+    """video_frame_stats' decoded means equal the attach_videos pixel
+    arithmetic for every sampled (doc, frame) — the unit twin of the
+    registered oracle."""
+    from rdfind_spark.functions.multimodal import (
+        VIDEO_FRAMES,
+        VIDEO_H,
+        VIDEO_W,
+        video_frame_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    rows = video_frame_stats(docs, every_n=2).collect()
+    assert len(rows) == 10 * len(range(0, VIDEO_FRAMES, 2))
+    for r in rows:
+        assert (r.width, r.height, r.channels) == (VIDEO_W, VIDEO_H, 1)
+        assert r.mean_pixel == 32 + (r.doc_id * 37 + r.frame_idx * 17) % 95
 
 
 def test_stream_error_click_join_matches_batch(spark, sf_dir):
