@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "graph_components",
     "multimodal_frame_stats",
+    "docs_dup_ngram_fraction",
+    "dedup_pair_triangles",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-15s single runs

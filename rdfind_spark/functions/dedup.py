@@ -855,3 +855,70 @@ JOIN cands USING (eval_id, train_id)
 JOIN sizes se ON c.eval_id = se.doc_id
 JOIN sizes st ON c.train_id = st.doc_id
 WHERE round(n_common / (se.n_sh + st.n_sh - n_common), 6) >= {threshold}"""
+
+
+# Gopher-style duplicated-n-gram keep threshold: documents whose
+# duplicate-shingle fraction exceeds this are boilerplate/template
+# suspects (the signal behind the "fraction of duplicate n-grams"
+# repetition filters in Gopher / RefinedWeb quality pipelines).
+DUP_NGRAM_MAX_PPM = 600_000
+
+
+def dup_ngram_fraction(
+    documents: DataFrame,
+    k: int = NGRAM_K,
+    max_dup_ppm: int = DUP_NGRAM_MAX_PPM,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: of a document's
+    DISTINCT k-token shingles, how many also occur in at least one
+    OTHER document — the corpus-level repetition signal quality
+    pipelines filter on (docs_repetition_filter covers the
+    within-document Gopher rules; this is the cross-document one).
+
+    Plan: the shared shingle table (one explode), one groupBy(shingle)
+    doc-frequency aggregate, one shingle-keyed join back (output size =
+    the shingle table itself, never quadratic — unlike the pair miners
+    there is no self-join), one groupBy(doc_id).  All counts and the
+    ppm fraction are exact integers (truncating div — values are
+    non-negative so Spark DIV and DuckDB // agree), so the oracle is
+    bit-exact.  Skewed hot shingles concentrate their occurrence lists
+    on one reducer in the join-back; AQE skew-join splits those
+    partitions at runtime (no cap needed — the fan-out is linear).
+
+    Returns (doc_id, n_shingles, dup_ngram_ppm, keep)."""
+    sh = materialize(_shingles(documents, k))  # feeds docfreq + join-back
+    docfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(docfreq, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    ppm = F.expr("n_dup * 1000000 DIV n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        ppm.alias("dup_ngram_ppm"),
+        (ppm <= max_dup_ppm).cast("int").alias("keep"),
+    )
+
+
+def dup_ngram_fraction_sql(
+    k: int = NGRAM_K, max_dup_ppm: int = DUP_NGRAM_MAX_PPM
+) -> str:
+    return f"""WITH sh AS MATERIALIZED (
+{_shingles_sql(k)}
+),
+docfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN docfreq USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles,
+       CAST(n_dup * 1000000 // n_shingles AS BIGINT) AS dup_ngram_ppm,
+       CAST(CASE WHEN n_dup * 1000000 // n_shingles <= {max_dup_ppm}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM per_doc"""

@@ -485,3 +485,87 @@ FROM (
 ) WHERE pos <= {top_k}"""
     )
     return "".join(parts)
+
+
+def pair_triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph given as
+    canonical (a_id, b_id) rows with a_id < b_id — e.g. the near-
+    duplicate candidate graphs from functions/dedup.py.  Triangle
+    density is the standard cohesion check on a near-dup graph before
+    transitive clustering: cliques (true duplicate groups) are
+    triangle-rich, while chained false positives are triangle-poor.
+
+    Spark side runs the degree-ordered orientation algorithm (the
+    MapReduce-era standard for skew-safe triangle enumeration, cf.
+    Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): every edge is oriented from its (degree, id)-
+    smaller endpoint to the larger, which makes the directed graph
+    acyclic with out-degree bounded by O(sqrt(|E|)) — so the wedge
+    self-join Σ outdeg² is near-linear even when one hub node touches
+    half the corpus, where a naive adjacency join would quadratically
+    explode on exactly that node.  Each triangle then has exactly one
+    node with two out-edges (its orientation-minimal corner), so the
+    wedge→closing-edge equi-join counts every triangle exactly once:
+    two shuffles (wedge join on the source, closing join on the
+    (v1, v2) pair), no window, no driver state.
+
+    The oracle runs the direct id-ordered 3-way self-join (fine at
+    oracle scale; identical result set by symmetry of the triangle
+    predicate).  Returns (doc_id, n_triangles) for nodes in >= 1
+    triangle."""
+    e = edges.select(
+        F.col("a_id").cast("long").alias("u"), F.col("b_id").cast("long").alias("v")
+    ).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u").join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+    oriented = materialize(oriented)  # feeds the wedge join twice + the close
+    o1 = oriented.select("s", F.col("t").alias("v1"), F.col("td").alias("d1"))
+    o2 = oriented.select("s", F.col("t").alias("v2"), F.col("td").alias("d2"))
+    wedges = o1.join(o2, "s").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("s").alias("v1"), F.col("t").alias("v2")),
+        ["v1", "v2"],
+    )
+    return (
+        tri.select(F.explode(F.array("s", "v1", "v2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def pair_triangles_sql(pairs_sql: str) -> str:
+    """Oracle rendering over any canonical-pair CTE: enumerate each
+    triangle once as x < y < z via the direct 3-way self-join, then
+    count corner participation per node."""
+    return f"""WITH pairs AS ({pairs_sql}),
+e AS (SELECT a_id, b_id FROM pairs),
+tri AS (
+  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+  FROM e e1
+  JOIN e e2 ON e2.a_id = e1.b_id
+  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+corners AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id"""

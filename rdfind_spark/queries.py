@@ -261,6 +261,33 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
+@register("docs_dup_ngram_fraction", dedup.dup_ngram_fraction_sql())
+def docs_dup_ngram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction per document (exact
+    integer ppm + Gopher-style keep bit) — the corpus-level repetition
+    signal; docs_repetition_filter covers the within-document rules.
+    One doc-frequency aggregate + linear join-back over the shared
+    shingle table, never a self-join."""
+    return dedup.dup_ngram_fraction(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_pair_triangles",
+    graph.pair_triangles_sql(dedup.simhash_pairs_sql()),
+)
+def dedup_pair_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the SimHash near-dup pair graph
+    (the cohesion check run before trusting transitive clustering:
+    true duplicate groups are cliques, chained false positives are
+    triangle-poor).  Spark runs degree-ordered orientation — acyclic
+    edges, out-degree O(sqrt(E)), each triangle counted at its unique
+    two-out-edge corner — so the wedge join survives hub nodes that
+    would send a naive adjacency self-join quadratic; the oracle runs
+    the direct x<y<z 3-way join over the shared simhash-pair SQL.
+    3,830 triangles over 1,234 pairs at sf0.01."""
+    return graph.pair_triangles(dedup.simhash_pairs(_docs(spark, sf_dir)))
+
+
 @register("dedup_clusters", dedup.dedup_clusters_sql())
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components (canonical doc per cluster) over
@@ -1112,23 +1139,27 @@ _BOARD_PRIORITY = [
     #   1-3: the three queries whose only driver evidence is
     #        CORRECTNESS_r04, which exits the window this round — they
     #        MUST collect fresh rows now;
-    #   4-6: this round's new queries (evidence-gapped until their
+    #   4-8: this round's new queries (evidence-gapped until their
     #        first driver row);
-    #   7-50: 44 of the 50-key round-5 board, in its order — r5's rows
+    #   9-50: 42 of the 50-key round-5 board, in its order — r5's rows
     #        exit the window at r8, so this board re-covers them, minus
-    #        six deferrals that MUST lead the round-8 board:
+    #        eight deferrals that MUST lead the round-8 board:
     #        events_hourly_counts, events_moving_window,
     #        events_transitions, events_pivot, events_funnel,
-    #        multimodal_features (cheap, all additionally unit-pinned:
+    #        multimodal_features, knn_ivf_pq, knn_ivf_pq_recall
+    #        (cheap-to-rerun and all additionally unit-pinned:
     #        test_hourly_counts, test_event_transitions_census,
     #        test_events_pivot_counts, test_funnel_ordering_matters,
-    #        test_streaming_multimodal.py's feature-extraction tests).
+    #        test_streaming_multimodal.py's feature-extraction tests,
+    #        the IVF-PQ reduction + recall pins in test_functions.py).
     "count_triples",
     "condition_histogram",
     "count_distinct_values",
     "stream_contamination",
     "graph_components",
     "multimodal_frame_stats",
+    "docs_dup_ngram_fraction",
+    "dedup_pair_triangles",
     # the r5 board minus the five deferrals, in r5 order
     "cind_all",
     "cind_minimal_ar",
@@ -1172,8 +1203,6 @@ _BOARD_PRIORITY = [
     "stream_interval_join",
     "stream_purchase_totals",
     "warehouse_market_share",
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
 ]
 
 

@@ -791,3 +791,24 @@ def test_trained_variants_invariant_to_malformed_rows(spark, sf_dir):
         lambda e: similarity.knn_ivf_pq_trained(e, n_queries=3, k=5),
     ):
         assert rows(fn(embs)) == rows(fn(mixed))
+
+
+def test_dup_ngram_fraction_exact_ppm(spark):
+    # doc0/doc1 share their full shingle set; doc2 is unique; doc3
+    # half-overlaps doc0
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta",      # shingles: a b g / b g d
+            "alpha beta gamma delta",      # identical: both dup
+            "zeta eta theta iota",         # unique: zero dup
+            "alpha beta gamma nine",       # 'alpha beta gamma' dup, other not
+        ],
+    )
+    out = {r.doc_id: r for r in dedup.dup_ngram_fraction(df).collect()}
+    assert out[0].n_shingles == 2 and out[0].dup_ngram_ppm == 1_000_000
+    assert out[1].dup_ngram_ppm == 1_000_000
+    assert out[2].dup_ngram_ppm == 0 and out[2].keep == 1
+    assert out[3].n_shingles == 2 and out[3].dup_ngram_ppm == 500_000
+    # keep bit: threshold is on the ppm value
+    assert out[0].keep == (1 if 1_000_000 <= dedup.DUP_NGRAM_MAX_PPM else 0)

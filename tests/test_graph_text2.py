@@ -261,3 +261,61 @@ def test_graph_components_converges_within_budget(spark, sf_dir):
         f"convergence ({rounds} rounds) is eating the raise-don't-lie "
         f"headroom of COMPONENTS_MAX_ROUNDS={graph.COMPONENTS_MAX_ROUNDS}"
     )
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "a_id long, b_id long"
+    )
+
+
+def test_pair_triangles_known_graph(spark):
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant
+    # edge 3-9 (node 9 in none) and an isolated edge 10-11
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {
+        r.doc_id: r.n_triangles
+        for r in graph.pair_triangles(
+            _pairs(spark, k4 + [(3, 9), (10, 11)])
+        ).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pair_triangles_hub_star_has_none_and_no_cartesian(spark):
+    # a pure star (hub 0 to 50 leaves) has zero triangles — and the
+    # degree-ordered orientation gives the HUB out-degree 0 (every
+    # edge orients leaf->hub), so the wedge join emits nothing; the
+    # plan must contain no cartesian/nested-loop stage
+    star = [(0, i) for i in range(1, 51)]
+    df = graph.pair_triangles(_pairs(spark, star))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert df.count() == 0
+
+
+def test_pair_triangles_matches_bruteforce_random_graph(spark):
+    # deterministic pseudo-random graph; brute-force triple loop as
+    # the reference
+    import itertools
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 7919 + 13) % 30, (i * 104729 + 7) % 30) for i in range(140)
+            )
+            if a != b
+        }
+    )
+    eset = set(edges)
+    expected = {}
+    for x, y, z in itertools.combinations(range(30), 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r.doc_id: r.n_triangles
+        for r in graph.pair_triangles(_pairs(spark, edges)).collect()
+    }
+    assert got == expected
