@@ -3,7 +3,7 @@
 copies of the sf0.1 triple view, each copy value-prefixed so copies
 share no values (output must scale exactly ×N — checked).
 
-Usage: python scripts/scale_probe.py [--staged|--dedup|--ann] [N ...]
+Usage: python scripts/scale_probe.py [--staged|--dedup|--ann|--triangles] [N ...]
 (default N: 1 2 4)
 
 ``--staged`` probes the SmallToLarge staged lattice
@@ -65,12 +65,15 @@ def main() -> int:
     staged = "--staged" in sys.argv[1:]
     dedup = "--dedup" in sys.argv[1:]
     ann = "--ann" in sys.argv[1:]
+    triangles = "--triangles" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--staged", "--dedup", "--ann", "--half-base")
+        if a not in ("--staged", "--dedup", "--ann", "--triangles", "--half-base")
     ]
+    if triangles:
+        return _triangle_probe([int(a) for a in args] or [1, 2, 4])
     if ann:
         return _ann_probe([int(a) for a in args] or [1, 2, 4])
     if dedup:
@@ -178,6 +181,69 @@ def _dedup_probe(ns) -> int:
         r1 = results[1][1]
         for n, (dt, rows) in results.items():
             assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _triangle_probe(ns) -> int:
+    """Disjoint-copy ladder for the triangle kernel in isolation: the
+    sf0.1 SimHash pair set is computed ONCE (outside the timers — the
+    pair miner has its own probe story), then cloned N× at offset doc
+    ids and fed to ``pair_triangles``.  Copies share no nodes, so the
+    per-node triangle output must scale exactly ×N (checked), and the
+    degree-ordered wedge join should scale ≈ linearly — its bound is
+    Σ outdeg² over an orientation whose max out-degree is O(sqrt(E))
+    PER COMPONENT, and disjoint copies add components without widening
+    any.  A super-linear bend would point at the orientation degree
+    join or the closing-edge shuffle."""
+    from rdfind_spark.functions.dedup import simhash_pairs
+    from rdfind_spark.functions.graph import pair_triangles
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    # warm codegen once, untimed
+    pair_triangles(
+        simhash_pairs(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+    ).write.format("noop").mode("overwrite").save()
+
+    # Park the base pair set in a throwaway parquet (NOT a
+    # localCheckpoint: the per-step cache cleanup below unpersists
+    # every persistent RDD, which would drop the checkpoint blocks
+    # mid-ladder).
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="triangle_probe_")
+    simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "a_id", "b_id"
+    ).write.mode("overwrite").parquet(f"{tmp}/pairs")
+    base = spark.read.parquet(f"{tmp}/pairs")
+    print(f"# base pairs: {base.count()}", flush=True)
+    results = {}
+    for n in ns:
+        copies = [
+            base.select(
+                (F.col("a_id") + F.lit(i * 10_000_000)).alias("a_id"),
+                (F.col("b_id") + F.lit(i * 10_000_000)).alias("b_id"),
+            )
+            for i in range(n)
+        ]
+        edges = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        rows = pair_triangles(edges).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# {n}x: {dt:.1f}s nodes_in_triangles={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x nodes {rows} != {n}*{r1}"
         print("# output scales exactly proportionally")
     return 0
 
