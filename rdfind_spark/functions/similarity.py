@@ -878,16 +878,70 @@ def _km_argmax(frame: DataFrame, cents: list) -> DataFrame:
     )
 
 
-def _train_centroids(q: DataFrame, k: int, iters: int) -> list:
+def _sqdist(qcol, cvec: list):
+    """Exact BIGINT squared L2 of an integer vector column against an
+    integer literal centroid — overflow-safe at KM_SCALE quantization
+    ((2·10⁶)² × 64 dims ≈ 2.6e14 ≪ 2⁶³)."""
+    lit_c = F.array(*[F.lit(int(v)) for v in cvec])
+    return F.aggregate(
+        F.zip_with(qcol, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def spread_seeds(q: DataFrame, k: int, sample_mod: int = 1) -> list:
+    """Deterministic farthest-point (k-center greedy) seeding — the
+    spread init the skewed-corpus study identified as the next lever
+    (README: from a concentrated first-N init, Lloyd converges to a
+    local optimum far below a blob-aligned bucketing).  Start from the
+    smallest vec_id, then k-1 times take the point maximizing the exact
+    integer squared distance to its nearest chosen seed (ties broken by
+    smallest vec_id) — every step is a one-row argmax over a scan with
+    literal centroids, so the result is deterministic and, when oracle
+    parity is ever needed, reproducible as chained ORDER BY/LIMIT 1
+    CTEs.  k-1 scans of the candidate table: at real scale pass
+    ``sample_mod`` to greedy-seed over the deterministic hash-sample
+    ``vec_id % sample_mod == 0`` instead of the full corpus (the
+    k-means|| move: seed quality needs coverage, not the full point
+    set).  Returns [(vec_id, [int components...])]."""
+    cand = q if sample_mod <= 1 else q.filter(F.col("vec_id") % sample_mod == 0)
+    cand = materialize(cand.select("vec_id", "q"))
+    first = cand.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(int(first["vec_id"]), [int(v) for v in first["q"]])]
+    for _ in range(k - 1):
+        d = F.least(*[_sqdist(F.col("q"), c) for _, c in seeds]) if len(
+            seeds
+        ) > 1 else _sqdist(F.col("q"), seeds[0][1])
+        r = (
+            cand.select("vec_id", "q", d.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((int(r["vec_id"]), [int(v) for v in r["q"]]))
+    return sorted(seeds)
+
+
+def _train_centroids(
+    q: DataFrame, k: int, iters: int, seeds: list | None = None
+) -> list:
     """The deterministic integer Lloyd loop from ``embedding_kmeans``,
     reusable as the training step for trained-centroid IVF variants.
     ``q`` holds (vec_id, q=quantized integer vector); returns the final
     centroid list [(cid, [int components...])], model-sized — the only
-    thing that ever reaches the driver."""
+    thing that ever reaches the driver.  ``seeds`` overrides the
+    default first-k-by-id init (e.g. ``spread_seeds``); the REGISTERED
+    queries always use the default, whose recurrence the DuckDB oracles
+    mirror seed for seed."""
     dim = len(q.select("q").first()["q"])
-    cents = sorted(
-        (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in q.filter(F.col("vec_id") < k).collect()
+    cents = (
+        sorted(seeds)
+        if seeds is not None
+        else sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in q.filter(F.col("vec_id") < k).collect()
+        )
     )
 
     def _tdiv(s: int, n: int) -> int:

@@ -107,6 +107,7 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
         _quantized,
         _train_centroids,
         ivf_assignments,
+        spread_seeds,
     )
 
     rows = embs.select("vec_id", "embedding", "label").collect()
@@ -124,18 +125,48 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
 
     q = embs.select("vec_id", _quantized("embedding").alias("q"))
     trained_cents = _train_centroids(q, N_CENTROIDS, KMEANS_ITERS)
+    # the documented next lever: farthest-point spread init instead of
+    # the concentrated first-N prefix, same Lloyd recurrence after
+    sseeds = spread_seeds(q, N_CENTROIDS)
+    spread_cents = _train_centroids(q, N_CENTROIDS, KMEANS_ITERS, seeds=sseeds)
+    spread_conv = _train_centroids(q, N_CENTROIDS, 5, seeds=sseeds)
+
+    def _cd(cents):
+        return (
+            {r.vec_id: r.centroid_id for r in _km_argmax(q, cents).collect()},
+            {cid: np.array(vec, dtype=np.float64) for cid, vec in cents},
+        )
+
     variants = {
         # (assignment map, centroid vectors the engine probes by)
         "seeded": (
             {r.vec_id: r.centroid_id for r in ivf_assignments(embs).collect()},
             {cid: E[cid] for cid in range(N_CENTROIDS)},
         ),
-        "trained": (
-            {r.vec_id: r.centroid_id for r in _km_argmax(q, trained_cents).collect()},
-            {cid: np.array(vec, dtype=np.float64) for cid, vec in trained_cents},
+        "trained": _cd(trained_cents),
+        "trained_spread": _cd(spread_cents),
+        "trained_spread_5it": _cd(spread_conv),
+        # capacity study: with k=8 < 16 blobs a blob-aligned bucketing
+        # is structurally impossible (each bucket must merge blobs), so
+        # ~0.5 is near the ceiling for ANY init at probe fraction 2/8.
+        # At k=16 (same 1/4 probe fraction via n_probe=4 below) the
+        # init decides whether Lloyd recovers the blob structure.
+        "trained_k16": (
+            _cd(_train_centroids(q, 16, 5)),
+            16,
+        ),
+        "trained_spread_k16": (
+            _cd(_train_centroids(q, 16, 5, seeds=spread_seeds(q, 16))),
+            16,
         ),
     }
-    for tag, (amap, cvecs) in variants.items():
+    for tag, spec in variants.items():
+        if len(spec) == 2 and isinstance(spec[1], int):
+            (amap, cvecs), kk = spec
+            probe_n = n_probe * kk // N_CENTROIDS  # constant probe fraction
+        else:
+            amap, cvecs = spec
+            probe_n = n_probe
         buckets = {}
         for vid, cid in amap.items():
             buckets.setdefault(cid, []).append(vid)
@@ -151,7 +182,7 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
                 ((float(En[qi] @ cv), cid) for cid, cv in cn.items()),
                 reverse=True,
             )
-            probed = [cid for _, cid in scored[:n_probe]]
+            probed = [cid for _, cid in scored[:probe_n]]
             cand = {
                 v for cid in probed for v in buckets.get(cid, []) if v != qi
             }
@@ -160,7 +191,7 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
         print(
             f"# [skewed/decoupled] {tag}: mean recall@{k} over "
             f"{len(queries)} all-blob queries = "
-            f"{round(float(np.mean(recalls)), 3)}  "
+            f"{round(float(np.mean(recalls)), 3)} (probe {probe_n})  "
             f"bucket occupancy min/median/max = {occ[0]}/"
             f"{occ[len(occ) // 2]}/{occ[-1]} over {len(occ)} buckets",
             flush=True,

@@ -812,3 +812,36 @@ def test_dup_ngram_fraction_exact_ppm(spark):
     assert out[3].n_shingles == 2 and out[3].dup_ngram_ppm == 500_000
     # keep bit: threshold is on the ppm value
     assert out[0].keep == (1 if 1_000_000 <= dedup.DUP_NGRAM_MAX_PPM else 0)
+
+
+def test_spread_seeds_farthest_point_property(spark):
+    """Deterministic k-center greedy: start at min vec_id, then each
+    pick maximizes the exact integer squared distance to its nearest
+    chosen seed (ties by smaller vec_id)."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.functions.similarity import (
+        _quantized,
+        _train_centroids,
+        spread_seeds,
+    )
+
+    embs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.1]),
+            (1, [0.0, 0.2]),
+            (2, [10.0, 0.0]),
+            (3, [-20.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = embs.select("vec_id", _quantized("embedding").alias("q"))
+    # greedy: 0 (min id) -> 3 (farthest from 0) -> 2 (max min-distance)
+    seeds = spread_seeds(q, 3)
+    assert [vid for vid, _ in seeds] == [0, 2, 3]
+    # sample_mod restricts candidates to the hash-sample
+    assert [vid for vid, _ in spread_seeds(q, 2, sample_mod=2)] == [0, 2]
+    # seeds slot into the Lloyd loop unchanged (k clusters, exact ints)
+    cents = _train_centroids(q, 3, 1, seeds=seeds)
+    assert len(cents) == 3
+    assert all(isinstance(v, int) for _, vec in cents for v in vec)
