@@ -76,10 +76,11 @@ BENCH_QUERIES = [
     "dedup_pair_triangles",
 ]
 
-# Min-of-2 set: the 7 heavies plus the next tier (10-15s single runs
+# Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
 # whose one bad draw on a ±40% VM reads as a fake regression next
-# round — round-6 verdict item 6); at observed sf0.1 costs the full
-# repeat is ~420s, inside the default budget.
+# round — round-6 verdict item 6; graph_components joined as the
+# largest remaining single-run at ~20s).  At observed sf0.1 costs the
+# full repeat is ~440s; the budget default covers it with headroom.
 HEAVY_QUERIES = {
     "cind_minimal",
     "cind_small_to_large",
@@ -88,6 +89,7 @@ HEAVY_QUERIES = {
     "capture_overlaps",
     "capture_supports",
     "graph_pagerank",
+    "graph_components",
     "dedup_ngram_jaccard",
     "knn_ivf_pq_trained",
     "association_rules",
@@ -233,9 +235,10 @@ def main() -> int:
     # heavies eat the budget, leaving cind_all / capture_overlaps /
     # capture_supports / graph_pagerank as unusable single cold runs).
     # The budget default covers the full heavy-set repeat at observed
-    # sf0.1 costs (~380s), so starvation needs real VM weather.
+    # sf0.1 costs (~440s with the round-7 min-of-2 widening), so
+    # starvation needs real VM weather.
     heavy = HEAVY_QUERIES
-    repeat_budget_s = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "450"))
+    repeat_budget_s = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "520"))
     timings: dict[str, float] = {}
     runs_per_query: dict[str, int] = {}
 

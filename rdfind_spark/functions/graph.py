@@ -512,7 +512,14 @@ def pair_triangles(edges: DataFrame) -> DataFrame:
     The oracle runs the direct id-ordered 3-way self-join (fine at
     oracle scale; identical result set by symmetry of the triangle
     predicate).  Returns (doc_id, n_triangles) for nodes in >= 1
-    triangle."""
+    triangle.
+
+    Output-size honesty: a c-clique CONTAINS c³/6 triangles, so a pair
+    graph with a giant duplicate class makes the result itself cubic in
+    the class size — no plan fixes an output that big.  Run this after
+    exact dedup has collapsed identical-text classes (the same upstream
+    discipline MAX_BAND_DOCS documents for LSH), where near-dup cliques
+    stay small."""
     e = edges.select(
         F.col("a_id").cast("long").alias("u"), F.col("b_id").cast("long").alias("v")
     ).distinct()
