@@ -84,6 +84,26 @@ def print_grid(embs, tag: str):
         )
 
 
+
+def _kmeanspp_like(q, k, spread_seeds, _train_centroids, _km_argmax):
+    """Oversample-then-prune (k-means||-flavored, deterministic):
+    greedy-spread 2k seeds, 2 Lloyd rounds at 2k, keep the k largest
+    clusters (ties by cid), converge at k."""
+    from pyspark.sql import functions as F
+
+    c2k = _train_centroids(q, 2 * k, 2, seeds=spread_seeds(q, 2 * k))
+    sizes = {
+        r["centroid_id"]: r["n"]
+        for r in _km_argmax(q, c2k)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    keep = set(sorted(sizes, key=lambda c: (-sizes[c], c))[:k])
+    return _train_centroids(
+        q, k, 5, seeds=[(cid, vec) for cid, vec in c2k if cid in keep]
+    )
+
 def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
     """Index quality for a query workload DECOUPLED from the seed
     prefix.  The registered `*_recall` queries pin queries = vec_id <
@@ -159,6 +179,35 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
             _cd(_train_centroids(q, 16, 5, seeds=spread_seeds(q, 16))),
             16,
         ),
+        # k-means||-style: oversample 2k spread seeds, 2 Lloyd rounds,
+        # keep the k largest clusters, converge — outlier seeds should
+        # be pruned by cluster size... (measured: they are not enough)
+        "trained_spread2x_prune_k16": (
+            _cd(_kmeanspp_like(q, 16, spread_seeds, _train_centroids, _km_argmax)),
+            16,
+        ),
+        # ORACLE init from the true blob means — the ceiling any init
+        # could reach; numpy at study time only, never a query path
+        "oracle_blobmean_k16": (
+            _cd(
+                _train_centroids(
+                    q,
+                    16,
+                    5,
+                    seeds=[
+                        (
+                            int(b),
+                            [
+                                int(np.floor(x * 1_000_000))
+                                for x in E[blob == b].mean(axis=0)
+                            ],
+                        )
+                        for b in sorted(set(blob.tolist()))
+                    ],
+                )
+            ),
+            16,
+        ),
     }
     for tag, spec in variants.items():
         if len(spec) == 2 and isinstance(spec[1], int):
@@ -229,3 +278,4 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
