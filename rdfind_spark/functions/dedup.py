@@ -323,9 +323,14 @@ def minhash_lsh_pairs(
 
 
 def _lsh_sql_parts(k: int = MINHASH_K, bands: int = LSH_BANDS):
-    """(mh_cols, band_cols, band_union) SQL fragments of the LSH
-    banding — the oracle-side twin of ``_band_keys``, shared by the
-    dedup and fuzzy-contamination oracles."""
+    """(prelude, band_union) SQL fragments of the LSH banding — the
+    oracle-side twin of ``_band_keys``, shared by the dedup,
+    fuzzy-contamination, and streaming-contamination oracles.
+    ``prelude`` is the full ``WITH docs … banded`` chain (tokenize →
+    distinct shingles → minhash signature → band hashes): one copy of
+    the tokenizer/shingle-window arithmetic, so a fix cannot miss one
+    of the three consumers; each caller appends its own ``keys`` CTE
+    from ``band_union`` and everything after."""
     r = k // bands
     mh_cols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
@@ -341,16 +346,7 @@ def _lsh_sql_parts(k: int = MINHASH_K, bands: int = LSH_BANDS):
         f"SELECT doc_id, {band} AS band, band{band} AS key FROM banded"
         for band in range(bands)
     )
-    return mh_cols, band_cols, band_union
-
-
-def minhash_lsh_pairs_sql(
-    threshold: float = JACCARD_THRESHOLD,
-    k: int = MINHASH_K,
-    bands: int = LSH_BANDS,
-) -> str:
-    mh_cols, band_cols, band_union = _lsh_sql_parts(k, bands)
-    return f"""WITH docs AS (
+    prelude = f"""WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ),
 shl AS MATERIALIZED (
@@ -360,7 +356,17 @@ shl AS MATERIALIZED (
   FROM docs
 ),
 sig AS (SELECT doc_id, {mh_cols} FROM shl),
-banded AS (SELECT doc_id, {band_cols} FROM sig),
+banded AS (SELECT doc_id, {band_cols} FROM sig)"""
+    return prelude, band_union
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> str:
+    prelude, band_union = _lsh_sql_parts(k, bands)
+    return f"""{prelude},
 keys AS ({band_union}),
 hotb AS (SELECT band, key FROM keys
          GROUP BY band, key HAVING COUNT(*) > {MAX_BAND_DOCS}),
@@ -818,18 +824,8 @@ def contamination_fuzzy_sql(
     threshold: float = JACCARD_THRESHOLD,
     eval_mod: int = CONTAM_FUZZY_EVAL_MOD,
 ) -> str:
-    mh_cols, band_cols, band_union = _lsh_sql_parts()
-    return f"""WITH docs AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-),
-shl AS MATERIALIZED (
-  SELECT doc_id, list_distinct(list_transform(
-      range(1, greatest(len(toks) - {NGRAM_K - 2}, 2)),
-      i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))) AS sh
-  FROM docs
-),
-sig AS (SELECT doc_id, {mh_cols} FROM shl),
-banded AS (SELECT doc_id, {band_cols} FROM sig),
+    prelude, band_union = _lsh_sql_parts()
+    return f"""{prelude},
 keys AS ({band_union}),
 hotb AS (SELECT band, key FROM keys
          GROUP BY band, key HAVING COUNT(*) > {MAX_BAND_DOCS}),

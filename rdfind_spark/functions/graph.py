@@ -116,6 +116,37 @@ COMPONENTS_MAX_DEGREE = 10
 COMPONENTS_MAX_ROUNDS = 12
 
 
+def hub_pruned_sym_edges(triples: DataFrame, max_degree: int):
+    """(kept_nodes, symmetrized_edges) of the hub-pruned entity graph —
+    the shared construction of ``graph_components`` and its convergence
+    headroom test (which must measure the SAME graph the registered
+    query labels).  Hub removal: two anti-joins against the hub set
+    (hub count is corpus_degree_mass / max_degree — broadcast-sized,
+    AQE promotes).  Edges come back symmetrized and distinct, as
+    ``_min_label_components`` requires."""
+    edges = materialize(entity_edges(triples))
+    deg = materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    hubs = deg.filter(F.col("degree") > max_degree).select("node")
+    kept = deg.filter(F.col("degree") <= max_degree).select("node")
+    ke = edges.join(
+        hubs.select(F.col("node").alias("src")), on="src", how="left_anti"
+    ).join(hubs.select(F.col("node").alias("dst")), on="dst", how="left_anti")
+    sym = (
+        ke.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+        .unionByName(
+            ke.select(F.col("dst").alias("a_id"), F.col("src").alias("b_id"))
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    return kept, sym
+
+
 def graph_components(
     triples: DataFrame,
     max_degree: int = COMPONENTS_MAX_DEGREE,
@@ -155,28 +186,7 @@ def graph_components(
     every neighbor was a hub become their own singleton component."""
     from rdfind_spark.functions.dedup import _min_label_components
 
-    edges = materialize(entity_edges(triples))
-    deg = materialize(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
-    hubs = deg.filter(F.col("degree") > max_degree).select("node")
-    kept = deg.filter(F.col("degree") <= max_degree).select("node")
-    # Hub removal: two anti-joins against the hub set (hub count is
-    # corpus_degree_mass / max_degree — broadcast-sized, AQE promotes).
-    ke = edges.join(
-        hubs.select(F.col("node").alias("src")), on="src", how="left_anti"
-    ).join(hubs.select(F.col("node").alias("dst")), on="dst", how="left_anti")
-    sym = (
-        ke.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
-        .unionByName(
-            ke.select(F.col("dst").alias("a_id"), F.col("src").alias("b_id"))
-        )
-        .distinct()
-        .transform(materialize)
-    )
+    kept, sym = hub_pruned_sym_edges(triples, max_degree)
     labels, _ = _min_label_components(sym, max_iters)
     return kept.join(
         labels.withColumnRenamed("doc_id", "node"), on="node", how="left"

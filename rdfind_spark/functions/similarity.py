@@ -907,8 +907,13 @@ def spread_seeds(q: DataFrame, k: int, sample_mod: int = 1) -> list:
     set).  Returns [(vec_id, [int components...])]."""
     cand = q if sample_mod <= 1 else q.filter(F.col("vec_id") % sample_mod == 0)
     cand = materialize(cand.select("vec_id", "q"))
-    first = cand.orderBy("vec_id").limit(1).collect()[0]
-    seeds = [(int(first["vec_id"]), [int(v) for v in first["q"]])]
+    head = cand.orderBy("vec_id").limit(1).collect()
+    if not head:
+        raise ValueError(
+            f"spread_seeds: no candidate rows (sample_mod={sample_mod} "
+            "filtered everything)"
+        )
+    seeds = [(int(head[0]["vec_id"]), [int(v) for v in head[0]["q"]])]
     for _ in range(k - 1):
         d = F.least(*[_sqdist(F.col("q"), c) for _, c in seeds]) if len(
             seeds
@@ -919,6 +924,14 @@ def spread_seeds(q: DataFrame, k: int, sample_mod: int = 1) -> list:
             .limit(1)
             .collect()[0]
         )
+        if int(r["d"]) == 0:
+            # every remaining point coincides with a chosen seed — a
+            # duplicate seed would become a duplicate centroid id
+            # downstream, so fail loudly instead
+            raise ValueError(
+                f"spread_seeds: only {len(seeds)} distinct points "
+                f"available for k={k} seeds"
+            )
         seeds.append((int(r["vec_id"]), [int(v) for v in r["q"]]))
     return sorted(seeds)
 
@@ -931,9 +944,13 @@ def _train_centroids(
     ``q`` holds (vec_id, q=quantized integer vector); returns the final
     centroid list [(cid, [int components...])], model-sized — the only
     thing that ever reaches the driver.  ``seeds`` overrides the
-    default first-k-by-id init (e.g. ``spread_seeds``); the REGISTERED
-    queries always use the default, whose recurrence the DuckDB oracles
-    mirror seed for seed."""
+    default first-k-by-id init (e.g. ``spread_seeds``) and must hold
+    exactly ``k`` entries — fewer would silently train a smaller model
+    than the caller labeled (measured risk in the pq_recall_grid
+    capacity study); the REGISTERED queries always use the default,
+    whose recurrence the DuckDB oracles mirror seed for seed."""
+    if seeds is not None and len(seeds) != k:
+        raise ValueError(f"seeds holds {len(seeds)} entries, expected k={k}")
     dim = len(q.select("q").first()["q"])
     cents = (
         sorted(seeds)

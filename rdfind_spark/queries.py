@@ -1160,7 +1160,7 @@ _BOARD_PRIORITY = [
     "multimodal_frame_stats",
     "docs_dup_ngram_fraction",
     "dedup_pair_triangles",
-    # the r5 board minus the five deferrals, in r5 order
+    # the r5 board minus the eight deferrals, in r5 order
     "cind_all",
     "cind_minimal_ar",
     "cind_small_to_large",

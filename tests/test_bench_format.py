@@ -16,6 +16,16 @@ from bench import BENCH_QUERIES, HEAVY_QUERIES, format_result
 HEAVY = HEAVY_QUERIES
 
 
+def test_heavy_set_is_a_bench_subset():
+    # bench.py's repeat loop silently skips names not in BENCH_QUERIES
+    # (`if name not in queries ... continue`), so a rename/rotation
+    # that orphans a HEAVY_QUERIES member would quietly strip its
+    # min-of-2 protection — pin the subset relation
+    assert HEAVY_QUERIES <= set(BENCH_QUERIES), (
+        HEAVY_QUERIES - set(BENCH_QUERIES)
+    )
+
+
 def test_current_bench_list_fits_tail_capture():
     # worst realistic shape: every benched query present, 4-digit
     # timings, every heavy min-of-2

@@ -232,29 +232,11 @@ def test_graph_components_converges_within_budget(spark, sf_dir):
     rounds at sf0.001 against a budget of 12."""
     from rdfind_spark.functions.dedup import _min_label_components
     from rdfind_spark.sources.triples import triple_view
-    from rdfind_spark.util import materialize
 
-    tv = triple_view(spark, sf_dir)
-    edges = materialize(graph.entity_edges(tv))
-    deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
-    hubs = deg.filter(
-        F.col("degree") > graph.COMPONENTS_MAX_DEGREE
-    ).select("node")
-    ke = edges.join(
-        hubs.select(F.col("node").alias("src")), on="src", how="left_anti"
-    ).join(hubs.select(F.col("node").alias("dst")), on="dst", how="left_anti")
-    sym = (
-        ke.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
-        .unionByName(
-            ke.select(F.col("dst").alias("a_id"), F.col("src").alias("b_id"))
-        )
-        .distinct()
-        .transform(materialize)
+    # the SAME construction the registered query runs — shared helper,
+    # so a pruning change cannot silently void this headroom check
+    _, sym = graph.hub_pruned_sym_edges(
+        triple_view(spark, sf_dir), graph.COMPONENTS_MAX_DEGREE
     )
     _, rounds = _min_label_components(sym, graph.COMPONENTS_MAX_ROUNDS)
     assert rounds <= graph.COMPONENTS_MAX_ROUNDS // 2, (

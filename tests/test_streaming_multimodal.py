@@ -627,10 +627,9 @@ def test_stream_contamination_matches_batch_across_micro_batches(spark, sf_dir, 
         .start()
     )
     q.awaitTermination()
-    progresses = [
-        p if isinstance(p, dict) else p.asDict() for p in q.recentProgress
-    ]
-    data_batches = sum(1 for p in progresses if p.get("numInputRows", 0) > 0)
+    data_batches = sum(
+        1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    )
     assert data_batches >= 2, "test must actually exercise multiple batches"
 
     got = {r.doc_id for r in spark.table("contam_stream_test").collect()}
