@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "multimodal_frame_stats",
     "docs_dup_ngram_fraction",
     "dedup_pair_triangles",
+    "text_bpe_encode",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs

@@ -499,9 +499,25 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     per-round full-corpus scan, no driver-side data, and the state
     table is materialized per round to truncate loop lineage (reliable
     checkpoint under ``spark.rdfind.checkpointDir``)."""
+    spark = documents.sparkSession
+    sym, merges = _bpe_symbolize(documents, n_merges)
+    sym.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
+    )
+
+
+def _bpe_symbolize(documents: DataFrame, n_merges: int):
+    """The shared BPE training loop: returns (sym_words, merges) where
+    ``sym_words`` is the distinct-word table (word, sym, freq) with
+    ``sym`` the word's space-separated symbolization under ALL learned
+    merges — i.e. the word → tokenization map a tokenizer APPLIES — and
+    ``merges`` the [(rank, left, right, count)] decisions.  Both
+    ``bpe_vocab`` (ships the merge table) and ``bpe_encode_stats``
+    (applies the map to the corpus) run this one loop."""
     from rdfind_spark.util import materialize
 
-    spark = documents.sparkSession
     words = (
         documents.select(
             F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
@@ -510,7 +526,9 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     sym = words.select(
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "freq"
+        "word",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+        "freq",
     )
     sym = materialize(sym)
     merges = []
@@ -551,16 +569,67 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 new_sym, F.lit(f" {pr} "), F.lit(f" {merged} ")
             )
         old = sym
-        sym = materialize(sym.select(F.trim(new_sym).alias("sym"), "freq"))
+        sym = materialize(
+            sym.select("word", F.trim(new_sym).alias("sym"), "freq")
+        )
         old.unpersist()
-    sym.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
+    return sym, merges
+
+
+def bpe_encode_stats(
+    documents: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """APPLY the trained BPE vocabulary to the corpus — the other half
+    of the tokenizer story (``bpe_vocab`` trains the merges; a real
+    pipeline then tokenizes every document to budget sequence lengths,
+    pack batches, and bill tokens).  The training loop's final
+    symbolization IS the word → tokenization map, so application is one
+    vocabulary join: explode the corpus to (doc_id, word), join the
+    (word, n_sym) map — vocabulary-sized, AQE picks broadcast vs
+    shuffle from its measured size — and aggregate per document.  No
+    per-document Python, no re-tokenization pass.
+
+    Output (all exact integers): (doc_id, n_words, n_bpe_tokens,
+    n_chars, chars_per_token_ppm) — chars_per_token is the compression
+    diagnostic tokenizer work watches (≤ 1.0 tokens/char by
+    construction; higher chars/token = better vocabulary fit)."""
+    sym_words, _ = _bpe_symbolize(documents, n_merges)
+    wt = sym_words.select(
+        "word",
+        F.size(F.split("sym", " ")).alias("n_sym"),
+        F.length("word").alias("n_chars_w"),
     )
+    dw = documents.select(
+        "doc_id",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),
+    )
+    out = (
+        dw.join(wt, on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr(
+                "n_chars * 1000000 DIV greatest(n_bpe_tokens, 1)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )
+    return out
 
 
-def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared ``WITH wf, s0 … s{n}`` training chain (the oracle
+    twin of ``_bpe_symbolize`` — ``word`` is carried through every
+    round so the final ``s{n}`` doubles as the word → tokenization
+    map).  ``bpe_vocab_sql`` appends the merge-table select;
+    ``bpe_encode_stats_sql`` appends the corpus-apply aggregate."""
     parts = [
         """WITH wf AS (
   SELECT word, COUNT(*) AS freq FROM (
@@ -569,7 +638,8 @@ def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
   ) GROUP BY word
 ),
 s0 AS MATERIALIZED (
-  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wf
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq
+  FROM wf
 )"""
     ]
     for r in range(n_merges):
@@ -594,8 +664,30 @@ p{r} AS MATERIALIZED (
   ) GROUP BY pr
 ),
 b{r} AS MATERIALIZED (SELECT pr, cnt FROM p{r} ORDER BY cnt DESC, pr ASC LIMIT 1),
-s{r + 1} AS MATERIALIZED (SELECT trim({repl}) AS sym, freq FROM s{r})"""
+s{r + 1} AS MATERIALIZED (SELECT word, trim({repl}) AS sym, freq FROM s{r})"""
         )
+    return "".join(parts)
+
+
+def bpe_encode_stats_sql(n_merges: int = BPE_MERGES) -> str:
+    return f"""{_bpe_chain_sql(n_merges)},
+wt AS (SELECT word, len(string_split(sym, ' ')) AS n_sym,
+              length(word) AS n_chars_w FROM s{n_merges}),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       FROM documents)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(n_chars_w) * 1000000
+            // greatest(SUM(n_sym), 1) AS BIGINT) AS chars_per_token_ppm
+FROM dw JOIN wt USING (word)
+GROUP BY doc_id"""
+
+
+def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+    parts = [_bpe_chain_sql(n_merges)]
     selects = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS INTEGER) AS merge_rank,
        string_split(pr, ' ')[1] AS left_sym,

@@ -392,6 +392,20 @@ def text_bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.bpe_vocab(_docs(spark, sf_dir))
 
 
+@register("text_bpe_encode", corpus_stats.bpe_encode_stats_sql())
+def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    story (text_bpe_vocab trains; a pipeline then tokenizes every
+    document to budget sequence lengths and bill tokens).  The training
+    loop's final distinct-word symbolization IS the word→tokenization
+    map, so application is one vocabulary join + per-doc aggregate: no
+    per-document Python, no re-tokenization pass.  Exact-integer token
+    / char counts and the chars-per-token compression diagnostic;
+    oracle runs the identical chain (shared _bpe_chain_sql) plus the
+    same join-aggregate."""
+    return corpus_stats.bpe_encode_stats(_docs(spark, sf_dir))
+
+
 @register("text_pmi_bigrams", corpus_stats.pmi_bigrams_sql())
 def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k collocations by PMI (exact scaled-integer probability
@@ -1139,19 +1153,21 @@ _BOARD_PRIORITY = [
     #   1-3: the three queries whose only driver evidence is
     #        CORRECTNESS_r04, which exits the window this round — they
     #        MUST collect fresh rows now;
-    #   4-8: this round's new queries (evidence-gapped until their
+    #   4-9: this round's new queries (evidence-gapped until their
     #        first driver row);
-    #   9-50: 42 of the 50-key round-5 board, in its order — r5's rows
-    #        exit the window at r8, so this board re-covers them, minus
-    #        eight deferrals that MUST lead the round-8 board:
+    #   10-50: 41 of the 50-key round-5 board, in its order — r5's
+    #        rows exit the window at r8, so this board re-covers them,
+    #        minus nine deferrals that MUST lead the round-8 board:
     #        events_hourly_counts, events_moving_window,
     #        events_transitions, events_pivot, events_funnel,
-    #        multimodal_features, knn_ivf_pq, knn_ivf_pq_recall
-    #        (cheap-to-rerun and all additionally unit-pinned:
-    #        test_hourly_counts, test_event_transitions_census,
-    #        test_events_pivot_counts, test_funnel_ordering_matters,
+    #        multimodal_features, knn_ivf_pq, knn_ivf_pq_recall,
+    #        warehouse_market_share (cheap-to-rerun and all
+    #        additionally unit/plan-pinned: test_hourly_counts,
+    #        test_event_transitions_census, test_events_pivot_counts,
+    #        test_funnel_ordering_matters,
     #        test_streaming_multimodal.py's feature-extraction tests,
-    #        the IVF-PQ reduction + recall pins in test_functions.py).
+    #        the IVF-PQ reduction + recall pins in test_functions.py,
+    #        the market-share plan pin in test_plans.py).
     "count_triples",
     "condition_histogram",
     "count_distinct_values",
@@ -1160,6 +1176,7 @@ _BOARD_PRIORITY = [
     "multimodal_frame_stats",
     "docs_dup_ngram_fraction",
     "dedup_pair_triangles",
+    "text_bpe_encode",
     # the r5 board minus the eight deferrals, in r5 order
     "cind_all",
     "cind_minimal_ar",
@@ -1202,7 +1219,6 @@ _BOARD_PRIORITY = [
     "stream_hourly_counts",
     "stream_interval_join",
     "stream_purchase_totals",
-    "warehouse_market_share",
 ]
 
 

@@ -281,3 +281,27 @@ def test_bpe_vocab_weights_pairs_by_word_frequency(spark):
     assert [(r.left_sym, r.right_sym, r.pair_count) for r in rows] == [
         ("q", "q", 5)
     ]
+
+
+def test_bpe_encode_stats_hand_checked(spark):
+    # corpus "ab ab ab" + "abc": merges learned = (a,b) then (ab,c),
+    # so "ab" tokenizes to 1 symbol and "abc" to 1 symbol; doc 0 has
+    # 3 words -> 3 bpe tokens over 6 chars, doc 1 has 1 word -> 1
+    # token over 3 chars
+    df = _docs(spark, ["ab ab ab", "abc"])
+    out = {r.doc_id: r for r in corpus_stats.bpe_encode_stats(df, n_merges=8).collect()}
+    assert (out[0].n_words, out[0].n_bpe_tokens, out[0].n_chars) == (3, 3, 6)
+    assert (out[1].n_words, out[1].n_bpe_tokens, out[1].n_chars) == (1, 1, 3)
+    assert out[0].chars_per_token_ppm == 2_000_000
+    assert out[1].chars_per_token_ppm == 3_000_000
+
+
+def test_bpe_encode_partial_merges_count_residual_symbols(spark):
+    # with only ONE merge allowed ((a,b) — weight 4), "abc" becomes
+    # "ab c" = 2 tokens and "ab" = 1; unseen-structure words stay
+    # fully character-split ("xyz" -> 3)
+    df = _docs(spark, ["ab ab ab abc xyz"])
+    out = corpus_stats.bpe_encode_stats(df, n_merges=1).collect()[0]
+    assert out.n_words == 5
+    assert out.n_bpe_tokens == 3 * 1 + 2 + 3
+    assert out.n_chars == 3 * 2 + 3 + 3
