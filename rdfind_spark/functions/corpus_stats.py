@@ -472,15 +472,18 @@ SELECT pair, n, rank FROM ranked WHERE rank <= {k}"""
 # ------------------------------------------------ BPE vocab training
 
 BPE_MERGES = 8
-# merge application = plain left-to-right non-overlapping string
-# replace of " x y " inside " "-padded symbol strings, applied
-# BPE_REPLACE_PASSES times: one pass misses an occurrence that starts
-# at the space the previous match consumed (" x y x y " -> " xy x y ");
-# each extra pass closes one level of that chaining.  Residual
-# deviations from canonical greedy BPE are only possible in repeated
-# chains deeper than the pass count — and both engines run the
-# IDENTICAL replace semantics, so results stay bit-equal regardless.
-BPE_REPLACE_PASSES = 3
+# Merge application is CANONICAL left-to-right greedy (Sennrich &c.),
+# achieved with ONE non-overlapping string replace via separator
+# doubling: double every space in the symbol string, then replace
+# " L  R " with " LR ".  Each match consumes exactly one space of each
+# surrounding double, so adjacent occurrences keep their own leading
+# delimiter and a single pass merges a run the way the canonical
+# token-scan does ("a a a a" -> "aa aa", never the "aa a aa" a
+# single-space replace produces because the shared space is consumed).
+# Collapsing the leftover doubles restores single-space form.  The
+# naive bounded-pass replace used before round 8 was NOT fixable by
+# more passes: once pass 1 merges tokens (0,1) and (3,4) of a 5-run,
+# the stranded middle token can never re-pair at this rank.
 
 
 def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
@@ -488,8 +491,12 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     corpus: ``n_merges`` rounds, each counting adjacent symbol pairs
     across the distinct-WORD table (weighted by word frequency) and
     merging the globally most frequent pair (ties broken by pair
-    string).  Returns the merge table (rank, left, right, count) — the
-    artifact a tokenizer ships.
+    string).  Merge application is CANONICAL left-to-right greedy —
+    a run like ``aaaa`` merges to ``(aa)(aa)`` exactly as Sennrich's
+    token-scan does (single-replace trick documented at BPE_MERGES;
+    independently pinned against a pure-Python token-scan model in
+    tests/test_properties.py).  Returns the merge table (rank, left,
+    right, count) — the artifact a tokenizer ships.
 
     Scale design: the loop state is the distinct-word symbolization —
     the word-frequency table, not the token stream — so each round is
@@ -563,11 +570,20 @@ def _bpe_symbolize(documents: DataFrame, n_merges: int):
         left, right = pr.split(" ")
         merges.append((rank, left, right, int(cnt)))
         merged = left + right
-        new_sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
-        for _ in range(BPE_REPLACE_PASSES):
-            new_sym = F.replace(
-                new_sym, F.lit(f" {pr} "), F.lit(f" {merged} ")
-            )
+        # canonical greedy merge via separator doubling (see the
+        # BPE_MERGES comment): double spaces, one replace, collapse
+        doubled = F.concat(
+            F.lit(" "),
+            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        new_sym = F.replace(
+            F.replace(
+                doubled, F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
         old = sym
         sym = materialize(
             sym.select("word", F.trim(new_sym).alias("sym"), "freq")
@@ -594,11 +610,18 @@ def bpe_encode_stats(
     diagnostic tokenizer work watches (≤ 1.0 tokens/char by
     construction; higher chars/token = better vocabulary fit)."""
     sym_words, _ = _bpe_symbolize(documents, n_merges)
+    # the (word, n_sym) map below is all that survives; shrink the
+    # cached training state to it and release the wide sym table so a
+    # multi-query sweep doesn't carry the cache for the whole session
     wt = sym_words.select(
         "word",
         F.size(F.split("sym", " ")).alias("n_sym"),
         F.length("word").alias("n_chars_w"),
     )
+    from rdfind_spark.util import materialize
+
+    wt = materialize(wt)
+    sym_words.unpersist()
     dw = documents.select(
         "doc_id",
         F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),
@@ -643,16 +666,18 @@ s0 AS MATERIALIZED (
 )"""
     ]
     for r in range(n_merges):
-        repl = f"' ' || sym || ' '"
-        for _ in range(BPE_REPLACE_PASSES):
-            repl = (
-                f"replace({repl}, ' ' || (SELECT pr FROM b{r}) || ' ', "
-                f"' ' || (SELECT replace(pr, ' ', '') FROM b{r}) || ' ')"
-            )
+        # canonical greedy merge via separator doubling — the exact
+        # twin of _bpe_symbolize's replace chain: double spaces,
+        # replace ' L  R ' -> ' LR ', collapse doubles back
+        repl = (
+            f"replace(replace(' ' || replace(sym, ' ', '  ') || ' ', "
+            f"' ' || (SELECT replace(pr, ' ', '  ') FROM b{r}) || ' ', "
+            f"' ' || (SELECT replace(pr, ' ', '') FROM b{r}) || ' '), "
+            f"'  ', ' ')"
+        )
         # MATERIALIZED: each round references the previous round's
-        # tables several times (3 replace passes × 2 scalar subqueries);
-        # inlined CTEs would expand the chain exponentially (~7^rounds
-        # scans of the base table)
+        # tables via 2 scalar subqueries; inlined CTEs would expand the
+        # chain exponentially in the number of rounds
         parts.append(
             f""",
 p{r} AS MATERIALIZED (

