@@ -907,33 +907,38 @@ def spread_seeds(q: DataFrame, k: int, sample_mod: int = 1) -> list:
     set).  Returns [(vec_id, [int components...])]."""
     cand = q if sample_mod <= 1 else q.filter(F.col("vec_id") % sample_mod == 0)
     cand = materialize(cand.select("vec_id", "q"))
-    head = cand.orderBy("vec_id").limit(1).collect()
-    if not head:
-        raise ValueError(
-            f"spread_seeds: no candidate rows (sample_mod={sample_mod} "
-            "filtered everything)"
-        )
-    seeds = [(int(head[0]["vec_id"]), [int(v) for v in head[0]["q"]])]
-    for _ in range(k - 1):
-        d = F.least(*[_sqdist(F.col("q"), c) for _, c in seeds]) if len(
-            seeds
-        ) > 1 else _sqdist(F.col("q"), seeds[0][1])
-        r = (
-            cand.select("vec_id", "q", d.alias("d"))
-            .orderBy(F.desc("d"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        if int(r["d"]) == 0:
-            # every remaining point coincides with a chosen seed — a
-            # duplicate seed would become a duplicate centroid id
-            # downstream, so fail loudly instead
+    try:
+        head = cand.orderBy("vec_id").limit(1).collect()
+        if not head:
             raise ValueError(
-                f"spread_seeds: only {len(seeds)} distinct points "
-                f"available for k={k} seeds"
+                f"spread_seeds: no candidate rows (sample_mod={sample_mod} "
+                "filtered everything)"
             )
-        seeds.append((int(r["vec_id"]), [int(v) for v in r["q"]]))
-    return sorted(seeds)
+        seeds = [(int(head[0]["vec_id"]), [int(v) for v in head[0]["q"]])]
+        for _ in range(k - 1):
+            d = F.least(*[_sqdist(F.col("q"), c) for _, c in seeds]) if len(
+                seeds
+            ) > 1 else _sqdist(F.col("q"), seeds[0][1])
+            r = (
+                cand.select("vec_id", "q", d.alias("d"))
+                .orderBy(F.desc("d"), F.asc("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            if int(r["d"]) == 0:
+                # every remaining point coincides with a chosen seed — a
+                # duplicate seed would become a duplicate centroid id
+                # downstream, so fail loudly instead
+                raise ValueError(
+                    f"spread_seeds: only {len(seeds)} distinct points "
+                    f"available for k={k} seeds"
+                )
+            seeds.append((int(r["vec_id"]), [int(v) for v in r["q"]]))
+        return sorted(seeds)
+    finally:
+        # the seed list is fully driver-side by now; don't leak one
+        # cached candidate table per invocation
+        cand.unpersist()
 
 
 def _train_centroids(

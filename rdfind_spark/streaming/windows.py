@@ -437,10 +437,13 @@ def run_available_now(
     )
     q.awaitTermination()
     if expect_single_data_batch:
-        # StreamingQueryProgress subclasses dict (PySpark >= 3.4);
+        # .get(): StreamingQueryProgress subscripting needs the dict
+        # subclassing introduced in PySpark 3.4 — .get() works on every
+        # runtime this repo supports and degrades to "no check" rather
+        # than TypeError if a runtime ever hands back a plain object;
         # `or 0` also covers a present-but-None numInputRows
         data_batches = sum(
-            1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
         )
         # > 1 violates the oracle contract; 0 is a legitimately empty
         # source, whose empty result the batch oracle trivially matches

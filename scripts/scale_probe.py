@@ -214,32 +214,34 @@ def _triangle_probe(ns) -> int:
     # mid-ladder).
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="triangle_probe_")
-    simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
-        "a_id", "b_id"
-    ).write.mode("overwrite").parquet(f"{tmp}/pairs")
-    base = spark.read.parquet(f"{tmp}/pairs")
-    print(f"# base pairs: {base.count()}", flush=True)
-    results = {}
-    for n in ns:
-        copies = [
-            base.select(
-                (F.col("a_id") + F.lit(i * 10_000_000)).alias("a_id"),
-                (F.col("b_id") + F.lit(i * 10_000_000)).alias("b_id"),
-            )
-            for i in range(n)
-        ]
-        edges = reduce(lambda a, b: a.unionByName(b), copies)
-        t0 = time.time()
-        rows = pair_triangles(edges).count()
-        dt = time.time() - t0
-        results[n] = (dt, rows)
-        print(f"# {n}x: {dt:.1f}s nodes_in_triangles={rows}", flush=True)
-        spark.catalog.clearCache()
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            it.next()._2().unpersist(False)
-        spark.sparkContext._jvm.System.gc()
+    with tempfile.TemporaryDirectory(prefix="triangle_probe_") as tmp:
+        simhash_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).select("a_id", "b_id").write.mode("overwrite").parquet(
+            f"{tmp}/pairs"
+        )
+        base = spark.read.parquet(f"{tmp}/pairs")
+        print(f"# base pairs: {base.count()}", flush=True)
+        results = {}
+        for n in ns:
+            copies = [
+                base.select(
+                    (F.col("a_id") + F.lit(i * 10_000_000)).alias("a_id"),
+                    (F.col("b_id") + F.lit(i * 10_000_000)).alias("b_id"),
+                )
+                for i in range(n)
+            ]
+            edges = reduce(lambda a, b: a.unionByName(b), copies)
+            t0 = time.time()
+            rows = pair_triangles(edges).count()
+            dt = time.time() - t0
+            results[n] = (dt, rows)
+            print(f"# {n}x: {dt:.1f}s nodes_in_triangles={rows}", flush=True)
+            spark.catalog.clearCache()
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+            spark.sparkContext._jvm.System.gc()
     if 1 in results:
         r1 = results[1][1]
         for n, (dt, rows) in results.items():
