@@ -604,35 +604,46 @@ def test_stream_contamination_matches_batch_across_micro_batches(spark, sf_dir, 
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     src = str(tmp_path / "docs_sliced")
-    docs.withColumn("slice", F.col("doc_id") % 3).write.partitionBy(
+    docs.withColumn("slice", F.col("doc_id") % 5).write.partitionBy(
         "slice"
     ).parquet(src)
 
     eval_docs = docs.filter(F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD == 0)
     eval_keys = _cold_band_keys(eval_docs).select("band", "key").distinct()
 
-    stream = (
-        spark.readStream.schema(DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .filter(F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD != 0)
-    )
-    q = (
-        streaming_contamination_guard(stream, eval_keys)
-        .writeStream.format("memory")
-        .queryName("contam_stream_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    data_batches = sum(
-        1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
-    )
-    assert data_batches >= 2, "test must actually exercise multiple batches"
+    def run_guard(qname, files_per_trigger):
+        reader = spark.readStream.schema(DOCS_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        )
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+        stream = reader.parquet(src).filter(
+            F.col("doc_id") % CONTAM_FUZZY_EVAL_MOD != 0
+        )
+        q = (
+            streaming_contamination_guard(stream, eval_keys)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        return {r.doc_id for r in spark.table(qname).collect()}, batches
 
-    got = {r.doc_id for r in spark.table("contam_stream_test").collect()}
+    # soak: one file per trigger over 5 slices
+    got_multi, n_multi = run_guard("contam_stream_multi", 1)
+    assert n_multi >= 5, "soak must actually exercise >= 5 micro-batches"
+    # control: all files in one trigger
+    got_single, n_single = run_guard("contam_stream_single", None)
+    assert n_single == 1
+
+    # batch-count independence, measured: 5-batch run == 1-batch run
+    assert got_multi == got_single
+
     ref = {
         r.doc_id
         for r in _band_keys(
@@ -643,7 +654,7 @@ def test_stream_contamination_matches_batch_across_micro_batches(spark, sf_dir, 
         .distinct()
         .collect()
     }
-    assert got == ref
+    assert got_multi == ref
     assert len(ref) > 0
 
 
