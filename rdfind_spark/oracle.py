@@ -41,14 +41,22 @@ def _gen_pairs_sql(probe_code: str, probe_v1: str, big_code: str, big_v1: str, b
     return "(" + " OR ".join(clauses) + ")"
 
 
-def cind_pipeline_ctes(min_support: int, projection: str | None = None) -> str:
-    """The shared CTE chain: triples → candidates → supports → overlaps."""
+def cind_pipeline_ctes(
+    min_support: int,
+    projection: str | None = None,
+    triples_sql: str | None = None,
+) -> str:
+    """The shared CTE chain: triples → candidates → supports → overlaps.
+
+    ``triples_sql`` overrides the TPC-H star-schema melt with any SELECT
+    producing (subj, pred, obj) — used by the Zipf-skew probe to run the
+    identical oracle over a synthetic RDF-shaped fixture."""
     # AS MATERIALIZED: DuckDB inlines CTEs per reference; without it the
     # 17-scan triples CTE is duplicated into every reuse of capf/cinds1
     # (hundreds of parquet scan instances -> "too many open files").
     return f"""
 triples AS MATERIALIZED (
-{triple_view_sql()}
+{triples_sql or triple_view_sql()}
 ),
 cand AS (
 {capture_candidates_sql('triples', projection)}
@@ -130,12 +138,14 @@ def cind_sql(
     minimal: bool = True,
     ar: bool = False,
     projection: str | None = None,
+    triples_sql: str | None = None,
 ) -> str:
     """Full CIND discovery as one DuckDB query (tables pre-registered as
     views named region/nation/.../lineitem).  ``ar``: apply the G17
     association-rule filter before minimality, like the reference.
-    ``projection``: restrict projected fields (subset of "spo")."""
-    base = f"WITH {cind_pipeline_ctes(min_support, projection)}"
+    ``projection``: restrict projected fields (subset of "spo").
+    ``triples_sql``: alternate (subj, pred, obj) source (skew probe)."""
+    base = f"WITH {cind_pipeline_ctes(min_support, projection, triples_sql)}"
     src = "cinds1"
     if ar:
         base += ",\n" + _ar_filter_ctes(min_support)
