@@ -247,8 +247,113 @@ def decoupled_workload_recall(spark, embs, n_probe=2, k=10):
         )
 
 
+GRID_N = 20_000
+
+
+def build_grid_fixture(spark, path: str):
+    """Blob fixture for the (k, n_probe) tuning grid: same 16-blob
+    shape as the skewed study but 20k vectors and UNSORTED ids, so the
+    engine's `vec_id < n_queries` workload spans all blobs (the
+    decoupled regime) and wall-times are big enough to mean
+    something."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(SKEW_BLOBS, SKEW_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = rng.integers(0, SKEW_BLOBS, size=GRID_N)  # NOT id-sorted
+    pts = centers[blob] + SKEW_NOISE * rng.normal(size=(GRID_N, SKEW_DIM))
+    rows = [
+        (int(i), [float(x) for x in pts[i]], int(blob[i]))
+        for i in range(GRID_N)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def tuning_grid(spark, embs, n_queries: int = 32, k: int = 10):
+    """The production-knob grid the skew study concluded with ("the
+    levers are k and n_probe"): k_centroids x probe-fraction, each cell
+    the ENGINE's own trained-IVF path end-to-end (training + assignment
+    + probe + re-rank), wall-clock timed, recall against float-exact
+    cosine ground truth (numpy, measurement only).  avg_cand = mean
+    candidate rows scored per query — the number that scales with
+    corpus size at 100 TB (cost ~ n * n_probe / k_centroids), where
+    wall-time here is dominated by the fixed Spark overhead instead."""
+    import time as _time
+
+    import numpy as np
+
+    rows = embs.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Sq = En[:n_queries] @ En.T
+    for i in range(n_queries):
+        Sq[i, i] = -2.0
+    exact = {
+        qi: set(np.argsort(-Sq[qi])[:k].tolist()) for qi in range(n_queries)
+    }
+
+    from rdfind_spark.functions.similarity import _km_argmax, _quantized, _train_centroids
+
+    q = embs.select("vec_id", _quantized("embedding").alias("q"))
+    print("# cell format: k_centroids/n_probe: recall@10, avg candidates/query, wall s")
+    for k_c in (8, 16, 32):
+        cents = _train_centroids(q, k_c, 5)
+        occ = {
+            r.centroid_id: r.n
+            for r in _km_argmax(q, cents)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        sizes = sorted(occ.get(c, 0) for c in range(k_c))
+        for frac_name, n_probe in (
+            ("1/8", max(1, k_c // 8)),
+            ("1/4", max(1, k_c // 4)),
+            ("1/2", max(1, k_c // 2)),
+        ):
+            t0 = _time.time()
+            got = sim.knn_ivf_trained(
+                embs,
+                n_queries=n_queries,
+                k=k,
+                n_centroids=k_c,
+                iters=5,
+                n_probe=n_probe,
+            ).collect()
+            dt = _time.time() - t0
+            by_q: dict[int, set] = {}
+            for r in got:
+                by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+            recall = float(
+                np.mean(
+                    [
+                        len(exact[qi] & by_q.get(qi, set())) / k
+                        for qi in range(n_queries)
+                    ]
+                )
+            )
+            # candidate rows scored per query = sum of probed bucket
+            # sizes (upper bound; probe choice varies per query, use
+            # mean bucket size x n_probe)
+            avg_cand = n_probe * (sum(sizes) / len(sizes))
+            print(
+                f"# [grid] k={k_c:2d} probe={n_probe:2d} ({frac_name}): "
+                f"recall@{k}={recall:.3f} avg_cand={avg_cand:,.0f} "
+                f"wall={dt:.1f}s bucket min/med/max="
+                f"{sizes[0]}/{sizes[len(sizes) // 2]}/{sizes[-1]}",
+                flush=True,
+            )
+
+
 def main() -> int:
     skewed = "--skewed" in sys.argv[1:]
+    grid = "--grid" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = (
         SparkSession.builder.master("local[16]")
@@ -259,6 +364,15 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if grid:
+        embs = build_grid_fixture(spark, "/tmp/grid_embeddings.parquet")
+        print(
+            f"# grid fixture: n={GRID_N} dim={SKEW_DIM} blobs={SKEW_BLOBS} "
+            f"noise={SKEW_NOISE} (ids unsorted)"
+        )
+        tuning_grid(spark, embs)
+        spark.stop()
+        return 0
     if skewed:
         embs = build_skewed_fixture(spark, "/tmp/skewed_embeddings.parquet")
         print(
