@@ -721,3 +721,95 @@ def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
         for r in range(n_merges)
     )
     return "".join(parts) + "\n" + selects
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def lm_score_stats(documents: DataFrame) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram LM scoring per document —
+    the integer-exact analogue of CCNet-style perplexity pruning
+    (Wenzek et al. 2020): documents whose token transitions are
+    improbable under a language model trained on the corpus itself are
+    outliers (boilerplate, garbled extractions, wrong-language
+    fragments) and get pruned or down-mixed.  Score = mean smoothed
+    conditional bigram probability in ppm,
+
+        p_ppm(w1 w2) = (c(w1 w2) + 1) * 1e6  DIV  (c(w1) + V)
+
+    averaged over the document's bigram TOKENS (not types) with one
+    final integer division — log-perplexity itself is deliberately NOT
+    computed: a float Σlog differs across engines in addition order and
+    libm ULPs, while this all-BIGINT rendering is bit-stable for the
+    oracle and order-preserving for ranking (higher = more fluent
+    under the corpus LM).  Documents with < 2 tokens have no bigrams
+    and are absent from the output.
+
+    Scale: two map-side-combined count shuffles (bigram and unigram
+    census — both vocabulary-sized results), then the scoring joins are
+    equi-joins of the corpus bigram stream against those
+    vocabulary-sized count tables (AQE broadcasts them when they fit)
+    and one map-side broadcast of the single-row vocab count.  No
+    floats, no driver-side data, no per-document Python."""
+    toks = tokens_col(F.lower(F.col("text")))
+    docs = documents.select("doc_id", toks.alias("toks"))
+    big = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        docs.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    return (
+        big.join(c12, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(c12 + 1) * 1000000 DIV (c1 + v)").alias("p_ppm"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_ppm").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("s DIV n_bigrams").alias("lm_score_ppm"),
+        )
+    )
+
+
+def lm_score_stats_sql() -> str:
+    toks_lower = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""WITH t AS (
+  SELECT doc_id, {toks_lower} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1
+       FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+v AS (SELECT COUNT(*) AS v FROM c1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM((c12 + 1) * 1000000 // (c1 + v)) // COUNT(*) AS BIGINT)
+         AS lm_score_ppm
+FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id"""

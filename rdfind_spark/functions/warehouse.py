@@ -805,3 +805,129 @@ def market_share_sql(
 SELECT o_year, nation_cents, total_cents,
        CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
 FROM agg"""
+
+
+# Q13-shape: priorities excluded from the per-customer order count
+CUSTDIST_EXCLUDE = "1-URGENT"
+
+
+def customer_distribution(
+    customer: DataFrame, orders: DataFrame, exclude: str = CUSTDIST_EXCLUDE
+) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly N qualifying orders — INCLUDING the
+    zero-order customers the outer join exists for (the reference's
+    star schema has no outer-join query; this is the classic shape a
+    warehouse user would bring).  Orders in the excluded priority class
+    don't count (Q13's "special requests" comment filter, re-keyed to
+    ``o_orderpriority`` since the synthetic schema carries no comment).
+
+    Plan discipline: the canonical formulation outer-joins the raw fact
+    table and THEN aggregates twice; here the orders side is aggregated
+    to (custkey, n) FIRST — one map-side-combined shuffle of the fact
+    table down to key-level — and the outer join runs customer ⟕
+    key-level counts, so the join input is |customers| + |customers
+    with orders| rows at any scale, never the raw order stream.  The
+    histogram re-aggregate is then histogram-sized."""
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != exclude)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def customer_distribution_sql(exclude: str = CUSTDIST_EXCLUDE) -> str:
+    return f"""SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COALESCE(o.n, 0) AS c_count
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n FROM orders
+    WHERE o_orderpriority <> '{exclude}' GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+) GROUP BY c_count"""
+
+
+# Q22-shape: market segments standing in for Q22's phone country codes
+OPPORTUNITY_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+# the "dormancy" predicate: no order in this priority class (the
+# synthetic order generator gives every customer SOME order, so Q22's
+# literal "never ordered" would be the empty set — re-keyed, same
+# anti-join shape, non-trivial output)
+OPPORTUNITY_DORMANT_PRIORITY = "1-URGENT"
+
+
+def sales_opportunity(
+    customer: DataFrame, orders: DataFrame, segments=OPPORTUNITY_SEGMENTS
+) -> DataFrame:
+    """Dormant rich customers (TPC-H Q22 shape): per market segment,
+    the count and total balance of customers whose account balance
+    exceeds the positive-balance average of the segment pool AND who
+    have no order in the urgent priority class — the scalar-subquery +
+    anti-join classic.  Segments stand in for Q22's phone country
+    codes, and "no urgent order" for "never ordered" (no phone column;
+    every synthetic customer has some order).
+
+    Exactness: balances are compared in integer cents, and the
+    above-average predicate is cross-multiplied
+    (``bal_cents * pool_n > pool_sum_cents``) so no division ever
+    happens — bit-identical across engines, no float average.
+
+    Plan discipline: the average is a single-row aggregate broadcast
+    into the scan (map-side predicate); the dormancy test is a
+    left-anti join against the DISTINCT qualifying custkeys — the fact
+    table collapses to key-level before the anti join, so the anti
+    probe is customer-sized vs distinct-buyer-sized at any scale."""
+    seg = F.col("c_mktsegment").isin(*segments)
+    cust = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents("c_acctbal").alias("bal_cents"),
+    ).filter(seg)
+    pool = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("pool_sum"), F.count("*").alias("pool_n")
+    )
+    buyers = (
+        orders.filter(
+            F.col("o_orderpriority") == OPPORTUNITY_DORMANT_PRIORITY
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pool))
+        .filter(F.col("bal_cents") * F.col("pool_n") > F.col("pool_sum"))
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+def sales_opportunity_sql(segments=OPPORTUNITY_SEGMENTS) -> str:
+    seg_list = ", ".join(f"'{s}'" for s in segments)
+    return f"""WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_mktsegment IN ({seg_list})
+),
+pool AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS pool_sum,
+         COUNT(*) AS pool_n
+  FROM cust WHERE bal_cents > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM cust CROSS JOIN pool
+WHERE bal_cents * pool_n > pool_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '{OPPORTUNITY_DORMANT_PRIORITY}')
+GROUP BY c_mktsegment"""

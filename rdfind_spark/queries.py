@@ -406,6 +406,19 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.bpe_encode_stats(_docs(spark, sf_dir))
 
 
+@register("docs_lm_score", corpus_stats.lm_score_stats_sql())
+def docs_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram LM scoring per document —
+    the integer-exact analogue of CCNet-style perplexity pruning
+    (documents improbable under a corpus LM are boilerplate/garbled
+    outliers).  Mean smoothed conditional bigram probability in ppm,
+    all BIGINT (a float Σlog would drift across engines in addition
+    order and libm ULPs; this rendering is bit-stable and
+    order-preserving for ranking).  Two vocabulary-sized count
+    shuffles + equi-joins of the bigram stream against them."""
+    return corpus_stats.lm_score_stats(_docs(spark, sf_dir))
+
+
 @register("text_pmi_bigrams", corpus_stats.pmi_bigrams_sql())
 def text_pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k collocations by PMI (exact scaled-integer probability
@@ -592,6 +605,28 @@ def warehouse_promo_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with the brand/size union pre-pushed to the dimension scan."""
     return warehouse.promo_band_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_custdist", warehouse.customer_distribution_sql())
+def warehouse_custdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer-distribution shape: the outer-join classic —
+    order-count histogram INCLUDING zero-order customers.  The fact
+    side aggregates to key-level before the left join (one
+    map-side-combined shuffle), so the outer join never sees the raw
+    order stream."""
+    return warehouse.customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_sales_opportunity", warehouse.sales_opportunity_sql())
+def warehouse_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 dormant-rich-customers shape: scalar-subquery average
+    (single-row broadcast, cross-multiplied so no division — exact
+    integer cents) + left-anti join against the DISTINCT buyer keys."""
+    return warehouse.sales_opportunity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
 
 
@@ -1154,19 +1189,25 @@ _BOARD_PRIORITY = [
     #   1-9: the nine r5-evidence deferrals — their only driver rows
     #        are CORRECTNESS_r05, which exits the window this round,
     #        so they MUST collect fresh rows now;
-    #   10-50: 41 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
+    #   10-12: this round's three new queries (evidence-gapped until
+    #        their first driver row);
+    #   13-50: 38 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
     #        rows exit the window at r9, so this board re-covers them,
-    #        minus NINE cheap unit-pinned deferrals that MUST lead the
-    #        round-9 board: text_redact, text_bigrams,
-    #        text_token_length_hist, docs_length_deciles,
-    #        docs_length_digest, docs_length_percentiles,
-    #        warehouse_pricing_summary, warehouse_promo_bands,
-    #        docs_cube_counts (unit pins: test_redact, the text-stats
-    #        tests in test_functions.py, the length-digest/percentile
-    #        tests, the pricing/promo warehouse tests, and
-    #        test_cube_counts_all_grouping_sets).
-    #   Steady state carries ~9 forward per round — sustainable
-    #   indefinitely at 109 registered vs 150 window slots.
+    #        minus TWELVE deferrals that MUST lead the round-9 board:
+    #        the nine cheap unit-pinned keys named in the precomputed
+    #        plan — text_redact, text_bigrams, text_token_length_hist,
+    #        docs_length_deciles, docs_length_digest,
+    #        docs_length_percentiles, warehouse_pricing_summary,
+    #        warehouse_promo_bands, docs_cube_counts (unit pins:
+    #        test_redact, the text-stats tests in test_functions.py,
+    #        the length-digest/percentile tests, the pricing/promo
+    #        warehouse tests, test_cube_counts_all_grouping_sets) —
+    #        plus the three tail keys displaced by the new queries:
+    #        embedding_rp_reduce, stream_anomalies, stream_sessions
+    #        (unit pins: the RP-reduce property test, the Welford
+    #        micro-batch parity test, the sessionizer property test).
+    #   Steady state carries ~12 forward per round — sustainable at
+    #   112 registered vs 150 window slots.
     "events_hourly_counts",
     "events_moving_window",
     "events_transitions",
@@ -1176,7 +1217,11 @@ _BOARD_PRIORITY = [
     "knn_ivf_pq",
     "knn_ivf_pq_recall",
     "warehouse_market_share",
-    # the r6 board minus the nine deferrals, in r6 order
+    # round-8 additions (first driver evidence needed)
+    "docs_lm_score",
+    "warehouse_custdist",
+    "warehouse_sales_opportunity",
+    # the r6 board minus the twelve deferrals, in r6 order
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",
     "stream_dedup_deliveries",
@@ -1215,9 +1260,6 @@ _BOARD_PRIORITY = [
     "knn_ivf_trained",
     "knn_ivf_trained_recall",
     "knn_hard_negatives",
-    "embedding_rp_reduce",
-    "stream_anomalies",
-    "stream_sessions",
 ]
 
 

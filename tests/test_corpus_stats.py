@@ -334,3 +334,28 @@ def test_bpe_odd_run_strands_exactly_one_residual(spark):
     assert [
         (r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows
     ] == [(0, "a", "a", 4), (1, "aa", "a", 1), (2, "aa", "aaa", 1)]
+
+
+def test_lm_score_hand_checked(spark):
+    # corpus "a b a b" + "a c": unigrams a=3 b=2 c=1, V=3.
+    # p(b|a) = (c(a b)+1)*1e6 DIV (c(a)+V) = 3*1e6 DIV 6 = 500000
+    # p(a|b) = 2*1e6 DIV 5 = 400000 ; p(c|a) = 2*1e6 DIV 6 = 333333
+    # doc0 bigram tokens: (a,b) (b,a) (a,b) -> 1400000 DIV 3 = 466666
+    # doc1: (a,c) -> 333333
+    df = _docs(spark, ["a b a b", "a c"])
+    out = {
+        r.doc_id: (r.n_bigrams, r.lm_score_ppm)
+        for r in corpus_stats.lm_score_stats(df).collect()
+    }
+    assert out == {0: (3, 466666), 1: (1, 333333)}
+
+
+def test_lm_score_skips_single_token_docs_and_lowercases(spark):
+    df = _docs(spark, ["Hello hello HELLO", "x"])
+    out = {
+        r.doc_id: (r.n_bigrams, r.lm_score_ppm)
+        for r in corpus_stats.lm_score_stats(df).collect()
+    }
+    # "x" has no bigrams -> absent; casing folds: unigrams hello=3 x=1
+    # V=2, c(hello hello)=2 -> p = 3*1e6 DIV 5 = 600000 for both tokens
+    assert out == {0: (2, 600000)}

@@ -252,3 +252,81 @@ def test_promo_band_revenue_or_of_ands(spark):
     )
     rows = warehouse.promo_band_revenue(lineitem, part).collect()
     assert [(r.n_lines, r.revenue_cents) for r in rows] == [(2, 14000)]
+
+
+def test_customer_distribution_counts_zero_order_customers(spark):
+    customer = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="a", c_nationkey=1, c_acctbal=0.0,
+                c_mktsegment="BUILDING"),
+            Row(c_custkey=2, c_name="b", c_nationkey=1, c_acctbal=0.0,
+                c_mktsegment="BUILDING"),
+            Row(c_custkey=3, c_name="c", c_nationkey=1, c_acctbal=0.0,
+                c_mktsegment="BUILDING"),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [
+            # cust 1: two counted + one excluded-priority order
+            Row(o_orderkey=10, o_custkey=1, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-01"),
+                o_orderpriority="5-LOW"),
+            Row(o_orderkey=11, o_custkey=1, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-02"),
+                o_orderpriority="5-LOW"),
+            Row(o_orderkey=12, o_custkey=1, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-03"),
+                o_orderpriority="1-URGENT"),
+            # cust 2: only an excluded order -> counts as zero
+            Row(o_orderkey=13, o_custkey=2, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-04"),
+                o_orderpriority="1-URGENT"),
+            # cust 3: no orders at all -> zero via the outer join
+        ],
+    )
+    out = {
+        r.c_count: r.custdist
+        for r in warehouse.customer_distribution(customer, orders).collect()
+    }
+    assert out == {2: 1, 0: 2}
+
+
+def test_sales_opportunity_above_avg_and_no_urgent(spark):
+    # pool = positive balances in qualifying segments: 100.00 (cust 1,
+    # BUILDING), 300.00 (cust 2, BUILDING), 250.00 (cust 3, MACHINERY)
+    # -> avg 216.67 (cust 4's FURNITURE doesn't qualify; cust 5's
+    # negative balance joins the comparison set but not the pool).
+    # Above average: cust 2 (300) and cust 3 (250); cust 3 has an
+    # URGENT order so the anti join drops it -> only cust 2 reported.
+    customer = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="a", c_nationkey=1, c_acctbal=100.0,
+                c_mktsegment="BUILDING"),
+            Row(c_custkey=2, c_name="b", c_nationkey=1, c_acctbal=300.0,
+                c_mktsegment="BUILDING"),
+            Row(c_custkey=3, c_name="c", c_nationkey=1, c_acctbal=250.0,
+                c_mktsegment="MACHINERY"),
+            Row(c_custkey=4, c_name="d", c_nationkey=1, c_acctbal=900.0,
+                c_mktsegment="FURNITURE"),
+            Row(c_custkey=5, c_name="e", c_nationkey=1, c_acctbal=-50.0,
+                c_mktsegment="BUILDING"),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=10, o_custkey=3, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-01"),
+                o_orderpriority="1-URGENT"),
+            Row(o_orderkey=11, o_custkey=2, o_orderstatus="O",
+                o_totalprice=1.0, o_orderdate=_ts("1995-01-02"),
+                o_orderpriority="5-LOW"),
+        ],
+    )
+    # cross-multiplied: pool sum 65000 cents, n=3; cust2 30000*3 =
+    # 90000 > 65000 kept; cust3 25000*3 = 75000 > 65000 but urgent;
+    # cust1 10000*3 = 30000 < 65000 below.
+    out = [
+        (r.c_mktsegment, r.n_custs, r.total_bal_cents)
+        for r in warehouse.sales_opportunity(customer, orders).collect()
+    ]
+    assert out == [("BUILDING", 1, 30000)]
