@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "docs_dup_ngram_fraction",
     "dedup_pair_triangles",
     "text_bpe_encode",
+    "docs_lm_score",
+    "warehouse_custdist",
+    "warehouse_sales_opportunity",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
