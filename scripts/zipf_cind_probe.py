@@ -35,7 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from zipf_fixture import ABLATE, DEPTH, PARITY, generate  # noqa: E402
+from zipf_fixture import ABLATE, DEPTH, OVERFLOW, PARITY, generate  # noqa: E402
 
 CIND_COLS = [
     "dep_code",
@@ -232,6 +232,67 @@ def ablate(tmp: str) -> int:
     return 0
 
 
+def overflow(tmp: str) -> int:
+    """Trip the mask-cap overflow path at its REAL threshold: ~5,200
+    hot lines > MAX_HOT_MASK=4096, so the 4,096 hottest get bitmasks
+    and the remainder flows through the salted-join overflow branch.
+    Equivalence check: the same discovery with MAX_HOT_MASK raised past
+    the line count (all lines masked, overflow branch dormant) must
+    produce the identical overlap result — two genuinely different
+    code paths over ~10^9 hot pair-products agreeing row-for-row."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.operators import cind as cind_mod
+
+    path = f"{tmp}/overflow.parquet"
+    n = generate(path, **OVERFLOW)
+    spark = _session()
+    triples = spark.read.parquet(path)
+    census = hot_census(triples)
+    print(f"# overflow fixture: {n} triples, census: {census}", flush=True)
+    assert census["n_overflow_lines"] > 0, (
+        f"fixture must exceed MAX_HOT_MASK={cind_mod.MAX_HOT_MASK} hot "
+        f"lines, got {census['n_hot_lines']}"
+    )
+    dt_ov, rows_ov, out_ov = _timed_discover(triples, minimal=False)
+    h_ov = out_ov.select(
+        F.sum(F.xxhash64(*CIND_COLS)).alias("h")
+    ).collect()[0].h
+    print(
+        f"# capped (overflow path LIVE): {rows_ov} rows in {dt_ov:.1f}s",
+        flush=True,
+    )
+    spark.catalog.clearCache()
+    saved = cind_mod.MAX_HOT_MASK
+    cind_mod.MAX_HOT_MASK = 1 << 20  # everything masked, overflow dormant
+    try:
+        dt_all, rows_all, out_all = _timed_discover(triples, minimal=False)
+        h_all = out_all.select(
+            F.sum(F.xxhash64(*CIND_COLS)).alias("h")
+        ).collect()[0].h
+    finally:
+        cind_mod.MAX_HOT_MASK = saved
+    print(
+        f"# uncapped (all {census['n_hot_lines']} lines masked): "
+        f"{rows_all} rows in {dt_all:.1f}s",
+        flush=True,
+    )
+    if (rows_ov, h_ov) != (rows_all, h_all):
+        print(
+            f"MISMATCH: capped ({rows_ov}, {h_ov}) != "
+            f"uncapped ({rows_all}, {h_all})"
+        )
+        return 1
+    print(
+        f"# SUMMARY overflow: {census['n_overflow_lines']} lines past the "
+        f"mask cap handled by the salted branch; capped {dt_ov:.1f}s vs "
+        f"all-masked {dt_all:.1f}s; results identical "
+        f"(rows + value hash)",
+        flush=True,
+    )
+    return 0
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "--parity"
     with tempfile.TemporaryDirectory(prefix="zipf_cind_") as tmp:
@@ -241,7 +302,12 @@ def main() -> int:
             return depth(tmp)
         if mode == "--ablate":
             return ablate(tmp)
-        print(f"unknown mode {mode}; use --parity | --depth | --ablate")
+        if mode == "--overflow":
+            return overflow(tmp)
+        print(
+            f"unknown mode {mode}; use --parity | --depth | --ablate "
+            "| --overflow"
+        )
         return 2
 
 

@@ -44,6 +44,12 @@ import pyarrow.parquet as pq
 PARITY = dict(n_subj=4000, n_values=8000, n_celeb=40)
 DEPTH = dict(n_subj=200_000, n_values=200_000, n_celeb=400, n_hub=6)
 ABLATE = dict(n_subj=20_000, n_values=20_000, n_celeb=100, n_hub=6)
+# many-medium-hubs tier: ~5200 uniform hub values of mean width ~690 —
+# every line hot, count far past MAX_HOT_MASK=4096, so the mask-cap
+# overflow (salted) path runs at its REAL threshold
+OVERFLOW = dict(
+    n_subj=100_000, n_values=5_200, n_hub=36, n_celeb=0, uniform=True
+)
 
 
 def zipf_probs(n_values: int, s: float) -> np.ndarray:
