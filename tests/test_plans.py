@@ -238,3 +238,43 @@ def test_promo_bands_brand_union_pushes_to_part_scan(spark, sf_dir):
     p = plan_of(q)
     assert "In(p_brand" in p, "brand union must push to the part scan"
     assert "BroadcastHashJoin" in p
+
+
+def test_custdist_aggregates_fact_before_outer_join(spark, sf_dir):
+    """Q13 shape: the orders fact must collapse to key-level counts
+    BEFORE the left outer join (aggregate below the join in the plan),
+    and the key-level side broadcasts — the outer join never sees the
+    raw order stream."""
+    from rdfind_spark.functions.warehouse import customer_distribution
+
+    q = customer_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+    p = plan_of(q, "simple")
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    # the aggregate over o_custkey sits below the join in the tree:
+    # the join's build side is the aggregated relation, not the raw
+    # orders scan
+    assert p.index("LeftOuter") < p.index("HashAggregate(keys=[o_custkey")
+    # priority filter pushed to the orders scan
+    assert "o_orderpriority" in p
+
+
+def test_sales_opportunity_anti_join_and_single_row_pool(spark, sf_dir):
+    """Q22 shape: dormancy is a LeftAnti against the DISTINCT
+    qualifying custkeys (aggregate below the anti join), the pool
+    average is a single-row broadcast, and the segment filter pushes
+    to the customer scan."""
+    from rdfind_spark.functions.warehouse import sales_opportunity
+
+    q = sales_opportunity(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+    p = plan_of(q)
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row pool cross join
+    # the anti build side is the distinct keys, not the raw orders scan
+    assert p.count("orders.parquet") == 1
+    assert "In(c_mktsegment" in p, "segment filter must push to scan"
