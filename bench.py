@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "docs_lm_score",
     "warehouse_custdist",
     "warehouse_sales_opportunity",
+    "dedup_shingle_cosine",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs

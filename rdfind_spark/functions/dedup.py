@@ -159,6 +159,120 @@ JOIN sizes sb ON common.b_id = sb.doc_id
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
 
 
+COSINE_PAIR_MIN_PPM = 250_000  # cos >= 0.5 <=> cos^2 >= 0.25
+
+
+def shingle_cosine_pairs(
+    documents: "DataFrame",
+    min_cos2_ppm: int = COSINE_PAIR_MIN_PPM,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> "DataFrame":
+    """Near-duplicate pairs by WEIGHTED sparse cosine over k-token
+    shingle count vectors — the tf-weighted counterpart of
+    ``ngram_jaccard_pairs`` (sets weigh a repeated shingle once; count
+    vectors weigh repetition, so boilerplate-heavy near-dups that
+    Jaccard under-scores surface here).  The measure is defined over
+    the stopword-capped vector space: shingles in more than
+    ``max_shingle_docs`` documents are dropped from BOTH the dot
+    product and the norms (self-consistent — identical documents still
+    score cos = 1), exactly as the oracle does.
+
+    Exactness: the score is cos^2 in ppm via integer
+    cross-multiplication, ``dot^2 * 1e6 DIV (|a|^2 * |b|^2)`` — no
+    sqrt, no floats, bit-stable across engines and monotone in cosine
+    for ranking/thresholding.  Overflow-safe: ppm numerators stay
+    <= ~1e12 at document-scale counts, far under 2^63 (shingle tf and
+    norms are doc-length-bounded, not corpus-bounded).
+
+    Scale: same inverted-index self-join shape as the Jaccard path —
+    one (shingle, doc) shuffle, the hot-shingle cap bounds every
+    posting list so the pair explosion is probe-linear, and the norm
+    tables are corpus-sized single rows per doc (AQE picks the build
+    side)."""
+    toks = tokens_col(F.col("text"))
+    sh_all = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    wsh = (
+        documents.select("doc_id", F.explode(sh_all).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+    hot = (
+        wsh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_docs)
+    )
+    cold = wsh.join(
+        F.broadcast(hot.select("shingle")), on="shingle", how="left_anti"
+    )
+    n2 = cold.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = cold.select(
+        "shingle", F.col("doc_id").alias("a_id"), F.col("tf").alias("a_tf")
+    )
+    b = cold.select(
+        "shingle", F.col("doc_id").alias("b_id"), F.col("tf").alias("b_tf")
+    )
+    dots = (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("a_tf") * F.col("b_tf")).alias("dot"))
+    )
+    na = n2.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("a_n2"))
+    nb = n2.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("b_n2"))
+    return (
+        dots.join(na, on="a_id")
+        .join(nb, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "dot",
+            F.expr("dot * dot * 1000000 DIV (a_n2 * b_n2)").alias(
+                "cos2_ppm"
+            ),
+        )
+        .filter(F.col("cos2_ppm") >= min_cos2_ppm)
+    )
+
+
+def shingle_cosine_pairs_sql(
+    min_cos2_ppm: int = COSINE_PAIR_MIN_PPM,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> str:
+    return f"""WITH wsh AS MATERIALIZED (
+  SELECT doc_id, shingle, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(toks) - {k - 2}, 2)),
+        i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+  ) GROUP BY doc_id, shingle
+),
+hot AS (SELECT shingle FROM wsh GROUP BY shingle
+        HAVING COUNT(*) > {max_shingle_docs}),
+cold AS (SELECT * FROM wsh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+n2 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+       FROM cold GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, dot,
+       CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_ppm
+FROM dots
+JOIN n2 na ON dots.a_id = na.doc_id
+JOIN n2 nb ON dots.b_id = nb.doc_id
+WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= {min_cos2_ppm}"""
+
+
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash signature per document: min over shingles
     of md5(i || ':' || shingle) for i in 0..k-1.

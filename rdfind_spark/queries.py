@@ -249,6 +249,17 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@register("dedup_shingle_cosine", dedup.shingle_cosine_pairs_sql())
+def dedup_shingle_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by WEIGHTED sparse cosine over shingle count
+    vectors — the tf-weighted counterpart of dedup_ngram_jaccard
+    (repetition-heavy near-dups Jaccard under-scores surface here).
+    Score is cos^2 in ppm via integer cross-multiplication (no sqrt,
+    no floats — bit-stable, monotone in cosine); same inverted-index
+    + hot-shingle-cap join shape."""
+    return dedup.shingle_cosine_pairs(_docs(spark, sf_dir))
+
+
 @register("dedup_minhash_lsh", dedup.minhash_lsh_pairs_sql())
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard."""
@@ -1189,11 +1200,11 @@ _BOARD_PRIORITY = [
     #   1-9: the nine r5-evidence deferrals — their only driver rows
     #        are CORRECTNESS_r05, which exits the window this round,
     #        so they MUST collect fresh rows now;
-    #   10-12: this round's three new queries (evidence-gapped until
+    #   10-13: this round's four new queries (evidence-gapped until
     #        their first driver row);
-    #   13-50: 38 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
+    #   14-50: 37 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
     #        rows exit the window at r9, so this board re-covers them,
-    #        minus TWELVE deferrals that MUST lead the round-9 board:
+    #        minus THIRTEEN deferrals that MUST lead the round-9 board:
     #        the nine cheap unit-pinned keys named in the precomputed
     #        plan — text_redact, text_bigrams, text_token_length_hist,
     #        docs_length_deciles, docs_length_digest,
@@ -1202,12 +1213,13 @@ _BOARD_PRIORITY = [
     #        test_redact, the text-stats tests in test_functions.py,
     #        the length-digest/percentile tests, the pricing/promo
     #        warehouse tests, test_cube_counts_all_grouping_sets) —
-    #        plus the three tail keys displaced by the new queries:
-    #        embedding_rp_reduce, stream_anomalies, stream_sessions
-    #        (unit pins: the RP-reduce property test, the Welford
-    #        micro-batch parity test, the sessionizer property test).
-    #   Steady state carries ~12 forward per round — sustainable at
-    #   112 registered vs 150 window slots.
+    #        plus the four tail keys displaced by the new queries:
+    #        embedding_rp_reduce, stream_anomalies, stream_sessions,
+    #        knn_hard_negatives (unit pins: the RP-reduce property
+    #        test, the Welford micro-batch parity test, the
+    #        sessionizer property test, the hard-negative label test).
+    #   Steady state carries ~13 forward per round — sustainable at
+    #   113 registered vs 150 window slots.
     "events_hourly_counts",
     "events_moving_window",
     "events_transitions",
@@ -1221,6 +1233,7 @@ _BOARD_PRIORITY = [
     "docs_lm_score",
     "warehouse_custdist",
     "warehouse_sales_opportunity",
+    "dedup_shingle_cosine",
     # the r6 board minus the twelve deferrals, in r6 order
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",
@@ -1259,7 +1272,6 @@ _BOARD_PRIORITY = [
     "docs_dsir_weights",
     "knn_ivf_trained",
     "knn_ivf_trained_recall",
-    "knn_hard_negatives",
 ]
 
 

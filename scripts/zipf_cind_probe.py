@@ -254,9 +254,14 @@ def overflow(tmp: str) -> int:
         f"fixture must exceed MAX_HOT_MASK={cind_mod.MAX_HOT_MASK} hot "
         f"lines, got {census['n_hot_lines']}"
     )
+    # guard against the degenerate-deep regime (see the OVERFLOW
+    # params comment): a wide deep class makes part-2 enumerate the
+    # whole hot pair-product — tens of GB of shuffle, not the overflow
+    # branch this probe exists to measure
+    assert census["n_deep_captures"] < 1000, census
     dt_ov, rows_ov, out_ov = _timed_discover(triples, minimal=False)
     h_ov = out_ov.select(
-        F.sum(F.xxhash64(*CIND_COLS)).alias("h")
+        F.expr(f"bit_xor(xxhash64({', '.join(CIND_COLS)}))").alias("h")
     ).collect()[0].h
     print(
         f"# capped (overflow path LIVE): {rows_ov} rows in {dt_ov:.1f}s",
@@ -268,7 +273,7 @@ def overflow(tmp: str) -> int:
     try:
         dt_all, rows_all, out_all = _timed_discover(triples, minimal=False)
         h_all = out_all.select(
-            F.sum(F.xxhash64(*CIND_COLS)).alias("h")
+            F.expr(f"bit_xor(xxhash64({', '.join(CIND_COLS)}))").alias("h")
         ).collect()[0].h
     finally:
         cind_mod.MAX_HOT_MASK = saved

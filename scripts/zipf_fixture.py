@@ -44,11 +44,16 @@ import pyarrow.parquet as pq
 PARITY = dict(n_subj=4000, n_values=8000, n_celeb=40)
 DEPTH = dict(n_subj=200_000, n_values=200_000, n_celeb=400, n_hub=6)
 ABLATE = dict(n_subj=20_000, n_values=20_000, n_celeb=100, n_hub=6)
-# many-medium-hubs tier: ~5200 uniform hub values of mean width ~690 —
-# every line hot, count far past MAX_HOT_MASK=4096, so the mask-cap
-# overflow (salted) path runs at its REAL threshold
+# many-medium-hubs tier: ~4800 uniform hub values of mean width ~570 —
+# nearly every line hot, count past MAX_HOT_MASK=4096, so the mask-cap
+# overflow (salted) path runs at its REAL threshold.  n_hub=8 < the
+# min_overlap of 10 keeps subject captures OUT of the deep class (the
+# first cut of this fixture used n_hub=36, which made all 100k subject
+# captures deep and degenerated part-2 into enumerating the entire
+# 2.9B hot pair-product — 60+ GB of shuffle; the deep class here is
+# just the ~8 per-predicate captures)
 OVERFLOW = dict(
-    n_subj=100_000, n_values=5_200, n_hub=36, n_celeb=0, uniform=True
+    n_subj=340_000, n_values=4_800, n_hub=8, n_celeb=0, uniform=True
 )
 
 

@@ -71,6 +71,34 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert abs(pairs[0]["jaccard"] - len(a & b) / len(a | b)) < 1e-6
 
 
+def test_shingle_cosine_hand_checked_weights(spark):
+    # doc0 "a b c" x3: shingles abc x3, bca x2, cab x2 -> |v|^2 = 17
+    # doc1: abc x2, bca, cab, bcd, cdd, ddd -> |v|^2 = 9
+    # dot = 3*2 + 2*1 + 2*1 = 10 -> cos^2 = 100/153 -> 653594 ppm
+    df = _docs(spark, ["a b c a b c a b c", "a b c a b c d d d", "z y x w v u t"])
+    rows = dedup.shingle_cosine_pairs(df, min_cos2_ppm=1).collect()
+    assert [(r.a_id, r.b_id, r.dot, r.cos2_ppm) for r in rows] == [
+        (0, 1, 10, 653594)
+    ]
+    # weighting matters: set Jaccard on the same pair is |{abc,bca,cab}|
+    # over |{abc,bca,cab,bcd,cdd,ddd}| = 0.5 — the count-vector cosine
+    # scores the repetition-aligned pair higher (0.808 vs 0.5)
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    j = {(r.a_id, r.b_id): r.jaccard for r in jac}[(0, 1)]
+    assert abs(j - 0.5) < 1e-6
+
+
+def test_shingle_cosine_hot_cap_drops_stopword_shingles(spark):
+    # "s s s" appears in every doc -> df over the cap -> dropped from
+    # dot AND norms; the residual vectors share nothing
+    docs = [f"s s s s u{i} v{i} w{i}" for i in range(5)]
+    df = _docs(spark, docs)
+    rows = dedup.shingle_cosine_pairs(
+        df, min_cos2_ppm=1, max_shingle_docs=3
+    ).collect()
+    assert rows == []
+
+
 def test_minhash_lsh_agrees_with_exact_on_dups(spark):
     base = " ".join(f"w{i}" for i in range(40))
     near = base + " tail"
