@@ -1161,6 +1161,17 @@ def stream_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- multimodal
 
 
+@register("multimodal_audio_stats", multimodal.audio_clip_stats_sql())
+def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio path completing the multimodal triad: byte-
+    valid WAV clips (RIFF header literal + JVM-assembled PCM body,
+    incl. an odd-size LIST chunk exercising RIFF word alignment) →
+    real chunk-walk decode (mapInPandas, shuffle-free) → PCM amplitude
+    sum.  The oracle recomputes the synthesis arithmetic, so a wrong
+    header offset, chunk stride, or sample decode breaks the hash."""
+    return multimodal.audio_clip_stats(_docs(spark, sf_dir))
+
+
 @register("multimodal_features", multimodal.multimodal_features_sql())
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload plumbing + Arrow-batched feature extraction
@@ -1200,11 +1211,11 @@ _BOARD_PRIORITY = [
     #   1-9: the nine r5-evidence deferrals — their only driver rows
     #        are CORRECTNESS_r05, which exits the window this round,
     #        so they MUST collect fresh rows now;
-    #   10-13: this round's four new queries (evidence-gapped until
+    #   10-14: this round's five new queries (evidence-gapped until
     #        their first driver row);
-    #   14-50: 37 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
+    #   15-50: 36 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
     #        rows exit the window at r9, so this board re-covers them,
-    #        minus THIRTEEN deferrals that MUST lead the round-9 board:
+    #        minus FOURTEEN deferrals that MUST lead the round-9 board:
     #        the nine cheap unit-pinned keys named in the precomputed
     #        plan — text_redact, text_bigrams, text_token_length_hist,
     #        docs_length_deciles, docs_length_digest,
@@ -1213,13 +1224,14 @@ _BOARD_PRIORITY = [
     #        test_redact, the text-stats tests in test_functions.py,
     #        the length-digest/percentile tests, the pricing/promo
     #        warehouse tests, test_cube_counts_all_grouping_sets) —
-    #        plus the four tail keys displaced by the new queries:
+    #        plus the five tail keys displaced by the new queries:
     #        embedding_rp_reduce, stream_anomalies, stream_sessions,
-    #        knn_hard_negatives (unit pins: the RP-reduce property
-    #        test, the Welford micro-batch parity test, the
-    #        sessionizer property test, the hard-negative label test).
-    #   Steady state carries ~13 forward per round — sustainable at
-    #   113 registered vs 150 window slots.
+    #        knn_hard_negatives, knn_ivf_trained_recall (unit pins:
+    #        the RP-reduce property test, the Welford micro-batch
+    #        parity test, the sessionizer property test, the
+    #        hard-negative label test, the trained-IVF recall pin).
+    #   Steady state carries ~14 forward per round — sustainable at
+    #   114 registered vs 150 window slots.
     "events_hourly_counts",
     "events_moving_window",
     "events_transitions",
@@ -1234,6 +1246,7 @@ _BOARD_PRIORITY = [
     "warehouse_custdist",
     "warehouse_sales_opportunity",
     "dedup_shingle_cosine",
+    "multimodal_audio_stats",
     # the r6 board minus the twelve deferrals, in r6 order
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",
@@ -1271,7 +1284,6 @@ _BOARD_PRIORITY = [
     "docs_span_dedup",
     "docs_dsir_weights",
     "knn_ivf_trained",
-    "knn_ivf_trained_recall",
 ]
 
 

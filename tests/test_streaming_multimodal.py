@@ -683,3 +683,54 @@ def test_run_available_now_single_batch_contract_raises(spark, sf_dir, tmp_path)
             multi, "single_batch_violation", output_mode="append",
             expect_single_data_batch=True,
         )
+
+
+def test_parse_wav_real_chunk_walker():
+    """The WAV decoder must be a real RIFF chunk walker: chunks in any
+    order, unknown chunks skipped, ODD chunk sizes padded to word
+    boundaries, 8- and 16-bit PCM decoded, non-PCM refused."""
+    import struct
+
+    import pytest as _pytest
+
+    from rdfind_spark.functions import multimodal as m
+
+    # the pipeline's own header carries an odd-size LIST chunk
+    payload = m._wav_header(1000) + bytes([40] * 500 + [60] * 500)
+    assert m.parse_wav(payload) == (8000, 1, 8, 1000, 50_000)
+
+    # 16-bit signed PCM, chunks reordered (data before fmt)
+    fmt16 = struct.pack("<IHHIIHH", 16, 1, 1, 44_100, 88_200, 2, 16)
+    data = struct.pack("<4h", -1, 2, -3, 4)
+    p16 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(data) + 8 + len(fmt16))
+        + b"WAVE"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + fmt16
+    )
+    assert m.parse_wav(p16) == (44_100, 1, 16, 4, 2)
+
+    # IEEE-float WAV (format 3) is a documented env limitation
+    fmtf = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32_000, 4, 32)
+    pf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtf) + 8) + b"WAVE"
+        + b"fmt " + fmtf + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        m.parse_wav(pf)
+    with _pytest.raises(ValueError):
+        m.parse_wav(b"not a wav at all")
+
+
+def test_audio_clip_stats_end_to_end(spark, sf_dir):
+    from rdfind_spark.functions import multimodal as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(7)
+    rows = {r.doc_id: r for r in m.audio_clip_stats(docs).collect()}
+    assert len(rows) == 7
+    for doc_id, r in rows.items():
+        a = 32 + (doc_id * 13) % 95
+        b = 32 + (doc_id * 29) % 95
+        assert (r.sample_rate, r.n_channels, r.bits_per_sample) == (8000, 1, 8)
+        assert r.n_samples == 2 * m.AUDIO_SEG
+        assert r.amp_sum == m.AUDIO_SEG * (a + b)
