@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Benchmark the queries that dominate real workloads; census one-liners
 # add noise without information. Keep flagship first (cache warm-up is
-# NOT shared: each query reads parquet fresh).
+# NOT shared: each query reads parquet fresh).  Round 8 dropped the
+# seven sub-second events/multimodal entries (0.3-0.7s each, pure
+# session overhead at sf0.1 — tracked nothing) to keep the worst-case
+# JSON line inside the driver's ~2 KB tail capture as the list grows;
+# their correctness evidence lives on the driver board, not here.
 BENCH_QUERIES = [
     "cind_minimal",
     "cind_small_to_large",
@@ -50,13 +54,6 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dedup_incremental",
     "embedding_kmeans",
-    "events_sessionize",
-    "events_hourly_counts",
-    "events_asof_join",
-    "events_range_join",
-    "events_moving_window",
-    "events_transitions",
-    "multimodal_features",
     "text_fingerprints",
     "text_tfidf_keywords",
     "text_bigrams",
