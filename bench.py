@@ -82,8 +82,9 @@ BENCH_QUERIES = [
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
 # whose one bad draw on a ±40% VM reads as a fake regression next
 # round — round-6 verdict item 6; graph_components joined as the
-# largest remaining single-run at ~20s).  At observed sf0.1 costs the
-# full repeat is ~440s; the budget default covers it with headroom.
+# largest remaining single-run at ~20s, dedup_shingle_cosine at round 8
+# as a ~10s single-run).  At observed sf0.1 costs the full repeat is
+# ~450s; the budget default covers it with headroom.
 HEAVY_QUERIES = {
     "cind_minimal",
     "cind_small_to_large",
@@ -94,6 +95,7 @@ HEAVY_QUERIES = {
     "graph_pagerank",
     "graph_components",
     "dedup_ngram_jaccard",
+    "dedup_shingle_cosine",
     "knn_ivf_pq_trained",
     "association_rules",
 }

@@ -745,12 +745,15 @@ def lm_score_stats(documents: DataFrame) -> DataFrame:
     under the corpus LM).  Documents with < 2 tokens have no bigrams
     and are absent from the output.
 
-    Scale: two map-side-combined count shuffles (bigram and unigram
-    census — both vocabulary-sized results), then the scoring joins are
-    equi-joins of the corpus bigram stream against those
-    vocabulary-sized count tables (AQE broadcasts them when they fit)
-    and one map-side broadcast of the single-row vocab count.  No
-    floats, no driver-side data, no per-document Python."""
+    Scale: the bigram stream is first collapsed to per-document TYPE
+    counts (one map-side-combined shuffle) — p_ppm is constant per
+    (w1, w2), so scoring joins run at per-doc-type cardinality, not
+    token-stream cardinality, and the global bigram census is a
+    second cheap aggregate OF that table (no second scan).  The
+    scoring joins are then equi-joins against vocabulary-sized count
+    tables (AQE broadcasts them when they fit) plus one map-side
+    broadcast of the single-row vocab count.  No floats, no
+    driver-side data, no per-document Python."""
     toks = tokens_col(F.lower(F.col("text")))
     docs = documents.select("doc_id", toks.alias("toks"))
     big = (
@@ -769,7 +772,8 @@ def lm_score_stats(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bd = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    c12 = bd.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     uni = (
         docs.select(F.explode("toks").alias("w1"))
         .groupBy("w1")
@@ -777,15 +781,16 @@ def lm_score_stats(documents: DataFrame) -> DataFrame:
     )
     vocab = uni.agg(F.count("*").alias("v"))
     return (
-        big.join(c12, on=["w1", "w2"])
+        bd.join(c12, on=["w1", "w2"])
         .join(uni, on="w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.expr("(c12 + 1) * 1000000 DIV (c1 + v)").alias("p_ppm"),
+            "n",
+            F.expr("n * ((c12 + 1) * 1000000 DIV (c1 + v))").alias("p_ppm"),
         )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("p_ppm").alias("s"))
+        .agg(F.sum("n").alias("n_bigrams"), F.sum("p_ppm").alias("s"))
         .select(
             "doc_id",
             "n_bigrams",
