@@ -3,7 +3,8 @@
 copies of the sf0.1 triple view, each copy value-prefixed so copies
 share no values (output must scale exactly ×N — checked).
 
-Usage: python scripts/scale_probe.py [--staged|--dedup|--ann|--triangles] [N ...]
+Usage: python scripts/scale_probe.py
+       [--staged|--dedup|--ann|--triangles|--cosine] [N ...]
 (default N: 1 2 4)
 
 ``--staged`` probes the SmallToLarge staged lattice
@@ -66,12 +67,16 @@ def main() -> int:
     dedup = "--dedup" in sys.argv[1:]
     ann = "--ann" in sys.argv[1:]
     triangles = "--triangles" in sys.argv[1:]
+    cosine = "--cosine" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--staged", "--dedup", "--ann", "--triangles", "--half-base")
+        if a not in ("--staged", "--dedup", "--ann", "--triangles",
+                     "--cosine", "--half-base")
     ]
+    if cosine:
+        return _cosine_probe([int(a) for a in args] or [1, 2, 4])
     if triangles:
         return _triangle_probe([int(a) for a in args] or [1, 2, 4])
     if ann:
@@ -169,6 +174,61 @@ def _dedup_probe(ns) -> int:
         docs = reduce(lambda a, b: a.unionByName(b), copies)
         t0 = time.time()
         rows = ngram_jaccard_pairs(docs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# {n}x: {dt:.1f}s pairs={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _cosine_probe(ns) -> int:
+    """Disjoint-copy ladder for the weighted shingle-cosine near-dup
+    pairs: same per-copy token prefixing as --dedup (shingle spaces
+    disjoint across copies), so the pair set must scale exactly xN
+    (checked) and the inverted-index join should scale ~ linearly —
+    its bound is the posting-list products, and prefixed copies add
+    lists without widening any."""
+    from rdfind_spark.functions.dedup import shingle_cosine_pairs
+    from rdfind_spark.functions.text import tokens_col
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    shingle_cosine_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        def _prefixed(i: int):
+            pfx = F.lit(f"c{i}|")
+            return F.array_join(
+                F.transform(tokens_col(F.col("text")), lambda t: F.concat(pfx, t)),
+                " ",
+            ).alias("text")
+
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                _prefixed(i),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(n)
+        ]
+        docs = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        rows = shingle_cosine_pairs(docs).count()
         dt = time.time() - t0
         results[n] = (dt, rows)
         print(f"# {n}x: {dt:.1f}s pairs={rows}", flush=True)
