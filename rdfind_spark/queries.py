@@ -425,8 +425,9 @@ def docs_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers).  Mean smoothed conditional bigram probability in ppm,
     all BIGINT (a float Σlog would drift across engines in addition
     order and libm ULPs; this rendering is bit-stable and
-    order-preserving for ranking).  Two vocabulary-sized count
-    shuffles + equi-joins of the bigram stream against them."""
+    order-preserving for ranking).  Scored at per-document bigram-TYPE
+    cardinality (p_ppm is constant per (w1, w2)), with the global
+    census derived from the same type table — see lm_score_stats."""
     return corpus_stats.lm_score_stats(_docs(spark, sf_dir))
 
 
