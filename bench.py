@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "warehouse_sales_opportunity",
     "dedup_shingle_cosine",
     "multimodal_audio_stats",
+    "docs_dup_spans",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs

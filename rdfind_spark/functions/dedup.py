@@ -25,7 +25,7 @@ All content hashing is md5 (bit-identical in Spark and DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdfind_spark.functions.text import tokens_col
@@ -157,6 +157,139 @@ FROM common
 JOIN sizes sa ON common.a_id = sa.doc_id
 JOIN sizes sb ON common.b_id = sb.doc_id
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
+
+
+DUP_SPAN_L = 10  # minimum duplicated-substring length, in tokens
+
+
+def dup_span_census(documents: "DataFrame", L: int = DUP_SPAN_L) -> "DataFrame":
+    """Per-document MAXIMAL duplicated-substring census — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally instead of via a suffix array: a token position is
+    *duplicated* when the L-gram starting there occurs >= 2 times
+    anywhere in the corpus (the suffix-array criterion for membership
+    in a repeated substring of length >= L); overlapping/adjacent
+    duplicated L-gram intervals then merge into maximal spans, exactly
+    the spans a suffix-array pass would cut out.  Unlike
+    ``span_dedup`` (C4-style FIXED non-overlapping chunks) this
+    catches duplication at ANY alignment, and unlike the corpus-level
+    ``dup_ngram_fraction`` it localizes: per document, how many
+    maximal duplicated regions and what token fraction they cover.
+
+    Output: (doc_id, n_tokens, n_dup_spans, dup_tokens,
+    dup_fraction_ppm) for every document with >= L tokens — zeros for
+    clean documents, all exact integers.
+
+    Scale: one sliding-gram explode (~n_tokens rows/doc, hashes only),
+    one map-side-combined census groupBy, one semi-join back, then the
+    interval merge is two windows PARTITIONED BY doc_id — per-task
+    state is document-length-bounded, never corpus-bounded.  The
+    reference suffix-array approach needs a global sort of the corpus;
+    this shape shuffles the same volume but partitions it, which is
+    the 100 TB trade."""
+    toks = tokens_col(F.col("text"))
+    docs = documents.select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= L)
+    base = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (L - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, L))),
+            )
+        ).alias("p0", "gh"),
+    )
+    dup = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 2
+    )
+    dpos = grams.join(dup.select("gh"), on="gh", how="left_semi").select(
+        "doc_id", (F.col("p0") + 1).alias("pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = dpos.withColumn(
+        "prev_end", F.max(F.col("pos") + F.lit(L - 1)).over(w_prev)
+    ).withColumn(
+        "ns",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    spans = (
+        flagged.withColumn("sid", F.sum("ns").over(w_run))
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(L - 1)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.expr(
+            "coalesce(dup_tokens, 0) * 1000000 DIV n_tokens"
+        ).alias("dup_fraction_ppm"),
+    )
+
+
+def dup_span_census_sql(L: int = DUP_SPAN_L) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t
+      WHERE len(toks) >= {L}),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{L - 1}], ' ')) AS gh
+  FROM d, unnest(range(1, n_tokens - {L} + 2)) u(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+dp AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+f AS (
+  SELECT doc_id, pos,
+         MAX(pos + {L - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dp
+),
+s AS (SELECT doc_id, pos,
+        CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+             THEN 1 ELSE 0 END AS ns
+      FROM f),
+sp AS (SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       FROM s),
+iv AS (SELECT doc_id, sid, MIN(pos) AS st, MAX(pos) + {L - 1} AS en
+       FROM sp GROUP BY doc_id, sid),
+pd AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+         CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens
+       FROM iv GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(pd.dup_tokens, 0) * 1000000
+            // d.n_tokens AS BIGINT) AS dup_fraction_ppm
+FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
 
 
 COSINE_PAIR_MIN_PPM = 250_000  # cos >= 0.5 <=> cos^2 >= 0.25

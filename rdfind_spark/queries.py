@@ -249,6 +249,19 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@register("docs_dup_spans", dedup.dup_span_census_sql())
+def docs_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MAXIMAL duplicated-substring census (Lee et al.
+    2022 exact-substring dedup, re-expressed relationally): a token
+    position is duplicated when its L-gram occurs >= 2 times anywhere
+    in the corpus; overlapping duplicated intervals merge into maximal
+    spans via doc-partitioned windows.  Catches duplication at ANY
+    alignment (unlike the C4-style fixed chunks of docs_span_dedup)
+    and localizes it per document (unlike the corpus-level
+    docs_dup_ngram_fraction).  All exact integers."""
+    return dedup.dup_span_census(_docs(spark, sf_dir))
+
+
 @register("dedup_shingle_cosine", dedup.shingle_cosine_pairs_sql())
 def dedup_shingle_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by WEIGHTED sparse cosine over shingle count
@@ -1212,11 +1225,11 @@ _BOARD_PRIORITY = [
     #   1-9: the nine r5-evidence deferrals — their only driver rows
     #        are CORRECTNESS_r05, which exits the window this round,
     #        so they MUST collect fresh rows now;
-    #   10-14: this round's five new queries (evidence-gapped until
+    #   10-15: this round's six new queries (evidence-gapped until
     #        their first driver row);
-    #   15-50: 36 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
+    #   16-50: 35 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
     #        rows exit the window at r9, so this board re-covers them,
-    #        minus FOURTEEN deferrals that MUST lead the round-9 board:
+    #        minus FIFTEEN deferrals that MUST lead the round-9 board:
     #        the nine cheap unit-pinned keys named in the precomputed
     #        plan — text_redact, text_bigrams, text_token_length_hist,
     #        docs_length_deciles, docs_length_digest,
@@ -1225,14 +1238,15 @@ _BOARD_PRIORITY = [
     #        test_redact, the text-stats tests in test_functions.py,
     #        the length-digest/percentile tests, the pricing/promo
     #        warehouse tests, test_cube_counts_all_grouping_sets) —
-    #        plus the five tail keys displaced by the new queries:
+    #        plus the six tail keys displaced by the new queries:
     #        embedding_rp_reduce, stream_anomalies, stream_sessions,
-    #        knn_hard_negatives, knn_ivf_trained_recall (unit pins:
-    #        the RP-reduce property test, the Welford micro-batch
-    #        parity test, the sessionizer property test, the
-    #        hard-negative label test, the trained-IVF recall pin).
-    #   Steady state carries ~14 forward per round — sustainable at
-    #   114 registered vs 150 window slots.
+    #        knn_hard_negatives, knn_ivf_trained_recall,
+    #        knn_ivf_trained (unit pins: the RP-reduce property test,
+    #        the Welford micro-batch parity test, the sessionizer
+    #        property test, the hard-negative label test, the
+    #        trained-IVF recall pin, the trained-IVF plan/unit tests).
+    #   Steady state carries ~15 forward per round — sustainable at
+    #   115 registered vs 150 window slots.
     "events_hourly_counts",
     "events_moving_window",
     "events_transitions",
@@ -1248,6 +1262,7 @@ _BOARD_PRIORITY = [
     "warehouse_sales_opportunity",
     "dedup_shingle_cosine",
     "multimodal_audio_stats",
+    "docs_dup_spans",
     # the r6 board minus the twelve deferrals, in r6 order
     "knn_ivf_pq_trained",
     "knn_ivf_pq_trained_recall",
@@ -1284,7 +1299,6 @@ _BOARD_PRIORITY = [
     "docs_export_train",
     "docs_span_dedup",
     "docs_dsir_weights",
-    "knn_ivf_trained",
 ]
 
 

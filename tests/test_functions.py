@@ -873,3 +873,25 @@ def test_spread_seeds_farthest_point_property(spark):
     cents = _train_centroids(q, 3, 1, seeds=seeds)
     assert len(cents) == 3
     assert all(isinstance(v, int) for _, vec in cents for v in vec)
+
+
+def test_dup_span_census_maximal_spans_any_alignment(spark):
+    # doc0 and doc1 share a 12-token run at DIFFERENT offsets (C4-style
+    # fixed chunks would miss the alignment); doc2 is clean; doc3
+    # carries the run twice -> two separate maximal regions
+    run = " ".join(f"r{i}" for i in range(12))
+    d0 = " ".join(f"a{i}" for i in range(5)) + " " + run + " " + " ".join(
+        f"b{i}" for i in range(5)
+    )
+    d1 = run + " " + " ".join(f"c{i}" for i in range(10))
+    d2 = " ".join(f"z{i}" for i in range(20))
+    d3 = run + " " + " ".join(f"m{i}" for i in range(11)) + " " + run
+    df = _docs(spark, [d0, d1, d2, d3])
+    rows = {r.doc_id: r for r in dedup.dup_span_census(df).collect()}
+    # dup 10-grams of the shared run start at 3 consecutive positions;
+    # their intervals merge into ONE maximal span of exactly 12 tokens
+    assert (rows[0].n_dup_spans, rows[0].dup_tokens) == (1, 12)
+    assert (rows[1].n_dup_spans, rows[1].dup_tokens) == (1, 12)
+    assert (rows[2].n_dup_spans, rows[2].dup_tokens) == (0, 0)
+    assert (rows[3].n_dup_spans, rows[3].dup_tokens) == (2, 24)
+    assert rows[0].dup_fraction_ppm == 12 * 1_000_000 // rows[0].n_tokens
