@@ -16,7 +16,8 @@ A14-A17).  This module reproduces that surface on Spark::
     python -m rdfind_spark corpus DOCS.parquet --op
         {split,sample,pack,export,contamination,dedup-exact,
          dedup-clusters,quality,quality-filter,redact,span-dedup,mix,
-         tfidf,bigrams,pmi,index,percentiles,vocab,dsir,bpe}
+         tfidf,bigrams,pmi,index,percentiles,vocab,dsir,bpe,
+         bpe-encode,lm-score,dup-spans,cosine-pairs,audio-stats}
         (beyond-reference curation)
 
 INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
@@ -242,6 +243,11 @@ _CORPUS_OP_NAMES = (
     "vocab",
     "dsir",
     "bpe",
+    "bpe-encode",
+    "lm-score",
+    "dup-spans",
+    "cosine-pairs",
+    "audio-stats",
 )
 
 
@@ -249,7 +255,13 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     """Corpus-curation surface (beyond-reference, SURVEY north star):
     run one curation op over a documents parquet and emit it through
     the standard sinks."""
-    from rdfind_spark.functions import corpus_stats, dedup, sampling, text
+    from rdfind_spark.functions import (
+        corpus_stats,
+        dedup,
+        multimodal,
+        sampling,
+        text,
+    )
 
     ops = {
         "split": lambda d: sampling.train_split(d),
@@ -272,6 +284,11 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "vocab": lambda d: corpus_stats.vocab_coverage(d),
         "dsir": lambda d: sampling.dsir_weights(d),
         "bpe": lambda d: corpus_stats.bpe_vocab(d),
+        "bpe-encode": lambda d: corpus_stats.bpe_encode_stats(d),
+        "lm-score": lambda d: corpus_stats.lm_score_stats(d),
+        "dup-spans": lambda d: dedup.dup_span_census(d),
+        "cosine-pairs": lambda d: dedup.shingle_cosine_pairs(d),
+        "audio-stats": lambda d: multimodal.audio_clip_stats(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)
