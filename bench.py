@@ -114,14 +114,24 @@ def format_result(
     Full-precision per-query lines go to stderr; the JSON stays the
     last thing printed.  If the line still exceeds the guard, the
     sub-heavy per-query detail is elided rather than ever overflowing
-    the capture (tests/test_bench_format.py pins both regimes)."""
+    the capture (tests/test_bench_format.py pins both regimes).
+
+    ``heavies_subtotal`` sums the FIXED min-of-2 heavy set: the board
+    tail churns between rounds (queries added/dropped), so ``value``
+    is only cross-round comparable after shared-set arithmetic; the
+    heavy set is stable, making its subtotal the round-over-round
+    trend number."""
     total = round(sum(timings.values()), 1)
+    heavies_subtotal = round(
+        sum(v for n, v in timings.items() if n in heavy), 1
+    )
     min_of2 = sorted(n for n, r in runs_per_query.items() if r >= 2)
     line = json.dumps(
         {
             "metric": "total_query_seconds",
             "value": total,
             "unit": "sec",
+            "heavies_subtotal": heavies_subtotal,
             "queries": {n: round(v, 1) for n, v in timings.items()},
             "min_of2": min_of2,
             "sf": sf,
@@ -137,6 +147,7 @@ def format_result(
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "heavies_subtotal": heavies_subtotal,
                 "queries": kept,
                 "queries_elided": len(timings) - len(kept),
                 "min_of2": min_of2,

@@ -418,15 +418,18 @@ def value_anomalies(
     baseline).
 
     Plan shape: one groupBy(user_id) for the moment statistics (map-side
-    partial aggregation), then a broadcast join of the user-count-sized
-    stats table back onto the stream — the standard scalable
-    outlier-scan; no window, no sort."""
+    partial aggregation), then a plain equi-join of the user-count-sized
+    stats table back onto the stream.  The stats relation is unbounded
+    in the data (one row per user, not a fixed dimension table), so no
+    broadcast hint: AQE broadcasts it at runtime when it actually fits
+    and falls back to a shuffled hash join when it doesn't — the only
+    behavior that survives a 100× user-count scale-up."""
     stats = events.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.avg("value").alias("mean_v"),
         F.stddev_samp("value").alias("sd_v"),
     )
-    scored = events.join(F.broadcast(stats), on="user_id").filter(
+    scored = events.join(stats, on="user_id").filter(
         (F.col("n") >= min_events)
         & F.col("sd_v").isNotNull()
         & (F.col("sd_v") > 0)

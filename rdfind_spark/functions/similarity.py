@@ -716,9 +716,14 @@ def semantic_dedup(
     assign = ivf_assignments(embeddings, n_centroids, 1)
     reps = assign.groupBy("centroid_id").agg(F.min("vec_id").alias("rep_id"))
     emb = embeddings.select("vec_id", "embedding")
+    # Reduce the representative-embedding relation to the genuinely
+    # cluster-count-sized set BEFORE broadcasting: a left-semi join
+    # against the rep ids keeps ~n_centroids rows.  Broadcasting the
+    # raw embeddings projection here would ship the whole corpus to
+    # every executor — invisible at sf0.1, an OOM at 100 TB.
     rep_emb = embeddings.select(
         F.col("vec_id").alias("rep_id"), F.col("embedding").alias("r_emb")
-    )
+    ).join(reps.select("rep_id"), on="rep_id", how="left_semi")
     joined = (
         assign.join(F.broadcast(reps), on="centroid_id")
         .join(emb, on="vec_id")

@@ -37,6 +37,8 @@ def test_current_bench_list_fits_tail_capture():
     assert d["metric"] == "total_query_seconds"
     assert len(d["queries"]) == len(BENCH_QUERIES)
     assert sorted(d["min_of2"]) == sorted(HEAVY)
+    # the churn-proof trend number: subtotal over the fixed heavy set
+    assert d["heavies_subtotal"] == round(9999.9 * len(HEAVY), 1)
 
 
 def test_oversized_bench_list_degrades_to_heavies_not_overflow():
@@ -50,3 +52,4 @@ def test_oversized_bench_list_degrades_to_heavies_not_overflow():
     assert d["value"] == round(sum(timings.values()), 1)
     assert set(d["queries"]) == HEAVY
     assert d["queries_elided"] == 90
+    assert d["heavies_subtotal"] == round(50.0 * len(HEAVY), 1)

@@ -278,3 +278,84 @@ def test_sales_opportunity_anti_join_and_single_row_pool(spark, sf_dir):
     # the anti build side is the distinct keys, not the raw orders scan
     assert p.count("orders.parquet") == 1
     assert "In(c_mktsegment" in p, "segment filter must push to scan"
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Split a simple-mode plan into one string per BroadcastExchange
+    subtree (the exchange line plus every line strictly more indented
+    than it, i.e. its build-side input)."""
+
+    def marker(ln: str) -> int:
+        pos = [ln.find(m) for m in ("+-", ":-") if ln.find(m) != -1]
+        return min(pos) if pos else -1
+
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "ReusedExchange" in ln:
+            continue
+        d = marker(ln)
+        sub = [ln]
+        for nxt in lines[i + 1 :]:
+            nd = marker(nxt)
+            if nd != -1 and nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def _without_auto_broadcast(spark):
+    """Context for plan pins that must see FORCED broadcasts only:
+    AQE off (stable markers) and auto-broadcast disabled, so any
+    BroadcastExchange left in the plan comes from an explicit hint."""
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def cm():
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    return cm()
+
+
+def test_semantic_dedup_broadcast_is_reduced_not_corpus(spark, sf_dir):
+    """SemDeDup's representative-embedding broadcast must be the
+    cluster-count-sized relation (raw embeddings LEFT SEMI the rep-id
+    set), never the whole embeddings projection: broadcasting the
+    corpus is a guaranteed OOM at 100 TB.  Pin: the BroadcastExchange
+    whose subtree carries r_emb has the LeftSemi reduction BELOW it."""
+    from rdfind_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _without_auto_broadcast(spark):
+        p = plan_of(semantic_dedup(emb), "simple")
+    rep_subtrees = [s for s in _broadcast_subtrees(p) if "r_emb" in s]
+    assert rep_subtrees, "the reduced rep_emb relation should broadcast"
+    for sub in rep_subtrees:
+        assert "LeftSemi" in sub, (
+            "broadcast build side must be the semi-join-reduced rep "
+            "embeddings, not the raw corpus projection:\n" + sub
+        )
+
+
+def test_value_anomalies_has_no_forced_broadcast(spark, sf_dir):
+    """The per-user stats relation is unbounded in the data (one row
+    per user), so the join back onto the stream must carry NO broadcast
+    hint — AQE may still choose broadcast at runtime when it fits, but
+    with auto-broadcast disabled the static plan must degrade to a
+    shuffle join, proving no hint forces it."""
+    from rdfind_spark.functions.events import value_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with _without_auto_broadcast(spark):
+        p = plan_of(value_anomalies(ev), "simple")
+    assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p, (
+        "user-stats join must not force a broadcast:\n" + p
+    )
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
