@@ -1219,86 +1219,82 @@ def multimodal_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-8 rotation (precomputed plan in COVERAGE.md, demanded by
-    # the round-7 verdict task 1; 3-round staleness window enforced by
+    # round-9 rotation (precomputed plan in COVERAGE.md, demanded by
+    # the round-8 verdict task 2; 3-round staleness window enforced by
     # test_driver_evidence_staleness_bounded):
-    #   1-9: the nine r5-evidence deferrals — their only driver rows
-    #        are CORRECTNESS_r05, which exits the window this round,
-    #        so they MUST collect fresh rows now;
-    #   10-15: this round's six new queries (evidence-gapped until
-    #        their first driver row);
-    #   16-50: 35 of the 50 CORRECTNESS_r06 keys, in r6 order — r6's
-    #        rows exit the window at r9, so this board re-covers them,
-    #        minus FIFTEEN deferrals that MUST lead the round-9 board:
-    #        the nine cheap unit-pinned keys named in the precomputed
-    #        plan — text_redact, text_bigrams, text_token_length_hist,
-    #        docs_length_deciles, docs_length_digest,
-    #        docs_length_percentiles, warehouse_pricing_summary,
-    #        warehouse_promo_bands, docs_cube_counts (unit pins:
-    #        test_redact, the text-stats tests in test_functions.py,
-    #        the length-digest/percentile tests, the pricing/promo
-    #        warehouse tests, test_cube_counts_all_grouping_sets) —
-    #        plus the six tail keys displaced by the new queries:
-    #        embedding_rp_reduce, stream_anomalies, stream_sessions,
-    #        knn_hard_negatives, knn_ivf_trained_recall,
-    #        knn_ivf_trained (unit pins: the RP-reduce property test,
-    #        the Welford micro-batch parity test, the sessionizer
-    #        property test, the hard-negative label test, the
-    #        trained-IVF recall pin, the trained-IVF plan/unit tests).
+    #   1-15: the fifteen round-8 deferrals — their only driver rows
+    #        are CORRECTNESS_r06, which exits the window this round,
+    #        so they MUST collect fresh rows now (nine cheap
+    #        unit-pinned keys plus the six tail keys the round-8
+    #        registrations displaced);
+    #   16-50: 35 of the 50 CORRECTNESS_r07 keys, in r7 order — r7's
+    #        rows exit the window at r10, so this board re-covers
+    #        them, deferring FIFTEEN cheap unit-pinned r7 keys to
+    #        lead the round-10 board: knn_bruteforce, count_triples,
+    #        condition_histogram, count_distinct_values (census trio
+    #        + brute-force baseline, unit: test_census and the knn
+    #        shape pins), and the eleven sub-second events keys
+    #        events_top_purchasers, events_interarrival,
+    #        events_daily_rollup, events_retention, events_asof_join,
+    #        events_range_join, events_anomalies,
+    #        events_hourly_profile, events_dau_wau,
+    #        events_grouping_sets, events_distinct_sketch (all pinned
+    #        by the events unit tests; events_anomalies additionally
+    #        strict-checked at sf0.01 this round after its broadcast
+    #        fix, and plan-pinned in test_plans.py).
     #   Steady state carries ~15 forward per round — sustainable at
     #   115 registered vs 150 window slots.
-    "events_hourly_counts",
-    "events_moving_window",
-    "events_transitions",
-    "events_pivot",
-    "events_funnel",
-    "multimodal_features",
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
-    "warehouse_market_share",
-    # round-8 additions (first driver evidence needed)
-    "docs_lm_score",
-    "warehouse_custdist",
-    "warehouse_sales_opportunity",
-    "dedup_shingle_cosine",
-    "multimodal_audio_stats",
-    "docs_dup_spans",
-    # the r6 board minus the twelve deferrals, in r6 order
-    "knn_ivf_pq_trained",
-    "knn_ivf_pq_trained_recall",
-    "stream_dedup_deliveries",
-    "cind_minimal",
-    "condition_counts_frequent",
-    "join_line_histogram",
-    "hash_collisions",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "text_tfidf_keywords",
-    "docs_quality_filter",
-    "text_bpe_vocab",
-    "text_pmi_bigrams",
-    "docs_inverted_index",
-    "docs_vocab_coverage",
-    "warehouse_revenue_by_nation",
-    "warehouse_revenue_forecast",
-    "warehouse_late_priority",
-    "warehouse_min_cost_supplier",
-    "warehouse_volume_shipping",
-    "warehouse_big_spenders",
-    "graph_degree_distribution",
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_contamination",
-    "docs_contamination_fuzzy",
-    "docs_pack_sequences",
-    "docs_export_train",
-    "docs_span_dedup",
-    "docs_dsir_weights",
+    "text_redact",
+    "text_bigrams",
+    "text_token_length_hist",
+    "docs_length_deciles",
+    "docs_length_digest",
+    "docs_length_percentiles",
+    "warehouse_pricing_summary",
+    "warehouse_promo_bands",
+    "docs_cube_counts",
+    "embedding_rp_reduce",
+    "stream_anomalies",
+    "stream_sessions",
+    "knn_hard_negatives",
+    "knn_ivf_trained_recall",
+    "knn_ivf_trained",
+    # the r7 board minus the fifteen r10 deferrals, in r7 order
+    "stream_contamination",
+    "graph_components",
+    "multimodal_frame_stats",
+    "docs_dup_ngram_fraction",
+    "dedup_pair_triangles",
+    "text_bpe_encode",
+    "cind_all",
+    "cind_minimal_ar",
+    "cind_small_to_large",
+    "cind_approx_verify",
+    "cind_minimal_proj_s",
+    "capture_supports",
+    "capture_overlaps",
+    "association_rules",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_neardup",
+    "docs_repetition_filter",
+    "text_skipgram_cooc",
+    "warehouse_top_unshipped",
+    "warehouse_local_supplier",
+    "graph_pagerank",
+    "docs_mix_sources",
+    "embedding_prep",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "embedding_kmeans",
+    "dedup_semantic",
+    "knn_ivf",
+    "events_sessionize",
+    "stream_hourly_counts",
+    "stream_interval_join",
+    "stream_purchase_totals",
 ]
 
 
