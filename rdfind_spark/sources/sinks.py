@@ -77,6 +77,48 @@ def ar_pretty(df: DataFrame) -> DataFrame:
     )
 
 
+def ntriples_lines(df: DataFrame) -> DataFrame:
+    """Serialize ``(subj, pred, obj)`` rows to N-Triples lines
+    (``<subj> <pred> "obj" .``): the inverse of
+    :func:`rdfind_spark.sources.triples.read_ntriples`, giving the
+    engine a text EXPORT to match its text ingest (reference S8 writes
+    results as text; this writes the triple relation itself, which is
+    what lets the text front door be round-trip tested at scale).
+
+    Subjects/predicates render as IRIs (they are key-like tokens in
+    every supported melt — must not contain ``>`` or whitespace; a
+    loud filter would hide data loss, so a violating row simply
+    produces a line the parser rejects and the round-trip test
+    catches).  Objects always render as literals with ``\\`` and ``"``
+    escaped per the N-Triples grammar; literals containing raw
+    newlines are unsupported (Spark text sinks are line-based — the
+    N-Triples grammar itself forbids them unescaped)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'
+    )
+    return df.select(
+        F.concat(
+            F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+            F.lit('> "'), esc, F.lit('" .'),
+        ).alias("value")
+    )
+
+
+def write_ntriples(df: DataFrame, path: str, n_files: int = 8) -> None:
+    """Write a triple relation as ``n_files`` gzipped N-Triples part
+    files — the reference's primary input format (many ``.nt.gz``
+    files, ``programs/RDFind.scala:141-237``), produced distributed:
+    ``repartition(n_files)`` bounds file count without a driver-side
+    collect, and the gzip codec is the native Hadoop one (S2)."""
+    (
+        ntriples_lines(df)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
 def write_text(df: DataFrame, path: str, single_file: bool = True) -> None:
     """S8/S9 text sink, overwrite semantics; ``single_file`` mirrors the
     reference's parallelism-1 pinning for local files (keep False on a

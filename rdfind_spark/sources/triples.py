@@ -157,10 +157,30 @@ def _parsed_quads(lines: DataFrame) -> DataFrame:
             F.coalesce(
                 F.nullif(F.regexp_extract("value", _NT_PATTERN, 4), F.lit("")),
                 F.nullif(F.regexp_extract("value", _NT_PATTERN, 5), F.lit("")),
+                # Strip the outer quotes + datatype/lang suffix, then
+                # undo the N-Triples string escapes for quote and
+                # backslash.  The \"-pass runs FIRST: in validly
+                # escaped text every quote is \"-escaped and every raw
+                # backslash is doubled, so a left-to-right scan always
+                # lands the \" match on a true escape pair (never on
+                # the tail of a \\ pair); the \\-pass then halves the
+                # remaining backslash runs.  Escapes whose second char
+                # is an ordinary letter (\n, \t) CANNOT be decoded this
+                # way (a bare n is a legal literal char) and are kept
+                # verbatim — consistent with the engine's plain-string
+                # value semantics.
                 F.regexp_replace(
-                    F.regexp_extract("value", _NT_PATTERN, 6),
-                    r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$',
-                    r"$1",
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_extract("value", _NT_PATTERN, 6),
+                            r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$',
+                            r"$1",
+                        ),
+                        r'\\"',
+                        '"',
+                    ),
+                    r"\\\\",
+                    r"\\",
                 ),
             ).alias("obj"),
             F.coalesce(
