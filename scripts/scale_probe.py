@@ -68,13 +68,19 @@ def main() -> int:
     ann = "--ann" in sys.argv[1:]
     triangles = "--triangles" in sys.argv[1:]
     cosine = "--cosine" in sys.argv[1:]
+    spans = "--spans" in sys.argv[1:]
+    lmscore = "--lmscore" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
         if a not in ("--staged", "--dedup", "--ann", "--triangles",
-                     "--cosine", "--half-base")
+                     "--cosine", "--spans", "--lmscore", "--half-base")
     ]
+    if spans:
+        return _docs_probe([int(a) for a in args] or [1, 2, 4], "spans")
+    if lmscore:
+        return _docs_probe([int(a) for a in args] or [1, 2, 4], "lmscore")
     if cosine:
         return _cosine_probe([int(a) for a in args] or [1, 2, 4])
     if triangles:
@@ -241,6 +247,102 @@ def _cosine_probe(ns) -> int:
         r1 = results[1][1]
         for n, (dt, rows) in results.items():
             assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _docs_probe(ns, which: str) -> int:
+    """Disjoint-copy ladder for the two round-8 document heavies.
+
+    ``spans``: dup_span_census — per-copy token prefixes make every
+    L-gram hash space disjoint across copies, so each copy reproduces
+    the base's maximal duplicated spans independently and the span set
+    must scale exactly xN (checked).  The plan is a sliding-gram
+    census + per-doc window merge; both are doc/gram-local, so the
+    ladder should be ~ linear.
+
+    ``lmscore``: lm_score_stats — prefixed copies keep bigram TYPE
+    tables disjoint, so the result is one row per document and the
+    row count must scale exactly xN (checked).  Score VALUES shift
+    with N by design (add-one smoothing sees an N-times-larger
+    vocabulary), so only cardinality is asserted.  The plan is two
+    vocabulary-sized count tables + a per-doc type join — linear in
+    corpus size."""
+    from rdfind_spark.functions.text import tokens_col
+
+    if which == "spans":
+        from rdfind_spark.functions.dedup import dup_span_census as fn
+    else:
+        from rdfind_spark.functions.corpus_stats import lm_score_stats as fn
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    fn(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        def _prefixed(i: int):
+            pfx = F.lit(f"c{i}|")
+            return F.array_join(
+                F.transform(tokens_col(F.col("text")), lambda t: F.concat(pfx, t)),
+                " ",
+            ).alias("text")
+
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                _prefixed(i),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(n)
+        ]
+        docs = reduce(lambda a, b: a.unionByName(b), copies)
+        # Time a noop WRITE, not count(): both outputs are one row per
+        # document behind a left join against a groupBy-unique right
+        # side, so Catalyst's join elimination turns a bare count()
+        # into tokenize+filter only (measured: 16x in 1.5s) — the write
+        # materializes every column.  The xN assertion then uses a
+        # checksum aggregate (count + value sums), which also defeats
+        # the elimination.
+        t0 = time.time()
+        out = fn(docs)
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if which == "spans":
+            chk = out.agg(
+                F.count("*").alias("rows"),
+                F.sum("n_dup_spans").alias("s1"),
+                F.sum("dup_tokens").alias("s2"),
+            ).collect()[0]
+            sums = (chk.s1, chk.s2)
+        else:
+            chk = out.agg(
+                F.count("*").alias("rows"),
+                F.sum(out.columns[1]).alias("s1"),
+            ).collect()[0]
+            # lm score VALUES shift with N (smoothing sees an N-times
+            # vocabulary) — only cardinality is scale-asserted
+            sums = None
+        rows = chk.rows
+        results[n] = (dt, rows, sums)
+        print(f"# {which} {n}x: {dt:.1f}s rows={rows} sums={sums}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        _, r1, s1 = results[1]
+        for n, (dt, rows, sums) in results.items():
+            assert rows == n * r1, f"{n}x rows {rows} != {n}*{r1}"
+            if sums is not None and s1 is not None:
+                expect = tuple(n * v for v in s1)
+                assert sums == expect, f"{n}x sums {sums} != {expect}"
         print("# output scales exactly proportionally")
     return 0
 
