@@ -618,10 +618,13 @@ def bpe_encode_stats(
         F.size(F.split("sym", " ")).alias("n_sym"),
         F.length("word").alias("n_chars_w"),
     )
-    from rdfind_spark.util import materialize
+    from rdfind_spark.util import materialize, release
 
     wt = materialize(wt)
-    sym_words.unpersist()
+    # release (NOT .unpersist(): a no-op on checkpoint-backed frames —
+    # see util.release) drops the wide sym table's executor blocks now
+    # that the narrow map is pinned
+    release(sym_words)
     dw = documents.select(
         "doc_id",
         F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),

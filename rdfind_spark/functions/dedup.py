@@ -295,6 +295,30 @@ FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
 COSINE_PAIR_MIN_PPM = 250_000  # cos >= 0.5 <=> cos^2 >= 0.25
 
 
+def _cos2_ppm_expr(dot: str, a_n2: str, b_n2: str) -> str:
+    """Spark-SQL expression for exact integer cos^2-ppm,
+    ``dot^2 * 1e6 DIV (a_n2 * b_n2)``, cross-multiplied in
+    DECIMAL(38,0) so neither the numerator (BIGINT-overflows at
+    dot > ~3.03e6) nor the denominator product (overflows at
+    n2 > ~3.03e9 each) can hit the int64 cliff; the quotient is a
+    true ppm (<= 1e6 by Cauchy-Schwarz) so the final BIGINT cast is
+    always exact.  DuckDB twin: the same formula over HUGEINT
+    (``_cos2_ppm_sql``); identical integer semantics, pinned by
+    tests/test_functions.py::test_cos2_ppm_wide_arithmetic."""
+    return (
+        f"CAST(CAST({dot} AS DECIMAL(38,0)) * {dot} * 1000000 "
+        f"DIV (CAST({a_n2} AS DECIMAL(38,0)) * {b_n2}) AS BIGINT)"
+    )
+
+
+def _cos2_ppm_sql(dot: str, a_n2: str, b_n2: str) -> str:
+    """DuckDB twin of :func:`_cos2_ppm_expr` (HUGEINT is 128-bit)."""
+    return (
+        f"CAST(CAST({dot} AS HUGEINT) * {dot} * 1000000 "
+        f"// (CAST({a_n2} AS HUGEINT) * {b_n2}) AS BIGINT)"
+    )
+
+
 def shingle_cosine_pairs(
     documents: "DataFrame",
     min_cos2_ppm: int = COSINE_PAIR_MIN_PPM,
@@ -314,9 +338,13 @@ def shingle_cosine_pairs(
     Exactness: the score is cos^2 in ppm via integer
     cross-multiplication, ``dot^2 * 1e6 DIV (|a|^2 * |b|^2)`` — no
     sqrt, no floats, bit-stable across engines and monotone in cosine
-    for ranking/thresholding.  Overflow-safe: ppm numerators stay
-    <= ~1e12 at document-scale counts, far under 2^63 (shingle tf and
-    norms are doc-length-bounded, not corpus-bounded).
+    for ranking/thresholding.  The cross-multiplication runs in WIDE
+    integers (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — see
+    ``_cos2_ppm_expr``): in BIGINT the numerator overflows once
+    ``dot > ~3.03e6`` (two long documents sharing a high-tf cold
+    shingle), where ANSI Spark raises and pre-ANSI Spark silently
+    wraps while DuckDB raises — either way a scale cliff.  The wide
+    form is exact to ``dot <= ~1e16``, beyond any physical document.
 
     Scale: same inverted-index self-join shape as the Jaccard path —
     one (shingle, doc) shuffle, the hot-shingle cap bounds every
@@ -365,9 +393,7 @@ def shingle_cosine_pairs(
             "a_id",
             "b_id",
             "dot",
-            F.expr("dot * dot * 1000000 DIV (a_n2 * b_n2)").alias(
-                "cos2_ppm"
-            ),
+            F.expr(_cos2_ppm_expr("dot", "a_n2", "b_n2")).alias("cos2_ppm"),
         )
         .filter(F.col("cos2_ppm") >= min_cos2_ppm)
     )
@@ -399,11 +425,11 @@ dots AS (
   GROUP BY 1, 2
 )
 SELECT a_id, b_id, dot,
-       CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_ppm
+       {_cos2_ppm_sql("dot", "na.n2", "nb.n2")} AS cos2_ppm
 FROM dots
 JOIN n2 na ON dots.a_id = na.doc_id
 JOIN n2 nb ON dots.b_id = nb.doc_id
-WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= {min_cos2_ppm}"""
+WHERE {_cos2_ppm_sql("dot", "na.n2", "nb.n2")} >= {min_cos2_ppm}"""
 
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:

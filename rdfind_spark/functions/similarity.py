@@ -942,8 +942,10 @@ def spread_seeds(q: DataFrame, k: int, sample_mod: int = 1) -> list:
         return sorted(seeds)
     finally:
         # the seed list is fully driver-side by now; don't leak one
-        # cached candidate table per invocation
-        cand.unpersist()
+        # candidate table's blocks per invocation (util.release, not
+        # .unpersist() — the latter is a no-op on checkpoint-backed
+        # frames)
+        release(cand)
 
 
 def _train_centroids(

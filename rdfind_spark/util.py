@@ -132,6 +132,35 @@ def materialize(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+def release(df) -> None:
+    """Free the executor blocks behind a :func:`materialize`d frame.
+
+    ``df.unpersist()`` is a NO-OP on a localCheckpoint-backed
+    DataFrame: the blocks are pinned on the checkpoint RDD itself, not
+    registered for the DataFrame's plan in the cache manager (verified
+    empirically — the persisted RDD survives ``df.unpersist()``; it
+    otherwise frees only when the RDD is GC'd).  This walks the
+    analyzed plan's LogicalRDD leaves and unpersists their RDDs
+    directly, which does drop the blocks immediately.  Safe on any
+    frame: non-checkpoint leaves are skipped, failures are swallowed
+    (releasing cache is an optimization, never correctness).
+
+    Contract: call ONLY on a frame that will never be read again — a
+    localCheckpoint's lineage is truncated, so a post-release read
+    cannot recompute and fails (Spark logs exactly that warning at
+    release time), unlike the old no-op unpersist which silently kept
+    the blocks alive."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getName().endswith(".LogicalRDD"):
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def salted_join(
     left,
     right,

@@ -895,3 +895,61 @@ def test_dup_span_census_maximal_spans_any_alignment(spark):
     assert (rows[2].n_dup_spans, rows[2].dup_tokens) == (0, 0)
     assert (rows[3].n_dup_spans, rows[3].dup_tokens) == (2, 24)
     assert rows[0].dup_fraction_ppm == 12 * 1_000_000 // rows[0].n_tokens
+
+
+def test_cos2_ppm_wide_arithmetic(spark):
+    """The cos^2-ppm cross-multiplication must be exact past the int64
+    cliff (dot > ~3.03e6 overflows dot*dot*1e6 in BIGINT — ANSI Spark
+    raises, DuckDB raises, pre-ANSI Spark silently wraps): the widened
+    DECIMAL(38)/HUGEINT forms must agree with exact Python integers,
+    engine-for-engine."""
+    import duckdb
+
+    from rdfind_spark.functions.dedup import _cos2_ppm_expr, _cos2_ppm_sql
+
+    cases = [
+        (4_000_000, 17_000_000_000_000, 16_500_000_000_000),  # overflow regime
+        (4_000_000, 16_000_000_000_000, 16_000_000_000_000),  # cos = 1 there
+        (1_200, 1_500_000, 1_800_000),
+        (7_000_000, 49_000_000_000_000, 1_000_001),
+        (3_030_000, 9_180_900_000_000, 1_000_000),  # right at the old cliff
+    ]
+    expect = [(d * d * 1_000_000) // (a * b) for d, a, b in cases]
+
+    vals = ", ".join(f"({d}L, {a}L, {b}L)" for d, a, b in cases)
+    got_spark = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {_cos2_ppm_expr('dot', 'a_n2', 'b_n2')} "
+            f"FROM VALUES {vals} AS t(dot, a_n2, b_n2)"
+        ).collect()
+    ]
+    assert got_spark == expect
+
+    vals2 = ", ".join(
+        f"({d}::BIGINT, {a}::BIGINT, {b}::BIGINT)" for d, a, b in cases
+    )
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {_cos2_ppm_sql('dot', 'a_n2', 'b_n2')} "
+            f"FROM (VALUES {vals2}) t(dot, a_n2, b_n2)"
+        ).fetchall()
+    ]
+    assert got_duck == expect
+
+
+def test_shingle_cosine_survives_high_tf_dot(spark):
+    """End-to-end overflow pin: two documents of ONE token repeated
+    2002 times share a single cold shingle with tf=2000 each, so
+    dot = 4e6 — past the old int64 cliff where the narrow form raised
+    (ANSI) or wrapped (non-ANSI).  Identical documents must score
+    exactly cos^2 = 1e6 ppm."""
+    tok = " ".join(["w"] * 2002)  # 2000 3-gram shingles, all identical
+    df = _docs(spark, [tok, tok])
+    rows = dedup.shingle_cosine_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_id, r.b_id) == (0, 1)
+    assert r.dot == 2000 * 2000
+    assert r.cos2_ppm == 1_000_000

@@ -122,3 +122,37 @@ def test_skew_report_ranks_heavy_keys_and_sizes_salt(spark):
         ("warm", 20, 200000),
     ]
     assert all(r.suggested_salt == 1 for r in got)  # tiny table: AQE is enough
+
+
+def test_release_frees_local_checkpoint_blocks(spark):
+    """df.unpersist() is a documented NO-OP on a localCheckpoint-backed
+    frame (the blocks are pinned on the checkpoint RDD, not registered
+    for the DataFrame in the cache manager); util.release must actually
+    drop them.  Asserted via the Spark-context persistent-RDD registry
+    delta so other session state doesn't interfere."""
+    from pyspark.sql import functions as F
+
+    from rdfind_spark.util import materialize, release
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    before = persisted_ids()
+    ck = materialize(
+        spark.range(10_000).select("id", (F.col("id") * 2).alias("y"))
+    )
+    created = persisted_ids() - before
+    assert created, "materialize should pin blocks"
+    ck.unpersist()  # the documented no-op
+    assert created <= persisted_ids(), "unpersist must be the no-op we claim"
+    release(ck)
+    after = persisted_ids()
+    assert not (created & after), "release must drop the pinned RDD blocks"
+    # releasing an ordinary (non-checkpoint) frame is a safe no-op
+    release(spark.range(10).select("id"))
