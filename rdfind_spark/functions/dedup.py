@@ -159,6 +159,98 @@ JOIN sizes sb ON common.b_id = sb.doc_id
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}"""
 
 
+def _prefix_candidates(
+    cold: "DataFrame", df_counts: "DataFrame", threshold: float
+) -> "DataFrame":
+    """Prefix-filtered candidate pairs (SSJoin/PPJoin prefix principle,
+    Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008): order each
+    document's shingles by a GLOBAL canonical order (ascending corpus
+    document-frequency, rarest first, ties by shingle), keep only the
+    first ``c - ceil(t*c) + 1`` per document (c = the doc's cold-set
+    size), and self-join on those prefix shingles only.  Completeness:
+    J(A,B) >= t forces |A∩B| >= ceil(t*max(|A|,|B|)), and two sets
+    sharing that much overlap must share an element inside both
+    prefixes — so every qualifying pair survives.  The win is that the
+    join touches ~(1-t) of each posting list, and the rarest-first
+    order puts the prefix mass on the SHORTEST posting lists, which is
+    what makes set-similarity self-joins feasible at corpus scale."""
+    ranked = cold.join(df_counts, on="shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    csizes = cold.groupBy("doc_id").agg(F.count("*").alias("c"))
+    pref = (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .join(csizes, on="doc_id")
+        .filter(
+            F.col("rnk")
+            <= F.col("c") - F.ceil(F.col("c") * F.lit(threshold)) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    a = pref.select("shingle", F.col("doc_id").alias("a_id"))
+    b = pref.select("shingle", F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via PREFIX-FILTERED
+    candidate generation — same result as :func:`ngram_jaccard_pairs`
+    (it shares that query's oracle as a strategy-agreement check),
+    different plan: instead of joining FULL cold posting lists, only
+    each document's ``c - ceil(t*c) + 1`` rarest shingles enter the
+    self-join (see :func:`_prefix_candidates`), then candidates verify
+    by one sorted-array intersection per pair.
+
+    Completeness under the hybrid measure: the reported score divides
+    the COLD common count by full-set sizes, so reported >= t implies
+    cold-set Jaccard >= t (its denominator is never larger), and the
+    prefix principle applied to the cold sets covers every reportable
+    pair.
+
+    Scale shape: the candidate join is the same inverted-index shape
+    as the base but over the (1-t) prefix fraction of each list —
+    at t = 0.5 that's half the postings and ~a quarter of the
+    pair-products; verification is candidate-count-sized with
+    doc-bounded arrays.  Hot-shingle cap identical to the base."""
+    sh = _shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = df_counts.filter(F.col("df") > max_shingle_docs)
+    cold = sh.join(
+        F.broadcast(hot.select("shingle")), on="shingle", how="left_anti"
+    )
+    cand = _prefix_candidates(cold, df_counts, threshold)
+    arrs = cold.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr")
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")),
+        6,
+    )
+    return (
+        cand.join(arrs.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("a_arr")), on="a_id")
+        .join(arrs.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("b_arr")), on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_arr", "b_arr")).alias("n_common"),
+        )
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n")), on="a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n")), on="b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 DUP_SPAN_L = 10  # minimum duplicated-substring length, in tokens
 
 
@@ -1191,3 +1283,90 @@ SELECT doc_id, n_shingles,
        CAST(CASE WHEN n_dup * 1000000 // n_shingles <= {max_dup_ppm}
             THEN 1 ELSE 0 END AS INT) AS keep
 FROM per_doc"""
+
+
+def minhash_estimate_eval(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NGRAM_K,
+    k_sig: int = MINHASH_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> DataFrame:
+    """Sketch-calibration table: for every exact-Jaccard qualifying
+    pair (the :func:`ngram_jaccard_pairs` result), how many of the
+    ``k_sig`` MinHash signature components agree — the measured
+    accuracy of the estimator the LSH path's banding is built on
+    (E[matches/k] = true Jaccard; Broder 1997).  Deduplication at
+    100 TB lives or dies on this curve: banding thresholds are chosen
+    from the estimator's variance, and this table is the engine's own
+    evidence instead of a textbook assumption.
+
+    Output: (a_id, b_id, jaccard, mh_matches, est_ppm) — the exact
+    score, the component-agreement count, and the integer-ppm estimate
+    ``matches * 1e6 DIV k_sig``.  Everything is deterministic (md5
+    permutations), so the DuckDB oracle recomputes it bit-for-bit."""
+    pairs = ngram_jaccard_pairs(documents, threshold, k, max_shingle_docs)
+    sigs = minhash_signatures(documents, k_sig)
+    a_sig = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k_sig)],
+    )
+    b_sig = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k_sig)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(k_sig)
+    )
+    return (
+        pairs.join(a_sig, on="a_id")
+        .join(b_sig, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            matches.cast("int").alias("mh_matches"),
+        )
+        .withColumn("est_ppm", F.expr(f"mh_matches * 1000000 DIV {k_sig}"))
+    )
+
+
+def minhash_estimate_eval_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NGRAM_K,
+    k_sig: int = MINHASH_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> str:
+    return f"""WITH sh AS MATERIALIZED (
+{_shingles_sql(k)}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_shingle_docs}),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.a_id = sa.doc_id
+  JOIN sizes sb ON common.b_id = sb.doc_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+),
+mh AS MATERIALIZED (
+  SELECT doc_id, i, MIN(md5(i || ':' || shingle)) AS mh
+  FROM sh, range({k_sig}) t(i)
+  GROUP BY doc_id, i
+)
+SELECT p.a_id, p.b_id, p.jaccard,
+       CAST(COUNT(*) FILTER (ma.mh = mb.mh) AS INTEGER) AS mh_matches,
+       CAST(COUNT(*) FILTER (ma.mh = mb.mh) * 1000000 // {k_sig} AS BIGINT)
+         AS est_ppm
+FROM pairs p
+JOIN mh ma ON ma.doc_id = p.a_id
+JOIN mh mb ON mb.doc_id = p.b_id AND mb.i = ma.i
+GROUP BY p.a_id, p.b_id, p.jaccard"""

@@ -620,3 +620,162 @@ def audio_clip_stats_sql() -> str:
        CAST({AUDIO_SEG} * (32 + (doc_id * 13) % 95)
             + {AUDIO_SEG} * (32 + (doc_id * 29) % 95) AS BIGINT) AS amp_sum
 FROM documents"""
+
+
+# ------------------------------------------------------------------ BMP
+
+BMP_W = 5  # 24-bit row = 15 bytes -> padded to 16: real stride handling
+BMP_H = 4
+# per-channel pixel formulas (printable ASCII so the pixel array is
+# assembled JVM-side like the audio PCM body): value = 32 + (doc_id*m
+# + ax*x + ay*y) % 95, channel order in the FILE is B,G,R per the BMP
+# spec
+_BMP_CHANNELS = (("b", 7, 3, 5), ("g", 11, 2, 7), ("r", 3, 4, 1))
+
+
+def _bmp_header(width: int = BMP_W, height: int = BMP_H) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER for uncompressed 24-bit
+    BI_RGB, positive height (= bottom-up row order, the BMP default)."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    image_size = stride * height
+    file_header = b"BM" + struct.pack(
+        "<IHHI", 54 + image_size, 0, 0, 54
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835,
+        2835, 0, 0,
+    )
+    return file_header + info_header
+
+
+def attach_bmp(documents: DataFrame) -> DataFrame:
+    """Build a REAL (byte-valid) 24-bit BMP per document: constant
+    54-byte header literal, pixel array assembled JVM-side from the
+    per-channel formulas above — rows emitted BOTTOM-UP with the
+    4-byte stride padding the format demands, so the decoder's two
+    classic traps (row order, stride) are exercised by the actual
+    pipeline.  Same stand-in philosophy as ``attach_videos`` /
+    ``attach_audio``: the *decoder* is a genuine format walker, only
+    the pixel content is synthetic (and SQL-reproducible)."""
+    pieces = []
+    for y in range(BMP_H - 1, -1, -1):  # bottom-up storage
+        for x in range(BMP_W):
+            for _, m, ax, ay in _BMP_CHANNELS:
+                pieces.append(
+                    F.char(
+                        (F.col("doc_id") * m + ax * x + ay * y) % 95 + 32
+                    )
+                )
+        pieces.append(F.lit("\x00"))  # stride pad: 15 -> 16 bytes
+    body = F.encode(F.concat(*pieces), "utf-8")
+    return documents.select(
+        "doc_id", F.concat(F.lit(_bmp_header()), body).alias("payload")
+    )
+
+
+def parse_bmp(payload: bytes):
+    """Real BMP parse with pure stdlib + numpy: file header, info
+    header, uncompressed 24-bit pixel array with 4-byte row stride,
+    bottom-up (positive height) OR top-down (negative height) row
+    order, BGR in-file channel order.  Returns (width, height,
+    bits_per_pixel, sum_b, sum_g, sum_r).  Compressed or paletted
+    BMPs raise NotImplementedError — the same documented container
+    limitation as JPEG/PNG (no codec libraries here)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    bi_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if bi_size < 40:
+        raise ValueError(f"unsupported info-header size {bi_size}")
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) not supported in "
+            "this container"
+        )
+    if bits != 24:
+        raise NotImplementedError(f"{bits}-bit BMP not supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for i in range(height):
+        start = data_offset + i * stride
+        row = np.frombuffer(
+            payload[start : start + width * 3], np.uint8
+        ).reshape(width, 3)
+        rows.append(row)
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> logical top-to-bottom
+    img = np.stack(rows).astype(np.int64)  # (H, W, BGR)
+    return (
+        int(width),
+        int(height),
+        int(bits),
+        int(img[:, :, 0].sum()),
+        int(img[:, :, 1].sum()),
+        int(img[:, :, 2].sum()),
+    )
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bits_per_pixel", IntegerType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_r", LongType()),
+    ]
+)
+
+
+def bmp_stats(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-image decode stats via the real BMP
+    parse, Arrow-batched (mapInPandas, shuffle-free)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, bits, sb, sg, sr = parse_bmp(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                out.append((doc_id, w, h, bits, sb, sg, sr))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
+            )
+
+    return blobs.mapInPandas(_stats, BMP_STATS_SCHEMA)
+
+
+def bmp_image_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end BMP path: documents → byte-valid 24-bit BMPs
+    (bottom-up rows, 4-byte stride padding) → real header/stride-walk
+    decode → per-channel pixel sums.  A wrong data offset, stride,
+    row order, or BGR/RGB mixup breaks the oracle hash."""
+    return bmp_stats(attach_bmp(documents))
+
+
+def bmp_image_stats_sql() -> str:
+    sums = ",\n       ".join(
+        f"CAST(SUM(32 + (doc_id * {m} + {ax} * x + {ay} * y) % 95) "
+        f"AS BIGINT) AS sum_{name}"
+        for name, m, ax, ay in _BMP_CHANNELS
+    )
+    return f"""SELECT doc_id,
+       CAST({BMP_W} AS INTEGER) AS width,
+       CAST({BMP_H} AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bits_per_pixel,
+       {sums}
+FROM documents, range({BMP_W}) tx(x), range({BMP_H}) ty(y)
+GROUP BY doc_id"""

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdfind_spark.functions.dedup import COSINE_SQL, cosine_col
-from rdfind_spark.util import materialize
+from rdfind_spark.util import materialize, release
 
 N_QUERIES = 5  # the first N vectors double as the query workload
 TOP_K = 10

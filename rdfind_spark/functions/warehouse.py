@@ -931,3 +931,75 @@ WHERE bal_cents * pool_n > pool_sum
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '{OPPORTUNITY_DORMANT_PRIORITY}')
 GROUP BY c_mktsegment"""
+
+
+# ---------------------------------------------------------- Q16 shape
+
+CENSUS_EXCLUDE_BRAND = "Brand#5"
+CENSUS_TYPES = ("PROMO", "ECONOMY", "STANDARD")
+CENSUS_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+
+
+def supplier_relationship_census(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = CENSUS_EXCLUDE_BRAND,
+    types=CENSUS_TYPES,
+    sizes=CENSUS_SIZES,
+) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship,
+    ``specification: Q16``) re-keyed to the available star schema:
+    how many DISTINCT suppliers can ship each qualifying
+    (brand, type, size) part class — brand excluded by inequality,
+    type restricted by IN-list, size by IN-list — where the
+    "complaint" supplier exclusion (Q16's NOT IN with a LIKE
+    subquery) is suppliers with negative account balance, and the
+    part-supplier relation (TPC-H partsupp, absent here) is the
+    distinct (l_partkey, l_suppkey) pairs actually observed in
+    lineitem.
+
+    Plan shape the test pins: both dimension filters push to the part
+    scan; the complaint exclusion is a LEFT ANTI against a tiny
+    aggregate (never a NOT IN rescan); the count is distinct over the
+    pair-deduped fact, so the heavy lineitem stream collapses to
+    key-level pairs BEFORE the dimension join."""
+    pairs = lineitem.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+    ).distinct()
+    complainers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    qual_parts = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & F.col("p_type").isin(*types)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(complainers, on="s_suppkey", how="left_anti")
+        .join(qual_parts, on="p_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
+def supplier_relationship_census_sql(
+    exclude_brand: str = CENSUS_EXCLUDE_BRAND,
+    types=CENSUS_TYPES,
+    sizes=CENSUS_SIZES,
+) -> str:
+    type_list = ", ".join(f"'{t}'" for t in types)
+    size_list = ", ".join(str(s) for s in sizes)
+    return f"""WITH pairs AS (
+  SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey
+  FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT pr.s_suppkey) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON p.p_partkey = pr.p_partkey
+WHERE p.p_brand <> '{exclude_brand}'
+  AND p.p_type IN ({type_list})
+  AND p.p_size IN ({size_list})
+  AND pr.s_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size"""

@@ -953,3 +953,46 @@ def test_shingle_cosine_survives_high_tf_dot(spark):
     assert (r.a_id, r.b_id) == (0, 1)
     assert r.dot == 2000 * 2000
     assert r.cos2_ppm == 1_000_000
+
+
+def test_jaccard_prefix_equals_base_and_prunes(spark):
+    """The prefix-filtered Jaccard join must return EXACTLY the base
+    inverted-index result (pair-for-pair, score-for-score) while
+    generating strictly fewer candidate pairs — the prefix principle's
+    whole point.  Fixture: near-dup pairs above/below the threshold
+    plus disjoint noise docs."""
+    base_text = " ".join(f"t{i}" for i in range(40))
+    near = " ".join(f"t{i}" for i in range(36)) + " x1 x2 x3 x4"
+    far = " ".join(f"t{i}" for i in range(12)) + " " + " ".join(
+        f"y{i}" for i in range(28)
+    )
+    # every noise doc ends with the same 3 tokens: the shared shingle
+    # "z1 z2 z3" has df=6 so it sorts LAST in the rarest-first canonical
+    # order — outside every prefix — and the 15 cross-noise candidate
+    # pairs the full inverted-index join generates must all be pruned
+    noise = [
+        " ".join(f"n{j}_{i}" for i in range(30)) + " z1 z2 z3"
+        for j in range(6)
+    ]
+    df = _docs(spark, [base_text, near, far] + noise)
+
+    got = sorted(map(tuple, dedup.jaccard_pairs_prefix(df).collect()))
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(df).collect()))
+    assert got == want
+    assert (0, 1) in {(a, b) for a, b, _ in got}
+
+    sh = dedup._shingles(df, dedup.NGRAM_K)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    cold = sh  # no shingle is hot in this fixture
+    full = (
+        cold.select("shingle", F.col("doc_id").alias("a_id"))
+        .join(cold.select("shingle", F.col("doc_id").alias("b_id")), on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    pruned = dedup._prefix_candidates(
+        cold, dfc, dedup.JACCARD_THRESHOLD
+    ).count()
+    assert pruned < full, (pruned, full)

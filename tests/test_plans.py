@@ -359,3 +359,26 @@ def test_value_anomalies_has_no_forced_broadcast(spark, sf_dir):
         "user-stats join must not force a broadcast:\n" + p
     )
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_supplier_census_filters_push_and_anti_join(spark, sf_dir):
+    """Q16 shape: both dimension IN-lists and the brand inequality push
+    to the part scan, the complaint exclusion plans as a LEFT ANTI
+    (never a NOT IN rescan), the lineitem scan reads ONLY the two key
+    columns, and the pair dedup aggregates below the dimension join."""
+    from rdfind_spark.functions.warehouse import supplier_relationship_census
+
+    q = supplier_relationship_census(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    p = plan_of(q)
+    assert "LeftAnti" in p
+    assert "Not(EqualTo(p_brand" in p, "brand exclusion must push to scan"
+    assert "In(p_type" in p and "In(p_size" in p
+    # column pruning: the fact scan reads only the join keys
+    li_schema = p.split("lineitem.parquet", 1)[1]
+    li_schema = li_schema.split("ReadSchema", 1)[1][:120]
+    assert "l_partkey" in li_schema and "l_suppkey" in li_schema
+    assert "l_quantity" not in li_schema and "l_extendedprice" not in li_schema

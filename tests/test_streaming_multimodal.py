@@ -734,3 +734,67 @@ def test_audio_clip_stats_end_to_end(spark, sf_dir):
         assert (r.sample_rate, r.n_channels, r.bits_per_sample) == (8000, 1, 8)
         assert r.n_samples == 2 * m.AUDIO_SEG
         assert r.amp_sum == m.AUDIO_SEG * (a + b)
+
+
+def test_parse_bmp_real_format_walker():
+    """Hand-built BMPs through the real parser: bottom-up (positive
+    height, the default) vs top-down (negative height) must decode to
+    the same logical image; rows carry the 4-byte stride padding; BGR
+    in-file channel order; compressed / non-24-bit payloads raise the
+    documented NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rdfind_spark.functions import multimodal as m
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) // 4 * 4  # 9 -> 12
+    top = bytes(range(10, 10 + w * 3)) + b"\x07" * (stride - w * 3)
+    bot = bytes(range(50, 50 + w * 3)) + b"\x07" * (stride - w * 3)
+
+    def hdr(height):
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, height, 1, 24, 0, stride * h,
+                0, 0, 0, 0,
+            )
+        )
+
+    # bottom-up: LAST stored row is the logical top
+    up = m.parse_bmp(hdr(h) + bot + top)
+    # top-down: stored order IS logical order
+    down = m.parse_bmp(hdr(-h) + top + bot)
+    assert up == down
+    sums = np.frombuffer(top[: w * 3] + bot[: w * 3], np.uint8).reshape(
+        -1, 3
+    ).sum(axis=0)
+    assert up == (w, h, 24, int(sums[0]), int(sums[1]), int(sums[2]))
+    # stride pad bytes (0x07 above) must NOT leak into the sums
+    with pytest.raises(NotImplementedError):
+        m.parse_bmp(
+            hdr(h)[:30] + struct.pack("<I", 1) + hdr(h)[34:] + top + bot
+        )  # compression = 1 (RLE8)
+    with pytest.raises(ValueError):
+        m.parse_bmp(b"definitely not a bmp")
+
+
+def test_bmp_image_stats_end_to_end(spark, sf_dir):
+    """attach_bmp -> parse_bmp over real parquet docs must equal the
+    per-channel formula sums computed independently in Python."""
+    from rdfind_spark.functions import multimodal as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    rows = {r.doc_id: r for r in m.bmp_image_stats(docs).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        assert (r.width, r.height, r.bits_per_pixel) == (m.BMP_W, m.BMP_H, 24)
+        for name, mul, ax, ay in m._BMP_CHANNELS:
+            want = sum(
+                32 + (doc_id * mul + ax * x + ay * y) % 95
+                for x in range(m.BMP_W)
+                for y in range(m.BMP_H)
+            )
+            assert r[f"sum_{name}"] == want, (doc_id, name)
