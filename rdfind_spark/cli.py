@@ -248,6 +248,9 @@ _CORPUS_OP_NAMES = (
     "dup-spans",
     "cosine-pairs",
     "audio-stats",
+    "jaccard-prefix",
+    "minhash-calibration",
+    "bmp-stats",
 )
 
 
@@ -289,6 +292,9 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "dup-spans": lambda d: dedup.dup_span_census(d),
         "cosine-pairs": lambda d: dedup.shingle_cosine_pairs(d),
         "audio-stats": lambda d: multimodal.audio_clip_stats(d),
+        "jaccard-prefix": lambda d: dedup.jaccard_pairs_prefix(d),
+        "minhash-calibration": lambda d: dedup.minhash_estimate_eval(d),
+        "bmp-stats": lambda d: multimodal.bmp_image_stats(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)
