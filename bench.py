@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "multimodal_bmp_stats",
     "warehouse_supplier_census",
+    "graph_kcore",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
@@ -92,6 +93,7 @@ HEAVY_QUERIES = {
     "capture_supports",
     "graph_pagerank",
     "graph_components",
+    "graph_kcore",
     "dedup_ngram_jaccard",
     "dedup_shingle_cosine",
     "dedup_jaccard_prefix",

@@ -586,3 +586,117 @@ corners AS (
   UNION ALL SELECT z FROM tri
 )
 SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id"""
+
+
+# ------------------------------------------------------------- k-core
+
+KCORE_K = 4
+KCORE_MAX_ROUNDS = 14  # sf0.001/0.1 converge in 6 peels, sf0.01 in 9
+
+
+def k_core(
+    triples: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983): the maximal
+    subgraph of the symmetrized entity graph in which every node has
+    degree >= k, computed by the standard peel — repeatedly drop nodes
+    whose degree among SURVIVING nodes is < k until a fixed point.
+    The third structural query of the graph family (with components
+    and PageRank): cores locate the densely-embedded entities that
+    survive after the star fringes (lineitems, leaf parts) peel away.
+
+    Output: (node, core_degree) for every node in the k-core, with its
+    within-core degree (>= k by definition).
+
+    Spark side: restrict-peel — per round, one degree aggregate over
+    the SURVIVING edge set and two semi-joins restricting it.  The
+    surviving set shrinks geometrically on star-fringe graphs like
+    this one (round 1 peels the lineitem leaves, >70% of nodes), so
+    total work is a fast-converging sum of shrinking scans.  The
+    alternative — an incremental decrement peel that never rewrites
+    the edge table and joins it against just-removed fronts — was
+    MEASURED SLOWER here (96-118s vs 21-50s at sf0.1): it rescans the
+    full edge table every round, which only pays off when fronts stay
+    small relative to the graph; on a 100 TB graph with long peel
+    tails, switch to the decrement form past the first restrict.
+    Raises rather than return a non-converged core (same discipline
+    as ``graph_components``).  Oracle equivalence: the peel is
+    monotone and idempotent at the fixed point, so the oracle's
+    ``max_rounds``-deep unrolled CTE chain equals the converged loop
+    exactly — surplus rounds are the identity map, never coincidence.
+
+    Equal survivor COUNT implies equal survivor SET (the peel is
+    monotone decreasing), so the count-stability stop is exact."""
+    edges = entity_edges(triples)
+    sym = materialize(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    live = sym
+    prev_n = -1
+    for _ in range(max_rounds):
+        rem = (
+            live.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("a").alias("v"))
+        )
+        rem = materialize(rem)
+        n = rem.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        live = materialize(
+            live.join(rem.withColumnRenamed("v", "a"), on="a", how="left_semi")
+            .join(rem.withColumnRenamed("v", "b"), on="b", how="left_semi")
+        )
+    else:
+        raise RuntimeError(
+            f"k_core: no fixed point within {max_rounds} peel rounds — "
+            "raise KCORE_MAX_ROUNDS (and the oracle unroll) together"
+        )
+    return (
+        live.groupBy("a")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("a").alias("node"), "core_degree")
+    )
+
+
+def k_core_sql(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """The identical peel as ``rounds`` chained MATERIALIZED CTEs —
+    surplus rounds past the fixed point are the identity map (same
+    pattern as graph_components_sql / pagerank_sql)."""
+    parts = [
+        f"""WITH triples AS (
+{triple_view_sql()}
+),
+edges AS ({ENTITY_EDGES_SQL}),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+e0 AS MATERIALIZED (SELECT a, b FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (
+  SELECT a AS v FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  WHERE e.a IN (SELECT v FROM r{i}) AND e.b IN (SELECT v FROM r{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a AS node, COUNT(*) AS core_degree
+FROM e{rounds} GROUP BY a"""
+    )
+    return "".join(parts)

@@ -713,6 +713,19 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(triple_view(spark, sf_dir))
 
 
+@register("graph_kcore", graph.k_core_sql())
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983) of the
+    symmetrized entity graph: iterative peel until every surviving
+    node keeps degree >= 4 among survivors, reporting within-core
+    degree.  Spark loop stops at the fixed point (raises if not
+    reached); the oracle is the identical peel unrolled to
+    KCORE_MAX_ROUNDS chained CTEs — surplus rounds past the fixed
+    point are the identity map.  Measured convergence: 6 peels at
+    sf0.001/sf0.1, 9 at sf0.01."""
+    return graph.k_core(triple_view(spark, sf_dir))
+
+
 @register("graph_components", graph.graph_components_sql())
 def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the hub-pruned entity graph — the
@@ -1318,11 +1331,12 @@ _BOARD_PRIORITY = [
     "dedup_minhash_estimate",
     "multimodal_bmp_stats",
     "warehouse_supplier_census",
+    "graph_kcore",
     # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
     # fifteen unit-pinned keys named above plus the four tail keys the
     # round-9 registrations displaced: events_sessionize,
     # stream_hourly_counts, stream_interval_join,
-    # stream_purchase_totals — all unit-pinned by the events/streaming
+    # stream_purchase_totals, knn_ivf — all unit-pinned by the events/streaming/knn
     # tests, all with r7 driver rows that stay in-window until r10)
     "stream_contamination",
     "graph_components",
@@ -1354,7 +1368,6 @@ _BOARD_PRIORITY = [
     "knn_lsh",
     "embedding_kmeans",
     "dedup_semantic",
-    "knn_ivf",
 ]
 
 

@@ -301,3 +301,25 @@ def test_pair_triangles_matches_bruteforce_random_graph(spark):
         for r in graph.pair_triangles(_pairs(spark, edges)).collect()
     }
     assert got == expected
+
+
+def test_k_core_peels_fringes_keeps_clique(spark):
+    """Hand-checkable 4-core: a 5-clique survives with within-core
+    degree 4; a pendant node and a 5-leaf star peel away entirely
+    (the star CENTER peels in round 2 — the cascade, not just the
+    degree filter)."""
+    from rdfind_spark.functions.graph import k_core
+
+    rows = []
+    clique = [f"x:{i}" for i in range(1, 6)]
+    for i, a in enumerate(clique):
+        for b in clique[i + 1 :]:
+            rows.append((a, "linksTo", b))
+    rows.append(("x:6", "linksTo", "x:1"))  # pendant
+    for i in range(1, 6):  # star: center y:0
+        rows.append((f"y:{i}", "linksTo", "y:0"))
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    got = {r.node: r.core_degree for r in k_core(triples, k=4).collect()}
+    assert got == {n: 4 for n in clique}
