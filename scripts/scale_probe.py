@@ -70,13 +70,20 @@ def main() -> int:
     cosine = "--cosine" in sys.argv[1:]
     spans = "--spans" in sys.argv[1:]
     lmscore = "--lmscore" in sys.argv[1:]
+    prefix = "--prefix-jaccard" in sys.argv[1:]
+    kcore = "--kcore" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
         if a not in ("--staged", "--dedup", "--ann", "--triangles",
-                     "--cosine", "--spans", "--lmscore", "--half-base")
+                     "--cosine", "--spans", "--lmscore", "--prefix-jaccard",
+                     "--kcore", "--half-base")
     ]
+    if kcore:
+        return _kcore_probe([int(a) for a in args] or [1, 2, 4])
+    if prefix:
+        return _prefix_jaccard_probe([int(a) for a in args] or [1, 2, 4])
     if spans:
         return _docs_probe([int(a) for a in args] or [1, 2, 4], "spans")
     if lmscore:
@@ -238,6 +245,109 @@ def _cosine_probe(ns) -> int:
         dt = time.time() - t0
         results[n] = (dt, rows)
         print(f"# {n}x: {dt:.1f}s pairs={rows}", flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _kcore_probe(ns) -> int:
+    """Disjoint-copy ladder for the k-core peel: copies suffix every
+    entity id INSIDE the value (``cust:123`` -> ``cust:123|c0``) so
+    the entity-edge regex still matches and the copies share no nodes;
+    each copy reproduces the base core independently, so node count
+    AND the within-core degree sum must scale exactly xN (checked)."""
+    from rdfind_spark.functions.graph import k_core
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    k_core(triple_view(spark, "/root/testdata/sf0.001")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    base = triple_view(spark, sf_dir)
+    results = {}
+    for n in ns:
+        copies = [
+            base.select(
+                F.concat(F.col("subj"), F.lit(f"|c{i}")).alias("subj"),
+                "pred",
+                F.concat(F.col("obj"), F.lit(f"|c{i}")).alias("obj"),
+            )
+            for i in range(n)
+        ]
+        tri = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        out = k_core(tri)
+        chk = out.agg(
+            F.count("*").alias("rows"), F.sum("core_degree").alias("s")
+        ).collect()[0]
+        dt = time.time() - t0
+        results[n] = (dt, chk.rows, chk.s)
+        print(f"# kcore {n}x: {dt:.1f}s rows={chk.rows} degsum={chk.s}",
+              flush=True)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        _, r1, s1 = results[1]
+        for n, (dt, rows, s) in results.items():
+            assert rows == n * r1 and s == n * s1, (n, rows, s)
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _prefix_jaccard_probe(ns) -> int:
+    """Disjoint-copy ladder for the PREFIX-FILTERED Jaccard join —
+    same per-copy token prefixing as --dedup (shingle spaces disjoint
+    across copies), pair set must scale exactly xN (checked).  The
+    interesting number vs the --dedup ladder is the slope: the prefix
+    join touches only the (1-t) rarest fraction of every posting
+    list."""
+    from rdfind_spark.functions.dedup import jaccard_pairs_prefix
+    from rdfind_spark.functions.text import tokens_col
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    jaccard_pairs_prefix(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        def _prefixed(i: int):
+            pfx = F.lit(f"c{i}|")
+            return F.array_join(
+                F.transform(tokens_col(F.col("text")), lambda t: F.concat(pfx, t)),
+                " ",
+            ).alias("text")
+
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                _prefixed(i),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(n)
+        ]
+        docs = reduce(lambda a, b: a.unionByName(b), copies)
+        t0 = time.time()
+        rows = jaccard_pairs_prefix(docs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# prefix-jaccard {n}x: {dt:.1f}s pairs={rows}", flush=True)
         spark.catalog.clearCache()
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
