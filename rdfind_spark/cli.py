@@ -17,7 +17,8 @@ A14-A17).  This module reproduces that surface on Spark::
         {split,sample,pack,export,contamination,dedup-exact,
          dedup-clusters,quality,quality-filter,redact,span-dedup,mix,
          tfidf,bigrams,pmi,index,percentiles,vocab,dsir,bpe,
-         bpe-encode,lm-score,dup-spans,cosine-pairs,audio-stats}
+         bpe-encode,lm-score,dup-spans,cosine-pairs,audio-stats,
+         jaccard-prefix,minhash-calibration,bmp-stats,search}
         (beyond-reference curation)
 
 INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
@@ -251,6 +252,7 @@ _CORPUS_OP_NAMES = (
     "jaccard-prefix",
     "minhash-calibration",
     "bmp-stats",
+    "search",
 )
 
 
@@ -295,6 +297,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "jaccard-prefix": lambda d: dedup.jaccard_pairs_prefix(d),
         "minhash-calibration": lambda d: dedup.minhash_estimate_eval(d),
         "bmp-stats": lambda d: multimodal.bmp_image_stats(d),
+        "search": lambda d: corpus_stats.keyword_search(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

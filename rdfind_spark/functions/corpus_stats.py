@@ -821,3 +821,139 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
          AS lm_score_ppm
 FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY doc_id"""
+
+
+# --------------------------------------------------- keyword search
+
+SEARCH_TERMS = ("spark", "window", "merge")
+BM25_K1_MILLI = 1200  # k1 = 1.2 in milli units
+BM25_B_MILLI = 750  # b = 0.75 in milli units
+SEARCH_TOP_K = 50
+
+
+def keyword_search(
+    documents: DataFrame,
+    terms=SEARCH_TERMS,
+    top_k: int = SEARCH_TOP_K,
+    k1_milli: int = BM25_K1_MILLI,
+    b_milli: int = BM25_B_MILLI,
+) -> DataFrame:
+    """BM25-shaped keyword retrieval (Robertson & Walker 1994) in
+    EXACT integer fixed-point: rank documents for a fixed term set by
+    per-term saturated-tf × rarity, with BM25's document-length
+    normalization.  One deliberate substitution keeps both engines
+    bit-identical: the idf's logarithm (libm — ULP-drift across
+    engines) is replaced by the RATIONAL rarity weight
+    ``(2(N-df)+1) * 1e6 DIV (2·df+1)`` — the same argument BM25 feeds
+    ln(), un-logged; monotone in df, so ranking behavior is preserved
+    while every operation stays integer division/multiplication.
+
+    Fixed-point ledger (all BIGINT, every step identical in the SQL
+    twin): avgdl and dl/avgdl in milli; the length brace
+    (1-b) + b·dl/avgdl in milli; the tf saturation
+    tf(k1+1)/(tf + k1·brace) in ppm; contribution =
+    idf_ppm · sat_ppm DIV 1000.  Worst-case product ~2e16 < 2^63.
+
+    Scale: tf is one explode restricted to the query terms (predicate
+    inside the explode, so the shuffle carries query-term rows only),
+    df/avgdl are single-row or term-count-sized aggregates
+    (broadcast), and the final top-k is a deterministic
+    (score DESC, doc_id) order — no window, no full sort at scale
+    beyond the top-k heap."""
+    terms_list = list(terms)
+    toks = tokens_col(F.lower(F.col("text")))
+    docs = documents.select("doc_id", toks.alias("toks"))
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("SUM(dl) * 1000 DIV COUNT(*)").alias("avgdl_milli"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.col("toks"),
+                    lambda t: t.isin(*terms_list),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, on="doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(df_t), on="term")
+        .withColumn(
+            "dlnorm_milli", F.expr("dl * 1000000 DIV avgdl_milli")
+        )
+        .withColumn(
+            "brace_milli",
+            F.expr(
+                f"1000 - {b_milli} + ({b_milli} * dlnorm_milli) DIV 1000"
+            ),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                f"(tf * {k1_milli + 1000} * 1000) DIV "
+                f"(tf * 1000 + ({k1_milli} * brace_milli) DIV 1000)"
+            ),
+        )
+        .withColumn(
+            "idf_ppm",
+            F.expr(
+                "((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)"
+            ),
+        )
+        .withColumn("contrib", F.expr("(idf_ppm * sat_ppm) DIV 1000"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def keyword_search_sql(
+    terms=SEARCH_TERMS,
+    top_k: int = SEARCH_TOP_K,
+    k1_milli: int = BM25_K1_MILLI,
+    b_milli: int = BM25_B_MILLI,
+) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n_docs,
+                  SUM(dl) * 1000 // COUNT(*) AS avgdl_milli FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(toks, t -> t IN ({term_list}))) AS term
+    FROM toks
+  ) GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)
+          * ((tf * {k1_milli + 1000} * 1000) //
+             (tf * 1000 + ({k1_milli} *
+              (1000 - {b_milli} + ({b_milli} * (dl * 1000000 // avgdl_milli)) // 1000)) // 1000))
+         ) // 1000 AS contrib
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus JOIN dft USING (term)
+)
+SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+       COUNT(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {top_k}"""

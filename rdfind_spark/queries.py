@@ -509,6 +509,18 @@ def docs_length_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.length_digest_eval(_docs(spark, sf_dir))
 
 
+@register("docs_keyword_search", corpus_stats.keyword_search_sql())
+def docs_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped keyword retrieval in exact integer fixed-point
+    (Robertson & Walker 1994): saturated-tf x rarity with document-
+    length normalization, the idf's libm logarithm replaced by the
+    rational rarity ratio it would be fed (monotone in df, so ranking
+    is preserved and both engines are bit-identical).  Top-k with a
+    deterministic (score, doc_id) tie-break; the term filter runs
+    INSIDE the explode so the shuffle carries query-term rows only."""
+    return corpus_stats.keyword_search(_docs(spark, sf_dir))
+
+
 @register("docs_cube_counts", corpus_stats.docs_cube_counts_sql())
 def docs_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang × source) census with CUBE subtotals in one grouping-sets
@@ -1332,11 +1344,12 @@ _BOARD_PRIORITY = [
     "multimodal_bmp_stats",
     "warehouse_supplier_census",
     "graph_kcore",
+    "docs_keyword_search",
     # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
     # fifteen unit-pinned keys named above plus the four tail keys the
     # round-9 registrations displaced: events_sessionize,
     # stream_hourly_counts, stream_interval_join,
-    # stream_purchase_totals, knn_ivf — all unit-pinned by the events/streaming/knn
+    # stream_purchase_totals, knn_ivf, knn_lsh — all unit-pinned by the events/streaming/knn
     # tests, all with r7 driver rows that stay in-window until r10)
     "stream_contamination",
     "graph_components",
@@ -1365,7 +1378,6 @@ _BOARD_PRIORITY = [
     "docs_mix_sources",
     "embedding_prep",
     "knn_ivf_recall",
-    "knn_lsh",
     "embedding_kmeans",
     "dedup_semantic",
 ]

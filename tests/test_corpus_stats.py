@@ -359,3 +359,59 @@ def test_lm_score_skips_single_token_docs_and_lowercases(spark):
     # "x" has no bigrams -> absent; casing folds: unigrams hello=3 x=1
     # V=2, c(hello hello)=2 -> p = 3*1e6 DIV 5 = 600000 for both tokens
     assert out == {0: (2, 600000)}
+
+
+def test_keyword_search_fixed_point_ledger(spark):
+    """Integer BM25-shape on a hand-checkable fixture: a document
+    dense in a rare query term outranks one with a single hit of a
+    common term; every score must equal the pure-Python evaluation of
+    the same fixed-point ledger (floor divisions in the same order)."""
+    from rdfind_spark.functions.corpus_stats import (
+        BM25_B_MILLI,
+        BM25_K1_MILLI,
+        keyword_search,
+    )
+
+    texts = [
+        "merge merge merge pad pad pad pad pad",       # rare term, dense
+        "spark pad pad pad pad pad pad pad",           # common term, 1 hit
+        "spark window pad pad pad pad pad pad",        # two terms
+        "spark pad pad pad",                           # short doc
+        "pad pad pad pad pad pad pad pad",             # no hit
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.doc_id: (r.score, r.n_terms_hit) for r in keyword_search(df).collect()}
+
+    toks = [t.split() for t in texts]
+    n_docs = len(toks)
+    avgdl_milli = sum(len(t) for t in toks) * 1000 // n_docs
+    terms = ("spark", "window", "merge")
+    df_t = {
+        q: sum(1 for t in toks if q in t) for q in terms
+    }
+    want = {}
+    for i, t in enumerate(toks):
+        score, hits = 0, 0
+        dl = len(t)
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            hits += 1
+            dlnorm = dl * 1_000_000 // avgdl_milli
+            brace = 1000 - BM25_B_MILLI + (BM25_B_MILLI * dlnorm) // 1000
+            sat = (tf * (BM25_K1_MILLI + 1000) * 1000) // (
+                tf * 1000 + (BM25_K1_MILLI * brace) // 1000
+            )
+            idf = ((2 * (n_docs - df_t[q]) + 1) * 1_000_000) // (
+                2 * df_t[q] + 1
+            )
+            score += (idf * sat) // 1000
+        if hits:
+            want[i] = (score, hits)
+    assert got == want
+    # the rare dense term must dominate the common single hits
+    assert got[0][0] > got[1][0] and got[0][0] > got[3][0]
