@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "multimodal_bmp_stats",
     "warehouse_supplier_census",
     "graph_kcore",
+    "docs_keyword_search",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
