@@ -65,6 +65,12 @@ def _build_session(args: argparse.Namespace) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # In local mode the driver JVM IS the executor: Spark's 1g default
+    # heap GC-thrashes on real inputs (measured: GCLocker retry
+    # warnings at sf0.1 ingest).  A cluster deployment sizes executors
+    # externally and can ignore this flag.
+    if getattr(args, "driver_memory", None):
+        builder = builder.config("spark.driver.memory", args.driver_memory)
     return builder.getOrCreate()
 
 
@@ -354,6 +360,9 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("input", nargs="+", help="N-Triples path(s) or tpch:DIR")
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
+        p.add_argument("--driver-memory", default=None,
+                       help="spark.driver.memory (local mode: the one "
+                            "heap that matters)")
         p.add_argument("--output", help="write results as text to DIR")
         p.add_argument("--parquet", help="write results as parquet to DIR")
         p.add_argument("--show", type=int, default=50)

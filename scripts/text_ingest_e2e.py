@@ -105,6 +105,7 @@ def main() -> int:
                 sys.executable, "-m", "rdfind_spark", "rdfind", inp,
                 "--support", str(args.support),
                 "--master", f"local[{cpus}]",
+                "--driver-memory", "48g",
                 "--output", out,
             ],
             cwd=REPO,
