@@ -1119,6 +1119,7 @@ def stream_purchase_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from rdfind_spark.streaming.windows import (
+    session_window_stream_oracle_sql,
     streaming_anomalies_oracle_sql,
     streaming_contamination_oracle_sql,
     streaming_dedup_deliveries_oracle_sql,
@@ -1147,6 +1148,33 @@ def stream_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = run_available_now(
         streaming_anomalies(ev),
         f"stream_anom_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+@register(
+    "stream_session_windows",
+    session_window_stream_oracle_sql(),
+)
+def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE session_window aggregation —
+    the JVM-side, state-store-backed twin of stream_sessions'
+    applyInPandasWithState sessionizer (the 100 TB-preferred variant:
+    incremental hash aggregate, no Arrow hop).  Full SQL oracle:
+    µs-gap batch islands with end = last event + gap, emitted iff the
+    final watermark passes the end."""
+    import uuid
+
+    from rdfind_spark.streaming import (
+        run_available_now,
+        session_window_stream,
+        stream_events,
+    )
+
+    name = run_available_now(
+        session_window_stream(stream_events(spark, sf_dir)),
+        f"stream_sw_{uuid.uuid4().hex[:8]}",
         output_mode="append",
     )
     return spark.table(name)
@@ -1345,11 +1373,12 @@ _BOARD_PRIORITY = [
     "warehouse_supplier_census",
     "graph_kcore",
     "docs_keyword_search",
+    "stream_session_windows",
     # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
     # fifteen unit-pinned keys named above plus the four tail keys the
     # round-9 registrations displaced: events_sessionize,
     # stream_hourly_counts, stream_interval_join,
-    # stream_purchase_totals, knn_ivf, knn_lsh — all unit-pinned by the events/streaming/knn
+    # stream_purchase_totals, knn_ivf, knn_lsh, embedding_kmeans — all unit-pinned by the events/streaming/knn
     # tests, all with r7 driver rows that stay in-window until r10)
     "stream_contamination",
     "graph_components",
@@ -1378,7 +1407,6 @@ _BOARD_PRIORITY = [
     "docs_mix_sources",
     "embedding_prep",
     "knn_ivf_recall",
-    "embedding_kmeans",
     "dedup_semantic",
 ]
 

@@ -18,5 +18,7 @@ from rdfind_spark.streaming.windows import (  # noqa: F401
     streaming_dedup_deliveries,
     streaming_dedup_deliveries_oracle_sql,
     streaming_exact_dedup,
+    session_window_stream,
+    session_window_stream_oracle_sql,
     streaming_sessionize,
 )

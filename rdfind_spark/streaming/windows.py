@@ -555,3 +555,71 @@ def streaming_anomalies(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap_sec: int = _SESSION_GAP_SEC,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` aggregation —
+    the JVM-side, state-store-backed twin of the Python
+    ``streaming_sessionize`` (``applyInPandasWithState``).  At 100 TB
+    this is the variant to run: session merge happens inside the
+    incremental hash aggregate (whole-stage codegen, RocksDB-spillable
+    state), no Arrow hop, no Python worker per partition.  The
+    applyInPandas form stays as the template for session logic the
+    built-in operator cannot express (e.g. per-session payload
+    assembly).
+
+    Emission semantics (pinned by the oracle): a session window spans
+    [first event, last event + gap); append mode emits it once the
+    event-time watermark (global max ts − delay) passes its end.  The
+    still-open tail — sessions whose end the watermark never passes —
+    stays in state, exactly like the stateful sessionizer's per-user
+    final session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_sec} seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stream_oracle_sql(
+    gap_sec: int = _SESSION_GAP_SEC, watermark_sec: int = 2 * 3600
+) -> str:
+    """Batch-equivalent SQL: µs-gap islands, session_end = last event
+    + gap (the native window's right edge), emitted iff the end is at
+    or before the final watermark (global max ts − delay)."""
+    gap_us = gap_sec * 1_000_000
+    return f"""WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+),
+wm AS (SELECT MAX(us) - {watermark_sec * 1_000_000} AS w FROM e),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us) + {gap_us}) AS session_end,
+       COUNT(*) AS n_events
+FROM s CROSS JOIN wm
+GROUP BY user_id, sid, wm.w
+HAVING MAX(us) + {gap_us} <= wm.w"""

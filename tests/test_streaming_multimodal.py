@@ -798,3 +798,71 @@ def test_bmp_image_stats_end_to_end(spark, sf_dir):
                 for y in range(m.BMP_H)
             )
             assert r[f"sum_{name}"] == want, (doc_id, name)
+
+
+def test_session_window_stream_state_spans_micro_batches(spark, sf_dir, tmp_path):
+    """The NATIVE session_window aggregation must produce a batch-count-
+    independent result: events sliced into 5 CHRONOLOGICAL chunks (one
+    file each, written in order so the file source replays them oldest-
+    first and nothing is watermark-late) streamed one file per trigger
+    == the single-trigger run, and sessions that SPAN chunk boundaries
+    must merge across micro-batches (asserted: some emitted session
+    crosses a chunk edge)."""
+    from pyspark.sql import Window
+
+    from rdfind_spark.functions.events import normalize_event_ts
+    from rdfind_spark.streaming.windows import session_window_stream
+
+    events = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    w = Window.orderBy("ts", "event_id")
+    bucketed = events.withColumn("bucket", F.ntile(5).over(w))
+    src = str(tmp_path / "events_chrono")
+    edges = []
+    for i in range(1, 6):
+        chunk = bucketed.filter(F.col("bucket") == i).drop("bucket")
+        chunk.coalesce(1).write.parquet(f"{src}/b{i}")
+        edges.append(chunk.agg(F.max("ts")).collect()[0][0])
+
+    schema = spark.read.parquet(f"{src}/b1").schema
+
+    def run(qname, files_per_trigger):
+        reader = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        )
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+        q = (
+            session_window_stream(reader.parquet(src))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        rows = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(qname).collect()
+        }
+        return rows, batches
+
+    got_multi, n_multi = run("sw_multi", 1)
+    assert n_multi >= 5, "soak must exercise >= 5 micro-batches"
+    got_single, n_single = run("sw_single", None)
+    assert n_single == 1
+    assert got_multi == got_single
+    assert got_multi, "some sessions must emit"
+    # at least one emitted session spans a chunk boundary: its start is
+    # at or before an edge and its end (minus the gap padding) after it
+    crossing = [
+        (u, s, e)
+        for (u, s, e, n) in got_multi
+        for edge in edges[:-1]
+        if s <= edge and e > edge
+    ]
+    assert crossing, "no session crossed a chunk boundary - fixture too weak"
