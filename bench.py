@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "warehouse_supplier_census",
     "graph_kcore",
     "docs_keyword_search",
+    "knn_lsh_multiprobe",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs

@@ -996,3 +996,27 @@ def test_jaccard_prefix_equals_base_and_prunes(spark):
         cold, dfc, dedup.JACCARD_THRESHOLD
     ).count()
     assert pruned < full, (pruned, full)
+
+
+def test_multiprobe_lsh_recovers_boundary_neighbors(spark, sf_dir):
+    """Multi-probe candidates are a strict superset of single-probe
+    candidates (the original bucket is probe 0), and on the real
+    embeddings the extra Hamming-1 probes must recover neighbors the
+    single-probe index misses (recall@k strictly improves vs brute
+    force)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(emb).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id) for r in similarity.knn_lsh(emb).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_lsh_multiprobe(emb).collect()
+    }
+    r_single = len(single & bf) / len(bf)
+    r_multi = len(multi & bf) / len(bf)
+    assert r_multi > r_single, (r_single, r_multi)
+    assert r_multi >= 0.8, r_multi
