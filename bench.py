@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "graph_kcore",
     "docs_keyword_search",
     "knn_lsh_multiprobe",
+    "warehouse_waiting_suppliers",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs

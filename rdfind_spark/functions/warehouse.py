@@ -1003,3 +1003,112 @@ WHERE p.p_brand <> '{exclude_brand}'
   AND pr.s_suppkey NOT IN (
     SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+
+# ---------------------------------------------------------- Q21 shape
+
+WAITING_LATE_DAYS = 365
+WAITING_STATUS = "F"
+WAITING_TOP_K = 100
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = WAITING_LATE_DAYS,
+    status: str = WAITING_STATUS,
+    top_k: int = WAITING_TOP_K,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) re-keyed to
+    the available columns: for finished orders (status ``F``), find
+    suppliers whose line shipped more than ``late_days`` after the
+    order date, on MULTI-supplier orders where they were the ONLY late
+    supplier — the famous EXISTS / NOT-EXISTS double self-join on the
+    fact table.  (TPC-H's receipt-vs-commit lateness needs columns the
+    synthetic schema lacks; ship-vs-order-date is the same shape.)
+
+    Plan shape the test pins: the EXISTS becomes one LEFT SEMI and the
+    NOT EXISTS one LEFT ANTI, each against the key-level DISTINCT
+    (order, supplier) projections — the fact stream collapses to pair
+    level BEFORE both self-joins, and the status filter pushes to the
+    orders scan.  Output: (s_name, numwait) top-k with a deterministic
+    (numwait DESC, s_name) tie-break."""
+    fo = orders.filter(F.col("o_orderstatus") == status).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    pairs = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        pairs.join(fo, on="l_orderkey")
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > late_days
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = pairs.select("l_orderkey", "l_suppkey").distinct()
+    other = all_pairs.select(
+        "l_orderkey", F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = late.select(
+        "l_orderkey", F.col("l_suppkey").alias("o_supp")
+    )
+    waiting = (
+        late.join(
+            other,
+            (late["l_orderkey"] == other["l_orderkey"])
+            & (late["l_suppkey"] != other["o_supp"]),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late["l_orderkey"] == other_late["l_orderkey"])
+            & (late["l_suppkey"] != other_late["o_supp"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            supplier.select(
+                F.col("s_suppkey").alias("l_suppkey"), "s_name"
+            ),
+            on="l_suppkey",
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(top_k)
+    )
+
+
+def waiting_suppliers_sql(
+    late_days: int = WAITING_LATE_DAYS,
+    status: str = WAITING_STATUS,
+    top_k: int = WAITING_TOP_K,
+) -> str:
+    return f"""WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = '{status}'
+    AND datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)
+        > {late_days}
+),
+waiting AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+  WHERE EXISTS (SELECT 1 FROM pairs p2
+                WHERE p2.l_orderkey = l1.l_orderkey
+                  AND p2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC LIMIT {top_k}"""

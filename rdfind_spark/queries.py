@@ -691,6 +691,21 @@ def warehouse_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("warehouse_waiting_suppliers", warehouse.waiting_suppliers_sql())
+def warehouse_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting-suppliers shape: suppliers whose line shipped late
+    on finished MULTI-supplier orders where they were the ONLY late
+    supplier — the famous EXISTS/NOT-EXISTS double self-join on the
+    fact, planned as one LEFT SEMI + one LEFT ANTI over key-level
+    DISTINCT pair projections (fact collapses before both self-joins;
+    plan pinned in test_plans.py)."""
+    return warehouse.waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 @register(
     "warehouse_supplier_census",
     warehouse.supplier_relationship_census_sql(),
@@ -1386,12 +1401,13 @@ _BOARD_PRIORITY = [
     "docs_keyword_search",
     "stream_session_windows",
     "knn_lsh_multiprobe",
+    "warehouse_waiting_suppliers",
     # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
     # fifteen unit-pinned keys named above plus the four tail keys the
     # round-9 registrations displaced: events_sessionize,
     # stream_hourly_counts, stream_interval_join,
     # stream_purchase_totals, knn_ivf, knn_lsh, embedding_kmeans,
-    #        embedding_prep — all unit-pinned by the events/streaming/knn
+    #        embedding_prep, knn_ivf_recall — all unit-pinned by the events/streaming/knn
     # tests, all with r7 driver rows that stay in-window until r10)
     "stream_contamination",
     "graph_components",
@@ -1418,7 +1434,6 @@ _BOARD_PRIORITY = [
     "warehouse_local_supplier",
     "graph_pagerank",
     "docs_mix_sources",
-    "knn_ivf_recall",
     "dedup_semantic",
 ]
 

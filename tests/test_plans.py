@@ -382,3 +382,22 @@ def test_supplier_census_filters_push_and_anti_join(spark, sf_dir):
     li_schema = li_schema.split("ReadSchema", 1)[1][:120]
     assert "l_partkey" in li_schema and "l_suppkey" in li_schema
     assert "l_quantity" not in li_schema and "l_extendedprice" not in li_schema
+
+
+def test_waiting_suppliers_semi_anti_on_collapsed_pairs(spark, sf_dir):
+    """Q21 shape: the EXISTS plans as LEFT SEMI, the NOT EXISTS as
+    LEFT ANTI, the status filter pushes to the orders scan, and the
+    lineitem scans read only the key/date columns (never the money
+    columns)."""
+    from rdfind_spark.functions.warehouse import waiting_suppliers
+
+    q = waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    p = plan_of(q)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "EqualTo(o_orderstatus,F)" in p, "status filter must push to scan"
+    li_schema = p.split("lineitem.parquet", 1)[1].split("ReadSchema", 1)[1][:160]
+    assert "l_extendedprice" not in li_schema and "l_quantity" not in li_schema
