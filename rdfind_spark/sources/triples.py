@@ -138,7 +138,13 @@ def triple_view_sql() -> str:
 # capture the graph label; a quad line without them would silently fail
 # every group and be DROPPED, which is data loss, not an error.
 _NT_PATTERN = (
-    r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
+    # (?s): Java regex treats NEL/LS/PS (U+0085/U+2028/U+2029) as line
+    # terminators that a bare `.` will NOT match, so a literal
+    # containing one would silently fail the whole line (data loss,
+    # hypothesis-found).  The text source splits records on \n only,
+    # so DOTALL is safe — no real record boundary can appear inside a
+    # line.
+    r"(?s)^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
     r"(?:<([^>]*)>|(_:\S+)|(\".*\"(?:\^\^<[^>]*>|@[\w-]+)?))"
     r"(?:\s+(?:<([^>]*)>|(_:\S+)))?\s*\.\s*$"
 )
@@ -173,7 +179,9 @@ def _parsed_quads(lines: DataFrame) -> DataFrame:
                     F.regexp_replace(
                         F.regexp_replace(
                             F.regexp_extract("value", _NT_PATTERN, 6),
-                            r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$',
+                            # (?s) for the same NEL/LS/PS reason as
+                            # _NT_PATTERN
+                            r'(?s)^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$',
                             r"$1",
                         ),
                         r'\\"',

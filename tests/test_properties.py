@@ -276,3 +276,109 @@ def test_components_match_union_find_reference(spark, raw_edges):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="\n\r",
+                blacklist_categories=("Cs",),
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ntriples_literal_round_trip_property(spark, objs):
+    """serialize->parse must be the identity on ARBITRARY literal
+    values (any unicode except raw newlines, which the line-based
+    format forbids unescaped): the adversarial fixed vectors in
+    test_text_ingest_e2e generalize to hypothesis-found shapes —
+    especially backslash runs adjacent to quotes, where a wrong
+    unescape order corrupts silently."""
+    from rdfind_spark.sources.sinks import ntriples_lines
+    from rdfind_spark.sources.triples import _parsed_quads
+
+    df = spark.createDataFrame(
+        [("s", "p", o) for o in objs],
+        "subj string, pred string, obj string",
+    )
+    back = [r.obj for r in _parsed_quads(ntriples_lines(df)).collect()]
+    assert back == objs
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**13),
+    st.integers(min_value=1, max_value=10**13),
+)
+def test_cos2_ppm_matches_python_bigints(dot, a_n2, b_n2):
+    """The widened cos^2-ppm expression must equal exact Python integer
+    arithmetic across the whole physical range, including far past the
+    int64 cliff of the narrow form (dot > ~3.03e6).  The generator
+    enforces the Cauchy-Schwarz contract the real query guarantees —
+    dot^2 <= a_n2 * b_n2, hence quotient <= 1e6 — which is exactly
+    what makes the final BIGINT cast safe (hypothesis found the
+    out-of-contract overflow when this clamp was missing).  Evaluated
+    through DuckDB (no Spark session per example — the Spark twin is
+    pinned on fixed vectors in test_functions.py; both render the same
+    formula)."""
+    import math
+
+    import duckdb
+
+    from rdfind_spark.functions.dedup import _cos2_ppm_sql
+
+    dot = min(dot, math.isqrt(a_n2 * b_n2))
+    got = duckdb.sql(
+        f"SELECT {_cos2_ppm_sql(str(dot), str(a_n2), str(b_n2))}"
+    ).fetchone()[0]
+    assert got == (dot * dot * 1_000_000) // (a_n2 * b_n2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=4,
+        max_size=50,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_k_core_matches_python_peel_reference(spark, raw_edges, k):
+    """The Spark restrict-peel must agree with a plain Python peel on
+    arbitrary small graphs (duplicate edges and self-loops included in
+    the raw input; self-loops are dropped like entity_edges' distinct
+    symmetrization drops nothing but parallel duplicates): same core
+    membership, same within-core degrees."""
+    from rdfind_spark.functions.graph import k_core
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    triples = spark.createDataFrame(
+        [(f"n:{a}", "linksTo", f"n:{b}") for a, b in edges],
+        "subj string, pred string, obj string",
+    )
+    got = {r.node: r.core_degree for r in k_core(triples, k=k).collect()}
+
+    # python reference: adjacency over the symmetrized simple graph
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {f"n:{v}": len(adj[v] & alive) for v in alive}
+    assert got == want
