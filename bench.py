@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "docs_keyword_search",
     "knn_lsh_multiprobe",
     "warehouse_waiting_suppliers",
+    "dedup_funnel",
 ]
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
@@ -101,6 +102,7 @@ HEAVY_QUERIES = {
     "dedup_shingle_cosine",
     "dedup_jaccard_prefix",
     "dedup_minhash_estimate",
+    "dedup_funnel",
     "knn_ivf_pq_trained",
     "association_rules",
 }

@@ -716,7 +716,9 @@ def minhash_lsh_pairs(
     )
 
 
-def _lsh_sql_parts(k: int = MINHASH_K, bands: int = LSH_BANDS):
+def _lsh_sql_parts(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, source: str = "documents"
+):
     """(prelude, band_union) SQL fragments of the LSH banding — the
     oracle-side twin of ``_band_keys``, shared by the dedup,
     fuzzy-contamination, and streaming-contamination oracles.
@@ -741,7 +743,7 @@ def _lsh_sql_parts(k: int = MINHASH_K, bands: int = LSH_BANDS):
         for band in range(bands)
     )
     prelude = f"""WITH docs AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {source}
 ),
 shl AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
@@ -758,8 +760,9 @@ def minhash_lsh_pairs_sql(
     threshold: float = JACCARD_THRESHOLD,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    source: str = "documents",
 ) -> str:
-    prelude, band_union = _lsh_sql_parts(k, bands)
+    prelude, band_union = _lsh_sql_parts(k, bands, source)
     return f"""{prelude},
 keys AS ({band_union}),
 hotb AS (SELECT band, key FROM keys
@@ -1399,3 +1402,114 @@ FROM pairs p
 JOIN mh ma ON ma.doc_id = p.a_id
 JOIN mh mb ON mb.doc_id = p.b_id AND mb.i = ma.i
 GROUP BY p.a_id, p.b_id, p.jaccard"""
+
+
+def dedup_funnel(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """The curation FUNNEL a production dedup pipeline reports: one row
+    per stage with documents in / kept / removed.  Stage 1 keeps one
+    representative per exact-duplicate class (normalized-text md5);
+    stage 2 runs MinHash+LSH component clustering on STAGE-1 SURVIVORS
+    and keeps one representative per component.  Truly sequential —
+    stage 2 sees only what stage 1 kept.  (A full-corpus shortcut is
+    NOT sound here: exact dedup normalizes case/whitespace while
+    shingles do not, so a case-variant exact class need not share an
+    LSH component — caught by the unit fixture.)
+
+    Output: (stage, method, docs_in, docs_kept, docs_removed), all
+    BIGINT.  Single-row aggregates throughout — the stages' heavy
+    lifting is the exact map and the component loop, both already
+    scale-shaped (hash groupBy; pointer-jumping components over
+    LSH-banded candidate edges)."""
+    n_docs = documents.agg(F.count("*").alias("n"))
+    reps = exact_dedup_map(documents).filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    survivors = documents.join(
+        reps.select("doc_id"), on="doc_id", how="left_semi"
+    )
+    exact_kept = reps.agg(F.count("*").alias("n"))
+    cluster_kept = (
+        dedup_clusters(survivors, threshold=threshold)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    r1 = (
+        n_docs.crossJoin(
+            exact_kept.select(F.col("n").alias("kept"))
+        ).select(
+            F.lit(1).alias("stage"),
+            F.lit("exact_md5").alias("method"),
+            F.col("n").cast("long").alias("docs_in"),
+            F.col("kept").cast("long").alias("docs_kept"),
+            (F.col("n") - F.col("kept")).cast("long").alias("docs_removed"),
+        )
+    )
+    r2 = (
+        exact_kept.crossJoin(
+            cluster_kept.select(F.col("n").alias("kept"))
+        ).select(
+            F.lit(2).alias("stage"),
+            F.lit("minhash_lsh_components").alias("method"),
+            F.col("n").cast("long").alias("docs_in"),
+            F.col("kept").cast("long").alias("docs_kept"),
+            (F.col("n") - F.col("kept")).cast("long").alias("docs_removed"),
+        )
+    )
+    return r1.unionByName(r2)
+
+
+def dedup_funnel_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    # the LSH pair SQL re-sourced to the stage-1 survivors CTE; it
+    # stays a complete WITH...SELECT and is embedded as a subquery
+    # (DuckDB lets the inner scope see the outer CTEs)
+    lsh = minhash_lsh_pairs_sql(threshold, source="survivors")
+    return f"""WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+exact_reps AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY text_hash),
+survivors AS (
+  SELECT d.* FROM documents d JOIN exact_reps USING (doc_id)
+),
+exact_kept AS (SELECT COUNT(*) AS n FROM exact_reps),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS MATERIALIZED (
+{lsh}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+),
+clusters AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+  FROM survivors d
+  LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+),
+cluster_kept AS (
+  SELECT COUNT(*) AS n FROM clusters WHERE doc_id = cluster_id
+)
+SELECT 1 AS stage, 'exact_md5' AS method,
+       CAST(n_docs.n AS BIGINT) AS docs_in,
+       CAST(exact_kept.n AS BIGINT) AS docs_kept,
+       CAST(n_docs.n - exact_kept.n AS BIGINT) AS docs_removed
+FROM n_docs CROSS JOIN exact_kept
+UNION ALL
+SELECT 2, 'minhash_lsh_components',
+       CAST(exact_kept.n AS BIGINT),
+       CAST(cluster_kept.n AS BIGINT),
+       CAST(exact_kept.n - cluster_kept.n AS BIGINT)
+FROM exact_kept CROSS JOIN cluster_kept"""

@@ -262,6 +262,17 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(_docs(spark, sf_dir))
 
 
+@register("dedup_funnel", dedup.dedup_funnel_sql())
+def dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel a production dedup pipeline reports: per
+    stage (exact md5, then MinHash+LSH components), documents
+    in/kept/removed.  Sequential semantics on the full corpus for
+    free: every exact-dup class sits inside one LSH component and a
+    component's min-id representative is always an exact
+    representative, so stage-2 kept is a subset of stage-1 kept."""
+    return dedup.dedup_funnel(_docs(spark, sf_dir))
+
+
 @register("dedup_minhash_estimate", dedup.minhash_estimate_eval_sql())
 def dedup_minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-calibration table: per exact-Jaccard qualifying pair,
@@ -1402,12 +1413,13 @@ _BOARD_PRIORITY = [
     "stream_session_windows",
     "knn_lsh_multiprobe",
     "warehouse_waiting_suppliers",
+    "dedup_funnel",
     # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
     # fifteen unit-pinned keys named above plus the four tail keys the
     # round-9 registrations displaced: events_sessionize,
     # stream_hourly_counts, stream_interval_join,
     # stream_purchase_totals, knn_ivf, knn_lsh, embedding_kmeans,
-    #        embedding_prep, knn_ivf_recall — all unit-pinned by the events/streaming/knn
+    #        embedding_prep, knn_ivf_recall, docs_mix_sources — all unit-pinned by the events/streaming/knn
     # tests, all with r7 driver rows that stay in-window until r10)
     "stream_contamination",
     "graph_components",
@@ -1433,7 +1445,6 @@ _BOARD_PRIORITY = [
     "warehouse_top_unshipped",
     "warehouse_local_supplier",
     "graph_pagerank",
-    "docs_mix_sources",
     "dedup_semantic",
 ]
 

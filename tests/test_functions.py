@@ -1020,3 +1020,22 @@ def test_multiprobe_lsh_recovers_boundary_neighbors(spark, sf_dir):
     r_multi = len(multi & bf) / len(bf)
     assert r_multi > r_single, (r_single, r_multi)
     assert r_multi >= 0.8, r_multi
+
+
+def test_dedup_funnel_counts_with_real_duplicates(spark):
+    """Funnel arithmetic on a corpus with BOTH duplicate kinds: two
+    exact copies (whitespace/case variants normalize together), one
+    near-dup of the same family, and two clean docs.  Stage 1 removes
+    the exact copy; stage 2 removes the near-dup; the clean docs
+    survive both."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " tail"
+    df = _docs(
+        spark,
+        [base, "  " + base.upper() + "  ", near,
+         " ".join(f"x{i}" for i in range(40)),
+         " ".join(f"y{i}" for i in range(40))],
+    )
+    rows = {r.stage: r for r in dedup.dedup_funnel(df, threshold=0.5).collect()}
+    assert (rows[1].docs_in, rows[1].docs_kept, rows[1].docs_removed) == (5, 4, 1)
+    assert (rows[2].docs_in, rows[2].docs_kept, rows[2].docs_removed) == (4, 3, 1)
