@@ -1363,89 +1363,87 @@ def multimodal_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that no evidence-gapped query falls outside the first 50.
 
 _BOARD_PRIORITY = [
-    # round-9 rotation (precomputed plan in COVERAGE.md, demanded by
-    # the round-8 verdict task 2; 3-round staleness window enforced by
+    # round-10 rotation (precomputed plan: COVERAGE.md "Revised
+    # round-10 board plan", demanded by the round-9 verdict task 1;
+    # 3-round staleness window enforced by
     # test_driver_evidence_staleness_bounded):
-    #   1-15: the fifteen round-8 deferrals — their only driver rows
-    #        are CORRECTNESS_r06, which exits the window this round,
-    #        so they MUST collect fresh rows now (nine cheap
-    #        unit-pinned keys plus the six tail keys the round-8
-    #        registrations displaced);
-    #   16-50: 35 of the 50 CORRECTNESS_r07 keys, in r7 order — r7's
-    #        rows exit the window at r10, so this board re-covers
-    #        them, deferring FIFTEEN cheap unit-pinned r7 keys to
-    #        lead the round-10 board: knn_bruteforce, count_triples,
-    #        condition_histogram, count_distinct_values (census trio
-    #        + brute-force baseline, unit: test_census and the knn
-    #        shape pins), and the eleven sub-second events keys
-    #        events_top_purchasers, events_interarrival,
-    #        events_daily_rollup, events_retention, events_asof_join,
-    #        events_range_join, events_anomalies,
-    #        events_hourly_profile, events_dau_wau,
-    #        events_grouping_sets, events_distinct_sketch (all pinned
-    #        by the events unit tests; events_anomalies additionally
-    #        strict-checked at sf0.01 this round after its broadcast
-    #        fix, and plan-pinned in test_plans.py).
-    #   Steady state carries ~15 forward per round — sustainable at
-    #   115 registered vs 150 window slots.
-    "text_redact",
-    "text_bigrams",
-    "text_token_length_hist",
-    "docs_length_deciles",
-    "docs_length_digest",
-    "docs_length_percentiles",
-    "warehouse_pricing_summary",
-    "warehouse_promo_bands",
-    "docs_cube_counts",
-    "embedding_rp_reduce",
-    "stream_anomalies",
-    "stream_sessions",
-    "knn_hard_negatives",
-    "knn_ivf_trained_recall",
-    "knn_ivf_trained",
-    # round-9 registrations (first driver evidence needed)
-    "dedup_jaccard_prefix",
-    "dedup_minhash_estimate",
-    "multimodal_bmp_stats",
-    "warehouse_supplier_census",
-    "graph_kcore",
-    "docs_keyword_search",
-    "stream_session_windows",
-    "knn_lsh_multiprobe",
-    "warehouse_waiting_suppliers",
-    "dedup_funnel",
-    # the r7 board minus the NINETEEN r10 deferrals, in r7 order (the
-    # fifteen unit-pinned keys named above plus the four tail keys the
-    # round-9 registrations displaced: events_sessionize,
-    # stream_hourly_counts, stream_interval_join,
-    # stream_purchase_totals, knn_ivf, knn_lsh, embedding_kmeans,
-    #        embedding_prep, knn_ivf_recall, docs_mix_sources — all unit-pinned by the events/streaming/knn
-    # tests, all with r7 driver rows that stay in-window until r10)
-    "stream_contamination",
-    "graph_components",
-    "multimodal_frame_stats",
-    "docs_dup_ngram_fraction",
-    "dedup_pair_triangles",
-    "text_bpe_encode",
-    "cind_all",
-    "cind_minimal_ar",
-    "cind_small_to_large",
-    "cind_approx_verify",
-    "cind_minimal_proj_s",
-    "capture_supports",
-    "capture_overlaps",
-    "association_rules",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_ivf",
-    "dedup_embedding_ivf_neardup",
-    "docs_repetition_filter",
-    "text_skipgram_cooc",
-    "warehouse_top_unshipped",
-    "warehouse_local_supplier",
-    "graph_pagerank",
-    "dedup_semantic",
+    #   1-25: the TWENTY-FIVE r10 deferrals — every registered key
+    #        whose only in-window driver rows are CORRECTNESS_r07,
+    #        which exits the window this round, so they MUST collect
+    #        fresh rows now.  The fifteen named by the r8-written
+    #        plan (knn_bruteforce, count_triples, condition_histogram,
+    #        count_distinct_values, and the eleven events_* keys) plus
+    #        the ten tail keys the round-9 registrations displaced
+    #        (events_sessionize, stream_hourly_counts,
+    #        stream_interval_join, stream_purchase_totals, knn_ivf,
+    #        knn_lsh, embedding_kmeans, embedding_prep, knn_ivf_recall,
+    #        docs_mix_sources).  All unit-pinned; five of them
+    #        additionally strict-re-run by the round-9 judge (knn_ivf,
+    #        events_asof_join, events_anomalies, stream_interval_join,
+    #        count_distinct_values), all OK.
+    #   26-30: the round-10 registrations (first driver evidence
+    #        needed).
+    #   31-50: the first TWENTY of the 26-key r8 cohort named in the
+    #        plan, in r8 order (their rows exit at r11).  The six not
+    #        taken (warehouse_revenue_forecast, warehouse_late_priority,
+    #        warehouse_min_cost_supplier, warehouse_volume_shipping,
+    #        docs_contamination, docs_contamination_fuzzy) join the 24
+    #        already deferred to LEAD the round-11 board — thirty r11
+    #        leads total; arithmetic in COVERAGE.md "Registry-growth
+    #        policy".
+    # --- slots 1-25: the twenty-five r7-evidence deferrals
+    "knn_bruteforce",
+    "count_triples",
+    "condition_histogram",
+    "count_distinct_values",
+    "events_top_purchasers",
+    "events_interarrival",
+    "events_daily_rollup",
+    "events_retention",
+    "events_asof_join",
+    "events_range_join",
+    "events_anomalies",
+    "events_hourly_profile",
+    "events_dau_wau",
+    "events_grouping_sets",
+    "events_distinct_sketch",
+    "events_sessionize",
+    "stream_hourly_counts",
+    "stream_interval_join",
+    "stream_purchase_totals",
+    "knn_ivf",
+    "knn_lsh",
+    "embedding_kmeans",
+    "embedding_prep",
+    "knn_ivf_recall",
+    "docs_mix_sources",
+    # --- slots 26-30: round-10 registrations
+    "dedup_containment",
+    "warehouse_shipping_modes",
+    "warehouse_returned_items",
+    "text_feature_hashing",
+    "graph_kcore_decrement",
+    # --- slots 31-50: the r8 cohort, first 20 of 26, in r8 order
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    "warehouse_market_share",
+    "docs_lm_score",
+    "warehouse_custdist",
+    "warehouse_sales_opportunity",
+    "dedup_shingle_cosine",
+    "docs_dup_spans",
+    "knn_ivf_pq_trained",
+    "knn_ivf_pq_trained_recall",
+    "stream_dedup_deliveries",
+    "cind_minimal",
+    "dedup_simhash",
+    "dedup_incremental",
+    "text_tfidf_keywords",
+    "docs_quality_filter",
+    "text_bpe_vocab",
+    "text_pmi_bigrams",
+    "docs_inverted_index",
+    "docs_vocab_coverage",
 ]
 
 
