@@ -506,9 +506,15 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     per-round full-corpus scan, no driver-side data, and the state
     table is materialized per round to truncate loop lineage (reliable
     checkpoint under ``spark.rdfind.checkpointDir``)."""
+    from rdfind_spark.util import release
+
     spark = documents.sparkSession
     sym, merges = _bpe_symbolize(documents, n_merges)
-    sym.unpersist()
+    # release, not .unpersist(): sym is materialize()-backed (a
+    # checkpoint RDD the cache manager doesn't track), so unpersist is
+    # a no-op there — see util.release; the merge list is already on
+    # the driver, sym is never read again
+    release(sym)
     return spark.createDataFrame(
         merges,
         "merge_rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
@@ -523,7 +529,7 @@ def _bpe_symbolize(documents: DataFrame, n_merges: int):
     ``merges`` the [(rank, left, right, count)] decisions.  Both
     ``bpe_vocab`` (ships the merge table) and ``bpe_encode_stats``
     (applies the map to the corpus) run this one loop."""
-    from rdfind_spark.util import materialize
+    from rdfind_spark.util import materialize, release
 
     words = (
         documents.select(
@@ -588,7 +594,11 @@ def _bpe_symbolize(documents: DataFrame, n_merges: int):
         sym = materialize(
             sym.select("word", F.trim(new_sym).alias("sym"), "freq")
         )
-        old.unpersist()
+        # release, not .unpersist(): old is materialize()-backed, so
+        # unpersist was a no-op here — one leaked checkpoint RDD per
+        # merge round until GC (round-9 verdict).  old is superseded by
+        # the new sym and never read again.
+        release(old)
     return sym, merges
 
 

@@ -423,7 +423,10 @@ def _cos2_ppm_expr(dot: str, a_n2: str, b_n2: str) -> str:
     dot > ~3.03e6) nor the denominator product (overflows at
     n2 > ~3.03e9 each) can hit the int64 cliff; the quotient is a
     true ppm (<= 1e6 by Cauchy-Schwarz) so the final BIGINT cast is
-    always exact.  DuckDB twin: the same formula over HUGEINT
+    always exact.  The wide form is itself exact only to
+    ``dot <= ~3e15`` (``dot^2 * 1e6`` must stay under the DECIMAL(38,0)
+    ceiling of 1e38; past it Spark yields null/raises by ANSI mode).
+    DuckDB twin: the same formula over HUGEINT
     (``_cos2_ppm_sql``); identical integer semantics, pinned by
     tests/test_functions.py::test_cos2_ppm_wide_arithmetic."""
     return (
@@ -465,7 +468,9 @@ def shingle_cosine_pairs(
     ``dot > ~3.03e6`` (two long documents sharing a high-tf cold
     shingle), where ANSI Spark raises and pre-ANSI Spark silently
     wraps while DuckDB raises — either way a scale cliff.  The wide
-    form is exact to ``dot <= ~1e16``, beyond any physical document.
+    form is exact to ``dot <= ~3e15`` (DECIMAL(38,0) capacity:
+    ``dot^2 * 1e6 < 1e38`` requires ``dot < sqrt(1e32) ~= 3.16e15``),
+    beyond any physical document.
 
     Scale: same inverted-index self-join shape as the Jaccard path —
     one (shingle, doc) shuffle, the hot-shingle cap bounds every

@@ -631,7 +631,13 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = embeddings.select(
+    # broadcast the QUERY-SET projection, not the corpus: cand.query_id
+    # is already < n_queries by construction, so the filter changes
+    # nothing semantically but bounds the broadcast relation to
+    # n_queries rows (the corpus-sized form is the forced-broadcast
+    # hazard the round-8/9 fixes removed from semantic_dedup and
+    # value_anomalies; plan-pinned in test_plans.py)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     n = embeddings.select(
@@ -2150,7 +2156,11 @@ def knn_lsh_multiprobe(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = embeddings.select(
+    # broadcast the QUERY-SET projection, not the corpus (see knn_lsh:
+    # cand.query_id < n_queries by construction, so this is the same
+    # result with an n_queries-row broadcast instead of an unbounded
+    # one; plan-pinned in test_plans.py)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     n = embeddings.select(

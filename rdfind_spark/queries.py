@@ -266,10 +266,11 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel a production dedup pipeline reports: per
     stage (exact md5, then MinHash+LSH components), documents
-    in/kept/removed.  Sequential semantics on the full corpus for
-    free: every exact-dup class sits inside one LSH component and a
-    component's min-id representative is always an exact
-    representative, so stage-2 kept is a subset of stage-1 kept."""
+    in/kept/removed.  TRULY sequential: stage 2 runs on stage-1
+    SURVIVORS, because a full-corpus shortcut is unsound here — exact
+    dedup normalizes case/whitespace while shingles do not, so an
+    exact-dup class need not sit inside one LSH component (refuted by
+    the unit fixture; see dedup.dedup_funnel)."""
     return dedup.dedup_funnel(_docs(spark, sf_dir))
 
 

@@ -415,3 +415,27 @@ def test_keyword_search_fixed_point_ledger(spark):
     assert got == want
     # the rare dense term must dominate the common single hits
     assert got[0][0] > got[1][0] and got[0][0] > got[3][0]
+
+
+def test_bpe_trainer_releases_all_loop_checkpoints(spark):
+    """The BPE merge loop materialize()s per-round state; .unpersist()
+    is a no-op on those checkpoint-backed frames, so until round 10 one
+    RDD per merge round leaked until GC (round-9 verdict item 2).  The
+    trainer must now leave the persistent-RDD registry exactly as it
+    found it."""
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    before = persisted_ids()
+    rows = corpus_stats.bpe_vocab(
+        _docs(spark, ["ab ab ab", "abc", "abab baba"]), n_merges=4
+    ).collect()
+    assert rows  # the training actually ran its loop
+    leaked = persisted_ids() - before
+    assert not leaked, f"BPE loop leaked checkpoint RDD blocks: {leaked}"

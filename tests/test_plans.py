@@ -401,3 +401,24 @@ def test_waiting_suppliers_semi_anti_on_collapsed_pairs(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in p, "status filter must push to scan"
     li_schema = p.split("lineitem.parquet", 1)[1].split("ReadSchema", 1)[1][:160]
     assert "l_extendedprice" not in li_schema and "l_quantity" not in li_schema
+
+
+def test_lsh_knn_broadcasts_query_set_not_corpus(spark, sf_dir):
+    """knn_lsh and knn_lsh_multiprobe exact-score candidates by joining
+    the query embeddings back on; the broadcast build side must be the
+    n_queries-bounded projection (vec_id < n_queries filter BELOW the
+    exchange), never the whole embeddings table — the same unbounded
+    forced-broadcast hazard fixed in semantic_dedup/value_anomalies."""
+    from rdfind_spark.functions.similarity import knn_lsh, knn_lsh_multiprobe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for fn in (knn_lsh, knn_lsh_multiprobe):
+        with _without_auto_broadcast(spark):
+            p = plan_of(fn(emb), "simple")
+        q_subtrees = [s for s in _broadcast_subtrees(p) if "q_emb" in s]
+        assert q_subtrees, f"{fn.__name__}: the query projection should broadcast"
+        for sub in q_subtrees:
+            assert "vec_id" in sub and "<" in sub, (
+                f"{fn.__name__}: broadcast build side must carry the "
+                "query-set bound, not the raw corpus projection:\n" + sub
+            )
