@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "warehouse_waiting_suppliers",
     "dedup_funnel",
 ]
+# Debut-round exception: graph_kcore_decrement is the deliberately
+# slower physical strategy of the already-benched graph_kcore (forced
+# decrement-peel, registered so the driver's oracle check pins
+# strategy agreement); benching both strategies of one operator would
+# double-count it, so the restrict twin stays the measured entry.
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
 # whose one bad draw on a ±40% VM reads as a fake regression next

@@ -592,12 +592,24 @@ SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id"""
 
 KCORE_K = 4
 KCORE_MAX_ROUNDS = 14  # sf0.001/0.1 converge in 6 peels, sf0.01 in 9
+# Strategy switchover (round-9 verdict task 4 — the criterion coded,
+# not prose): after the FIRST degree filter, if more than this percent
+# of nodes survive, the graph has a long peel tail (small fronts, many
+# rounds) and the decrement peel wins — restrict-peel rewrites the
+# whole surviving edge set every round, which only pays when the
+# survivor set collapses geometrically.  On the entity graphs here
+# round 1 peels >70% of nodes (survivors ~25-30%), so "auto" stays on
+# restrict — consistent with the round-9 measurement (restrict 21-50s
+# vs decrement 96-118s at sf0.1); a k=2 path graph keeps ~100% of
+# nodes per round and flips to decrement (fixture-pinned).
+KCORE_DECREMENT_SURVIVOR_PCT = 70
 
 
 def k_core(
     triples: DataFrame,
     k: int = KCORE_K,
     max_rounds: int = KCORE_MAX_ROUNDS,
+    strategy: str = "auto",
 ) -> DataFrame:
     """k-core decomposition membership (Seidman 1983): the maximal
     subgraph of the symmetrized entity graph in which every node has
@@ -610,25 +622,42 @@ def k_core(
     Output: (node, core_degree) for every node in the k-core, with its
     within-core degree (>= k by definition).
 
-    Spark side: restrict-peel — per round, one degree aggregate over
-    the SURVIVING edge set and two semi-joins restricting it.  The
-    surviving set shrinks geometrically on star-fringe graphs like
-    this one (round 1 peels the lineitem leaves, >70% of nodes), so
-    total work is a fast-converging sum of shrinking scans.  The
-    alternative — an incremental decrement peel that never rewrites
-    the edge table and joins it against just-removed fronts — was
-    MEASURED SLOWER here (96-118s vs 21-50s at sf0.1): it rescans the
-    full edge table every round, which only pays off when fronts stay
-    small relative to the graph; on a 100 TB graph with long peel
-    tails, switch to the decrement form past the first restrict.
-    Raises rather than return a non-converged core (same discipline
-    as ``graph_components``).  Oracle equivalence: the peel is
-    monotone and idempotent at the fixed point, so the oracle's
-    ``max_rounds``-deep unrolled CTE chain equals the converged loop
-    exactly — surplus rounds are the identity map, never coincidence.
+    Spark side, TWO physical strategies behind one semantics
+    (``strategy``: "auto" | "restrict" | "decrement"):
+
+    - **restrict-peel** — per round, one degree aggregate over the
+      SURVIVING edge set and two semi-joins restricting it.  Wins when
+      the surviving set shrinks geometrically, as on star-fringe
+      graphs like this one (round 1 peels the lineitem leaves, >70% of
+      nodes), so total work is a fast-converging sum of shrinking
+      scans.
+    - **decrement-peel** — the edge table is built once and never
+      rewritten; each round joins it against just the just-removed
+      FRONT and decrements the survivors' degree ledger.  Wins when
+      fronts stay small relative to the graph (long peel tails — deep
+      k-cores, path-heavy graphs), where restrict would rewrite a
+      barely-shrinking edge set every round.  MEASURED here: 96-118s
+      vs restrict's 21-50s at sf0.1 on the star-fringe entity graph —
+      which is exactly why "auto" picks by the measured shape, the
+      round-1 survivor ratio (``KCORE_DECREMENT_SURVIVOR_PCT``),
+      rather than hard-coding either.
+
+    Both strategies peel the SAME nodes in the same rounds (the front
+    at round i is the standard simultaneous peel's round-i removal
+    set), so they agree exactly — property-pinned in
+    tests/test_graph_text2.py and driver-checked against the one
+    unrolled-CTE oracle (``graph_kcore`` restrict, ``graph_kcore_decrement``
+    forced decrement).  Raises rather than return a non-converged core
+    (same discipline as ``graph_components``).  Oracle equivalence:
+    the peel is monotone and idempotent at the fixed point, so the
+    oracle's ``max_rounds``-deep unrolled CTE chain equals the
+    converged loop exactly — surplus rounds are the identity map,
+    never coincidence.
 
     Equal survivor COUNT implies equal survivor SET (the peel is
     monotone decreasing), so the count-stability stop is exact."""
+    if strategy not in ("auto", "restrict", "decrement"):
+        raise ValueError(f"k_core: unknown strategy {strategy!r}")
     edges = entity_edges(triples)
     sym = materialize(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -637,8 +666,35 @@ def k_core(
         )
         .distinct()
     )
-    live = sym
-    prev_n = -1
+    # Round 1 is shared: the full-degree ledger and its first filter
+    # both price the criterion and seed whichever loop runs.
+    deg = materialize(sym.groupBy("a").agg(F.count("*").alias("d")))
+    n_nodes = deg.count()
+    alive0 = deg.filter(F.col("d") >= k)
+    n_alive = alive0.count()
+    if strategy == "auto":
+        strategy = (
+            "decrement"
+            if n_nodes > 0
+            and n_alive * 100 > n_nodes * KCORE_DECREMENT_SURVIVOR_PCT
+            else "restrict"
+        )
+    if strategy == "decrement":
+        return _k_core_decrement(sym, deg, k, max_rounds)
+    return _k_core_restrict(sym, alive0, n_alive, k, max_rounds)
+
+
+def _k_core_restrict(
+    sym: DataFrame, alive0: DataFrame, n_alive: int, k: int, max_rounds: int
+) -> DataFrame:
+    """Restrict-peel loop (see :func:`k_core`).  ``alive0``/``n_alive``
+    are the round-1 degree filter the dispatcher already computed."""
+    rem = materialize(alive0.select(F.col("a").alias("v")))
+    prev_n = n_alive
+    live = materialize(
+        sym.join(rem.withColumnRenamed("v", "a"), on="a", how="left_semi")
+        .join(rem.withColumnRenamed("v", "b"), on="b", how="left_semi")
+    )
     for _ in range(max_rounds):
         rem = (
             live.groupBy("a")
@@ -664,6 +720,47 @@ def k_core(
         live.groupBy("a")
         .agg(F.count("*").alias("core_degree"))
         .select(F.col("a").alias("node"), "core_degree")
+    )
+
+
+def _k_core_decrement(
+    sym: DataFrame, deg: DataFrame, k: int, max_rounds: int
+) -> DataFrame:
+    """Decrement-peel loop (see :func:`k_core`): ``sym`` is scanned
+    per round only against the just-removed front; the mutable state
+    is the alive-node degree ledger.  A survivor's final ledger value
+    is its within-core degree: it started at full degree and lost
+    exactly one per removed neighbor (fronts are disjoint across
+    rounds, ``sym`` is distinct-symmetric)."""
+    from rdfind_spark.util import release
+
+    ledger = deg  # (a, d) over alive nodes; first round: all nodes
+    for _ in range(max_rounds):
+        front = ledger.filter(F.col("d") < k).select(F.col("a").alias("v"))
+        alive = ledger.filter(F.col("d") >= k)
+        if front.isEmpty():
+            return alive.select(
+                F.col("a").alias("node"), F.col("d").alias("core_degree")
+            )
+        # decrements flow along edges OUT of the front (sym is
+        # symmetric, so the b-side join sees every incident edge);
+        # decrements aimed at removed nodes drop out in the alive join
+        dec = (
+            sym.join(front.withColumnRenamed("v", "b"), on="b")
+            .groupBy("a")
+            .agg(F.count("*").alias("c"))
+        )
+        nxt = materialize(
+            alive.join(dec, on="a", how="left").select(
+                "a",
+                (F.col("d") - F.coalesce(F.col("c"), F.lit(0))).alias("d"),
+            )
+        )
+        release(ledger)
+        ledger = nxt
+    raise RuntimeError(
+        f"k_core: no fixed point within {max_rounds} peel rounds — "
+        "raise KCORE_MAX_ROUNDS (and the oracle unroll) together"
     )
 
 

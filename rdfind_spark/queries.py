@@ -765,6 +765,21 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core(triple_view(spark, sf_dir))
 
 
+@register("graph_kcore_decrement", graph.k_core_sql())
+def graph_kcore_decrement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME k-core decomposition forced onto the decrement-peel
+    physical strategy (edge table built once, per-round join against
+    the just-removed front, mutable degree ledger) — the long-peel-tail
+    branch k_core's "auto" criterion dispatches to.  Identical oracle
+    as graph_kcore, so the driver's check doubles as the
+    strategy-agreement test, like cind_approx_verify vs cind_minimal.
+    Deliberately the SLOWER strategy on this star-fringe graph
+    (measured r9: 96-118s vs 21-50s at sf0.1) — registered for
+    correctness evidence of the branch, excluded from bench.py (the
+    restrict twin measures the operator)."""
+    return graph.k_core(triple_view(spark, sf_dir), strategy="decrement")
+
+
 @register("graph_components", graph.graph_components_sql())
 def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the hub-pruned entity graph — the

@@ -323,3 +323,117 @@ def test_k_core_peels_fringes_keeps_clique(spark):
     )
     got = {r.node: r.core_degree for r in k_core(triples, k=4).collect()}
     assert got == {n: 4 for n in clique}
+
+
+def _kcore_strategy_spy(monkeypatch):
+    """Record which k-core loop the dispatcher picked, still running it."""
+    import rdfind_spark.functions.graph as g
+
+    calls = []
+    real_r, real_d = g._k_core_restrict, g._k_core_decrement
+
+    def spy_r(*a, **kw):
+        calls.append("restrict")
+        return real_r(*a, **kw)
+
+    def spy_d(*a, **kw):
+        calls.append("decrement")
+        return real_d(*a, **kw)
+
+    monkeypatch.setattr(g, "_k_core_restrict", spy_r)
+    monkeypatch.setattr(g, "_k_core_decrement", spy_d)
+    return calls
+
+
+def _path_clique_triples(spark, path_len=20):
+    """Long-peel-tail shape: a path (k=2 peels two endpoints per round,
+    front stays tiny while ~everything survives) plus a 5-clique that
+    is the only 2-core."""
+    rows = [(f"p:{i}", "linksTo", f"p:{i + 1}") for i in range(path_len)]
+    clique = [f"c:{i}" for i in range(5)]
+    for i, a in enumerate(clique):
+        for b in clique[i + 1 :]:
+            rows.append((a, "linksTo", b))
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_k_core_auto_picks_decrement_on_long_peel_tail(spark, monkeypatch):
+    """Path-heavy graph at k=2: round 1 peels only the two path
+    endpoints (>70% of nodes survive), so "auto" must dispatch to the
+    decrement peel — and the result is still exactly the 5-clique."""
+    from rdfind_spark.functions.graph import k_core
+
+    calls = _kcore_strategy_spy(monkeypatch)
+    triples = _path_clique_triples(spark)
+    got = {
+        r.node: r.core_degree
+        for r in k_core(triples, k=2, max_rounds=20).collect()
+    }
+    assert calls == ["decrement"]
+    assert got == {f"c:{i}": 4 for i in range(5)}
+
+
+def test_k_core_auto_picks_restrict_on_star_fringe(spark, monkeypatch):
+    """The clique+pendant+star fixture peels 6 of 12 nodes in round 1
+    (survivors 50% < the 70% criterion) — "auto" stays on the
+    restrict peel, matching the measured sf-graph behavior."""
+    from rdfind_spark.functions.graph import k_core
+
+    rows = []
+    clique = [f"x:{i}" for i in range(1, 6)]
+    for i, a in enumerate(clique):
+        for b in clique[i + 1 :]:
+            rows.append((a, "linksTo", b))
+    rows.append(("x:6", "linksTo", "x:1"))
+    for i in range(1, 6):
+        rows.append((f"y:{i}", "linksTo", "y:0"))
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    calls = _kcore_strategy_spy(monkeypatch)
+    got = {r.node: r.core_degree for r in k_core(triples, k=4).collect()}
+    assert calls == ["restrict"]
+    assert got == {n: 4 for n in clique}
+
+
+def test_k_core_strategies_agree(spark):
+    """Strategy-agreement pin: both physical loops produce the
+    identical (node, core_degree) set on both fixture shapes and at
+    both k values — the same result the one unrolled-CTE oracle
+    checks on the driver board (graph_kcore vs graph_kcore_decrement)."""
+    from rdfind_spark.functions.graph import k_core
+
+    for triples, k in (
+        (_path_clique_triples(spark), 2),
+        (_path_clique_triples(spark, path_len=8), 3),
+    ):
+        r = {
+            (row.node, row.core_degree)
+            for row in k_core(
+                triples, k=k, max_rounds=20, strategy="restrict"
+            ).collect()
+        }
+        d = {
+            (row.node, row.core_degree)
+            for row in k_core(
+                triples, k=k, max_rounds=20, strategy="decrement"
+            ).collect()
+        }
+        assert r == d
+
+
+def test_k_core_decrement_raises_without_fixed_point(spark):
+    """The decrement loop keeps the restrict loop's loud-raise
+    discipline: a peel deeper than max_rounds must raise, never return
+    a half-peeled core."""
+    import pytest
+
+    from rdfind_spark.functions.graph import k_core
+
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        k_core(
+            _path_clique_triples(spark, path_len=20),
+            k=2,
+            max_rounds=3,
+            strategy="decrement",
+        ).collect()
