@@ -311,6 +311,68 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+_GRAPH_OP_NAMES = ("degrees", "components", "pagerank", "kcore")
+
+
+def _cmd_graph(args: argparse.Namespace) -> int:
+    """Entity-graph analytics over ingested triples — same front door
+    as ``rdfind`` (N-Triples/TSV/gzip/glob or ``tpch:DIR``), so every
+    graph program runs on the reference's own input format (posture
+    parity: the reference exposes each program on the command line,
+    ``programs/*.scala``)."""
+    from rdfind_spark.functions import graph
+
+    spark = _build_session(args)
+    triples = _load_triples(
+        spark, args.input, getattr(args, "tab_separated", False)
+    )
+    if args.op == "degrees":
+        out = graph.degree_distribution(triples)
+    elif args.op == "components":
+        out = graph.graph_components(triples)
+    elif args.op == "pagerank":
+        out = graph.pagerank(triples)
+    else:
+        out = graph.k_core(
+            triples,
+            k=args.k,
+            max_rounds=args.max_rounds,
+            strategy=args.strategy,
+        )
+    _emit(out, args)
+    return 0
+
+
+def _registry_family_cmd(prefix: str):
+    """Expose a registered-query family (warehouse_*, stream_*) as a
+    CLI subcommand over a parquet table dir: ``--op`` dashes map to the
+    registry key's underscores, so the CLI surface and the driver
+    board stay one list."""
+
+    def cmd(args: argparse.Namespace) -> int:
+        from rdfind_spark.queries import SPARK_QUERIES
+
+        spark = _build_session(args)
+        key = f"{prefix}_{args.op.replace('-', '_')}"
+        _emit(SPARK_QUERIES[key](spark, args.sf_dir), args)
+        return 0
+
+    return cmd
+
+
+def _registry_family_ops(prefix: str) -> tuple:
+    from rdfind_spark.queries import SPARK_QUERIES
+
+    pre = f"{prefix}_"
+    return tuple(
+        sorted(
+            k[len(pre) :].replace("_", "-")
+            for k in SPARK_QUERIES
+            if k.startswith(pre)
+        )
+    )
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc SQL over the registered table/triple/capture views."""
     from rdfind_spark.sql import run_sql
@@ -418,6 +480,37 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-len", type=int, default=2048,
                    help="tokens per packed sequence")
     p.set_defaults(fn=_cmd_corpus)
+
+    p = sub.add_parser(
+        "graph", help="entity-graph analytics over ingested triples"
+    )
+    common(p)
+    p.add_argument("--op", required=True, choices=_GRAPH_OP_NAMES)
+    p.add_argument("--k", type=int, default=4, help="k-core threshold")
+    p.add_argument("--strategy", default="auto",
+                   choices=("auto", "restrict", "decrement"),
+                   help="k-core peel strategy (auto = survivor-ratio "
+                        "criterion, see functions/graph.py)")
+    p.add_argument("--max-rounds", type=int, default=14,
+                   help="peel/iteration bound (loud raise past it)")
+    p.set_defaults(fn=_cmd_graph)
+
+    for family, helptext in (
+        ("warehouse", "TPC-H-shaped analytics over a parquet table dir"),
+        ("stream", "Structured Streaming ops over a parquet table dir "
+                   "(AvailableNow micro-batch)"),
+    ):
+        p = sub.add_parser(family, help=helptext)
+        p.add_argument("sf_dir", help="parquet table dir")
+        p.add_argument("--op", required=True,
+                       choices=_registry_family_ops(family))
+        p.add_argument("--master", default="local[*]")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+        p.add_argument("--driver-memory", default=None)
+        p.add_argument("--output", help="write results as text to DIR")
+        p.add_argument("--parquet", help="write results as parquet to DIR")
+        p.add_argument("--show", type=int, default=50)
+        p.set_defaults(fn=_registry_family_cmd(family))
 
     p = sub.add_parser("sql", help="ad-hoc Spark SQL over the registered views")
     p.add_argument("sf_dir", help="parquet table dir (tables + triples/captures views)")
