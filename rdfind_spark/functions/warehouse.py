@@ -1112,3 +1112,179 @@ SELECT s.s_name, COUNT(*) AS numwait
 FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name ASC LIMIT {top_k}"""
+
+
+# --- returned-item revenue (Q10 shape) ------------------------------------
+
+RETURNED_FLAG = "R"
+RETURNED_SINCE = "1996-01-01"
+RETURNED_UNTIL = "1996-04-01"
+RETURNED_TOP_K = 20
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    since: str = RETURNED_SINCE,
+    until: str = RETURNED_UNTIL,
+    top_k: int = RETURNED_TOP_K,
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting,
+    ``specification: Q10``): revenue lost to returns per customer for
+    one order quarter — which customers keep sending goods back.  The
+    classic customer-ranking join: fact filtered on BOTH the line
+    return flag and the order-date window, three-table chain up to the
+    customer, nation decoration broadcast, top-k by exact integer
+    revenue cents with a full deterministic tie-break.
+
+    Plan shape: the returnflag filter pushes to the lineitem scan and
+    the date window to the orders scan BEFORE the join (the fact
+    stream entering the customer join is quarter+flag-sized, not
+    corpus-sized); nation broadcasts; the top-k is a TakeOrdered, so
+    nothing customer-sized reaches the driver."""
+    li = lineitem.filter(F.col("l_returnflag") == RETURNED_FLAG).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    od = orders.filter(
+        (F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(until).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.expr("sum(rev_cpct) div 100").alias("revenue_cents"))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+            ),
+            on="o_custkey",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            _cents("c_acctbal").alias("acctbal_cents"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(top_k)
+    )
+
+
+def returned_item_revenue_sql(
+    since: str = RETURNED_SINCE,
+    until: str = RETURNED_UNTIL,
+    top_k: int = RETURNED_TOP_K,
+) -> str:
+    return f"""WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              // 100 AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = '{RETURNED_FLAG}'
+    AND o_orderdate >= TIMESTAMP '{since} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{until} 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       revenue_cents
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_cents DESC, c_custkey ASC LIMIT {top_k}"""
+
+
+# --- small-quantity-order revenue (Q17 shape) -----------------------------
+
+SMALL_QTY_MAX_SIZE = 5
+SMALL_QTY_PCT = 20  # "small" = below this percent of the part's mean qty
+
+
+def small_qty_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    max_size: int = SMALL_QTY_MAX_SIZE,
+    pct: int = SMALL_QTY_PCT,
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue,
+    ``specification: Q17``): for one part class (size <= ``max_size``
+    — the synthetic schema has no container column, so the class
+    filter re-keys to the size dimension), the revenue locked up in
+    orders below ``pct``% of that part's average order quantity — the
+    classic correlated scalar subquery (``l_quantity < 0.2 * (SELECT
+    AVG ...)``), expressed as ONE per-part aggregate joined back onto
+    the fact rows.
+
+    Exactness: quantities are integral, so the average comparison
+    cross-multiplies — ``100 * qty * n_lines < pct * total_qty`` — no
+    division, no floats; revenue in integer cents.  Output is the
+    single-row report (n_small lines, revenue_cents,
+    avg_yearly_cents = revenue DIV 7 per the Q17 formula).
+
+    Plan shape: the size filter pushes to the part scan and semi-joins
+    the fact BEFORE the per-part aggregate (the aggregate runs on the
+    class subset, not the corpus); the per-part means join back
+    key-to-key (AQE broadcasts the class-sized side); one final
+    single-row aggregate."""
+    pk = part.filter(F.col("p_size") <= max_size).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "rev_cpct"
+        ),
+    )
+    means = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_lines")
+    )
+    small = li.join(
+        means, F.col("l_partkey") == F.col("m_partkey")
+    ).filter(
+        F.lit(100) * F.col("qty") * F.col("n_lines")
+        < F.lit(pct) * F.col("total_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.expr("sum(rev_cpct) div 100").alias("revenue_cents"),
+        F.expr("(sum(rev_cpct) div 100) div 7").alias("avg_yearly_cents"),
+    )
+
+
+def small_qty_revenue_sql(
+    max_size: int = SMALL_QTY_MAX_SIZE, pct: int = SMALL_QTY_PCT
+) -> str:
+    return f"""WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_cpct
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= {max_size})
+),
+means AS (
+  SELECT l_partkey AS m_partkey, SUM(qty) AS total_qty,
+         COUNT(*) AS n_lines
+  FROM li GROUP BY 1
+)
+SELECT COUNT(*) AS n_small,
+       CAST(SUM(rev_cpct) // 100 AS BIGINT) AS revenue_cents,
+       CAST((SUM(rev_cpct) // 100) // 7 AS BIGINT) AS avg_yearly_cents
+FROM li JOIN means ON l_partkey = m_partkey
+WHERE 100 * qty * n_lines < {pct} * total_qty"""

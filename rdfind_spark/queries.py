@@ -736,6 +736,32 @@ def warehouse_supplier_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_returned_items", warehouse.returned_item_revenue_sql())
+def warehouse_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item-reporting shape: revenue lost to returns per
+    customer for one order quarter — returnflag filter pushed to the
+    lineitem scan, date window to the orders scan, nation broadcast,
+    exact integer cents, deterministic top-20 TakeOrdered."""
+    return warehouse.returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("warehouse_small_qty_revenue", warehouse.small_qty_revenue_sql())
+def warehouse_small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order shape: the correlated per-part average
+    quantity subquery as ONE class-restricted aggregate joined back —
+    cross-multiplied integer comparison (no division), part-class
+    semi-join BEFORE the aggregate, single-row integer-cents report."""
+    return warehouse.small_qty_revenue(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 # ----------------------------------------------- graph analytics (RDF)
 
 
@@ -1435,7 +1461,7 @@ _BOARD_PRIORITY = [
     "docs_mix_sources",
     # --- slots 26-30: round-10 registrations
     "dedup_containment",
-    "warehouse_shipping_modes",
+    "warehouse_small_qty_revenue",
     "warehouse_returned_items",
     "text_feature_hashing",
     "graph_kcore_decrement",

@@ -330,3 +330,97 @@ def test_sales_opportunity_above_avg_and_no_urgent(spark):
         for r in warehouse.sales_opportunity(customer, orders).collect()
     ]
     assert out == [("BUILDING", 1, 30000)]
+
+
+def test_returned_item_revenue_filters_and_ranks(spark):
+    """Q10 micro: only R-flag lines inside the quarter count; revenue
+    is exact integer cents; ranking is revenue DESC with custkey
+    tie-break."""
+    customer = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="a", c_nationkey=1, c_acctbal=1.23,
+                c_mktsegment="x"),
+            Row(c_custkey=2, c_name="b", c_nationkey=2, c_acctbal=4.56,
+                c_mktsegment="x"),
+            Row(c_custkey=3, c_name="c", c_nationkey=1, c_acctbal=0.0,
+                c_mktsegment="x"),
+        ]
+    )
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="N1", n_regionkey=0),
+         Row(n_nationkey=2, n_name="N2", n_regionkey=0)]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=10, o_custkey=1, o_orderstatus="F",
+                o_totalprice=0.0, o_orderdate=_ts("1996-02-01"),
+                o_orderpriority="1-URGENT"),
+            Row(o_orderkey=20, o_custkey=2, o_orderstatus="F",
+                o_totalprice=0.0, o_orderdate=_ts("1996-03-31"),
+                o_orderpriority="1-URGENT"),
+            # outside the quarter: must not count
+            Row(o_orderkey=30, o_custkey=3, o_orderstatus="F",
+                o_totalprice=0.0, o_orderdate=_ts("1996-04-01"),
+                o_orderpriority="1-URGENT"),
+        ]
+    )
+
+    def li(ok, flag, price, disc):
+        return Row(l_orderkey=ok, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                   l_quantity=1.0, l_extendedprice=price, l_discount=disc,
+                   l_tax=0.0, l_returnflag=flag, l_linestatus="F",
+                   l_shipdate=_ts("1996-02-10"))
+
+    lineitem = spark.createDataFrame([
+        li(10, "R", 100.0, 0.10),   # cust 1: 100.00 * 90% = 9000 cents
+        li(10, "N", 500.0, 0.0),    # not returned: excluded
+        li(20, "R", 200.0, 0.0),    # cust 2: 20000 cents
+        li(30, "R", 999.0, 0.0),    # order outside window: excluded
+    ])
+    got = warehouse.returned_item_revenue(
+        customer, orders, lineitem, nation
+    ).collect()
+    assert [
+        (r.c_custkey, r.c_name, r.n_name, r.acctbal_cents, r.revenue_cents)
+        for r in got
+    ] == [(2, "b", "N2", 456, 20000), (1, "a", "N1", 123, 9000)]
+
+
+def test_small_qty_revenue_correlated_mean(spark):
+    """Q17 micro: the per-part mean is computed over the CLASS subset,
+    the small-line cut is the cross-multiplied strict inequality, and
+    out-of-class parts never contribute."""
+    part = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="p1", p_brand="B", p_type="T",
+                p_size=1, p_retailprice=0.0),      # in class
+            Row(p_partkey=2, p_name="p2", p_brand="B", p_type="T",
+                p_size=50, p_retailprice=0.0),     # out of class
+        ]
+    )
+
+    def li(pk, qty, price):
+        return Row(l_orderkey=1, l_partkey=pk, l_suppkey=1, l_linenumber=1,
+                   l_quantity=qty, l_extendedprice=price, l_discount=0.0,
+                   l_tax=0.0, l_returnflag="N", l_linestatus="F",
+                   l_shipdate=_ts("1996-02-10"))
+
+    # part 1: quantities 1, 10, 10, 19 -> mean 10; small = qty < 2
+    #         (20% of 10), so ONLY the qty=1 line (strict: 1 < 2)
+    lineitem = spark.createDataFrame([
+        li(1, 1.0, 70.0),
+        li(1, 10.0, 100.0),
+        li(1, 10.0, 100.0),
+        li(1, 19.0, 100.0),
+        li(2, 1.0, 999.0),  # out-of-class: excluded even though tiny
+    ])
+    got = warehouse.small_qty_revenue(part, lineitem).collect()
+    assert [(r.n_small, r.revenue_cents, r.avg_yearly_cents)
+            for r in got] == [(1, 7000, 1000)]
+    # boundary: qty exactly at 20% of the mean must NOT count (strict <)
+    lineitem2 = spark.createDataFrame([
+        li(1, 2.0, 70.0), li(1, 10.0, 1.0), li(1, 10.0, 1.0),
+        li(1, 18.0, 1.0),
+    ])
+    got2 = warehouse.small_qty_revenue(part, lineitem2).collect()
+    assert got2[0].n_small == 0
