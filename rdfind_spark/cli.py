@@ -259,6 +259,7 @@ _CORPUS_OP_NAMES = (
     "minhash-calibration",
     "bmp-stats",
     "search",
+    "containment",
 )
 
 
@@ -304,6 +305,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "minhash-calibration": lambda d: dedup.minhash_estimate_eval(d),
         "bmp-stats": lambda d: multimodal.bmp_image_stats(d),
         "search": lambda d: corpus_stats.keyword_search(d),
+        "containment": lambda d: dedup.containment_pairs(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -280,6 +280,139 @@ def jaccard_pairs_prefix(
     )
 
 
+# --- containment join (asymmetric near-dup) -------------------------------
+
+CONTAINMENT_THRESHOLD_PPM = 500_000  # C(src->dst) >= 0.5
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold_ppm: int = CONTAINMENT_THRESHOLD_PPM,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs: (src_id, dst_id,
+    containment_ppm) where C(src→dst) = |S_src ∩ S_dst| / |S_src| over
+    k-token shingle sets — the ASYMMETRIC twin of the Jaccard paths.
+    Jaccard misses the quote/subset case a curation pipeline cares
+    about most (a short document wholly contained in a long one scores
+    J ≈ |short|/|long| ≈ 0 but C(short→long) = 1); containment is the
+    Broder 1997 "inclusion" measure for exactly that.
+
+    Exactness: the score is integer ppm, ``n_common * 1e6 DIV |S_src|``
+    — no floats, engine-stable; commons are counted over the COLD
+    shingle sets while the denominator is the FULL distinct-shingle
+    count (the same hybrid the Jaccard paths use: hot-capped shingles
+    can only LOWER the reported score, so reported >= t implies true
+    cold containment >= t).
+
+    Scale shape (SSJoin prefix principle on the PROBE side only,
+    Chaudhuri et al. ICDE 2006): C(src→dst) >= t forces
+    |overlap| >= ceil(t·c_src) over src's cold set (c = cold size), so
+    src must match inside its first ``c - ceil(t·c) + 1`` shingles in
+    the rarest-first canonical order — only that prefix enters the
+    candidate join.  The DST side has no prefix bound (containment is
+    one-sided: dst may be arbitrarily large), so candidates join the
+    prefix against FULL cold posting lists — still hot-capped, so every
+    list is bounded and the join is probe-prefix × capped-list sized.
+    Verification is one sorted-array intersection per candidate, arrays
+    doc-bounded.  The integer prefix bound ``c - (c*t_ppm + 999999)
+    DIV 1e6 + 1`` rounds exactly as ceil, so no float wobble can drop
+    a qualifying pair; the oracle is the UNFILTERED inverted-index
+    form, making the driver's check a completeness proof of the prefix
+    cut as well."""
+    sh = _shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = df_counts.filter(F.col("df") > max_shingle_docs)
+    cold = sh.join(
+        F.broadcast(hot.select("shingle")), on="shingle", how="left_anti"
+    )
+    ranked = cold.join(df_counts, on="shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    csizes = cold.groupBy("doc_id").agg(F.count("*").alias("c"))
+    pref = (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .join(csizes, on="doc_id")
+        .filter(
+            F.col("rnk")
+            <= F.col("c")
+            - F.expr(f"(c * {threshold_ppm} + 999999) DIV 1000000")
+            + 1
+        )
+        .select("shingle", F.col("doc_id").alias("src_id"))
+    )
+    cand = (
+        pref.join(
+            cold.select("shingle", F.col("doc_id").alias("dst_id")),
+            on="shingle",
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    arrs = cold.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr")
+    )
+    return (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("src_id"),
+                        F.col("arr").alias("src_arr")),
+            on="src_id",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("dst_id"),
+                        F.col("arr").alias("dst_arr")),
+            on="dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            F.size(F.array_intersect("src_arr", "dst_arr")).alias("n_common"),
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("src_id"),
+                         F.col("n_sh").alias("src_n")),
+            on="src_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            F.expr("CAST(n_common AS BIGINT) * 1000000 DIV src_n").alias(
+                "containment_ppm"
+            ),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
+def containment_pairs_sql(
+    threshold_ppm: int = CONTAINMENT_THRESHOLD_PPM,
+    k: int = NGRAM_K,
+    max_shingle_docs: int = MAX_SHINGLE_DOCS,
+) -> str:
+    """Oracle: the UNFILTERED inverted-index containment join (no
+    prefix cut), so the driver's check doubles as a completeness proof
+    of the Spark side's prefix candidate generation."""
+    return f"""WITH sh AS MATERIALIZED (
+{_shingles_sql(k)}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_shingle_docs}),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_common
+  FROM cold a JOIN cold b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id,
+       CAST(n_common * 1000000 // sa.n_sh AS BIGINT) AS containment_ppm
+FROM common
+JOIN sizes sa ON common.src_id = sa.doc_id
+WHERE n_common * 1000000 // sa.n_sh >= {threshold_ppm}"""
+
+
 DUP_SPAN_L = 10  # minimum duplicated-substring length, in tokens
 
 

@@ -262,6 +262,18 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(_docs(spark, sf_dir))
 
 
+@register("dedup_containment", dedup.containment_pairs_sql())
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle-containment pairs (Broder 1997 inclusion):
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| >= 0.5 in exact integer ppm
+    — the asymmetric near-dup Jaccard misses (a short document wholly
+    quoted inside a long one).  Spark side prefix-filters the PROBE
+    side only (dst has no bound under containment); the oracle is the
+    unfiltered inverted-index join, so the driver's check doubles as a
+    completeness proof of the prefix cut."""
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
 @register("dedup_funnel", dedup.dedup_funnel_sql())
 def dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel a production dedup pipeline reports: per

@@ -1039,3 +1039,49 @@ def test_dedup_funnel_counts_with_real_duplicates(spark):
     rows = {r.stage: r for r in dedup.dedup_funnel(df, threshold=0.5).collect()}
     assert (rows[1].docs_in, rows[1].docs_kept, rows[1].docs_removed) == (5, 4, 1)
     assert (rows[2].docs_in, rows[2].docs_kept, rows[2].docs_removed) == (4, 3, 1)
+
+
+def test_containment_pairs_asymmetric_and_complete(spark):
+    """Containment catches the quote/subset case Jaccard misses: a
+    short doc inside a long one scores C(short->long) = 1.0 while the
+    reverse direction and the Jaccard score stay low.  Also a
+    brute-force completeness pin of the probe-side prefix cut: the
+    prefix-filtered result equals the unfiltered inverted-index model
+    on a fixture whose noise docs share a common (frequent) tail
+    shingle that must sort out of every prefix."""
+    short = " ".join(f"q{i}" for i in range(10))
+    long_doc = short + " " + " ".join(f"w{i}" for i in range(40))
+    noise = [
+        " ".join(f"m{j}_{i}" for i in range(25)) + " z1 z2 z3"
+        for j in range(5)
+    ]
+    df = _docs(spark, [short, long_doc] + noise)
+    got = {
+        (r.src_id, r.dst_id): r.containment_ppm
+        for r in dedup.containment_pairs(df).collect()
+    }
+    # short (8 shingles, all inside long) -> containment exactly 1e6
+    assert got[(0, 1)] == 1_000_000
+    # reverse direction: 8/48 = 166666 ppm < threshold -> absent
+    assert (1, 0) not in got
+    # Jaccard on the same pair is 8/48 < 0.18: the symmetric paths
+    # never report it
+    jac = {(r.a_id, r.b_id) for r in dedup.ngram_jaccard_pairs(df).collect()}
+    assert (0, 1) not in jac
+    # completeness vs the unfiltered model at threshold 0 is the whole
+    # candidate universe — compare at the real threshold instead
+    sh = dedup._shingles(df, dedup.NGRAM_K)
+    sizes = {r.doc_id: r.n_sh for r in
+             sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).collect()}
+    shingle_sets = {}
+    for r in sh.collect():
+        shingle_sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    for s, ss in shingle_sets.items():
+        for d, ds in shingle_sets.items():
+            if s == d:
+                continue
+            ppm = len(ss & ds) * 1_000_000 // sizes[s]
+            if ppm >= dedup.CONTAINMENT_THRESHOLD_PPM:
+                want[(s, d)] = ppm
+    assert got == want
