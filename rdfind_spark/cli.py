@@ -260,6 +260,7 @@ _CORPUS_OP_NAMES = (
     "bmp-stats",
     "search",
     "containment",
+    "feature-hash",
 )
 
 
@@ -306,6 +307,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "bmp-stats": lambda d: multimodal.bmp_image_stats(d),
         "search": lambda d: corpus_stats.keyword_search(d),
         "containment": lambda d: dedup.containment_pairs(d),
+        "feature-hash": lambda d: text.feature_hashing(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -511,3 +511,75 @@ SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
 FROM t
 LEFT JOIN bi ON bi.doc_id = t.doc_id
 LEFT JOIN tri ON tri.doc_id = t.doc_id"""
+
+
+# --- feature hashing (the hashing trick) -----------------------------------
+
+FEATURE_HASH_DIM = 1024
+
+
+def feature_hashing(
+    documents: DataFrame, dim: int = FEATURE_HASH_DIM
+) -> DataFrame:
+    """Signed hashing-trick featurizer (Weinberger et al., ICML 2009
+    "Feature Hashing for Large Scale Multitask Learning"): each
+    document's lower-cased whitespace tokens hash into a fixed
+    ``dim``-dimensional sparse vector — feature_id = first 8 md5 hex
+    digits mod dim, sign = the 9th digit's high bit — and term
+    frequencies accumulate WITH the sign, which is what makes the
+    hashed inner product an unbiased estimator of the original
+    (collisions cancel in expectation instead of inflating).  This is
+    the vectorizer a DSIR-style importance sampler or a linear quality
+    classifier runs at corpus scale: no vocabulary build, no
+    dictionary broadcast, memory-bounded by construction.
+
+    Output: (doc_id, feature_id, weight) — the sparse COO features,
+    exact integers (md5 is bit-identical in Spark and DuckDB; the hex
+    fold is the same ``conv``/``::BIGINT`` value both sides).
+    Exact-zero weights (equal-mass sign collisions) are dropped: the
+    canonical sparse form carries no explicit zeros.
+
+    Scale shape: one explode + one map-side-combined groupBy on
+    (doc_id, feature_id) — no join anywhere, no skew (md5 spreads the
+    key space), output bounded by min(doc tokens, dim) rows per doc."""
+    tf = (
+        documents.select(
+            "doc_id",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    h = F.md5(F.col("tok"))
+    fid = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias(
+        "feature_id"
+    )
+    signed = F.when(
+        F.substring(h, 9, 1).isin(*list("01234567")), F.col("tf")
+    ).otherwise(-F.col("tf"))
+    return (
+        tf.select("doc_id", fid, signed.alias("w"))
+        .groupBy("doc_id", "feature_id")
+        .agg(F.sum("w").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+def feature_hashing_sql(dim: int = FEATURE_HASH_DIM) -> str:
+    return f"""WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+signed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {dim} AS feature_id,
+         CASE WHEN substr(md5(tok), 9, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN tf ELSE -tf END AS w
+  FROM tf
+)
+SELECT doc_id, feature_id, CAST(SUM(w) AS BIGINT) AS weight
+FROM signed GROUP BY 1, 2 HAVING SUM(w) <> 0"""

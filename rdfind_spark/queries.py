@@ -421,6 +421,17 @@ def text_tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_keywords(_docs(spark, sf_dir))
 
 
+@register("text_feature_hashing", text.feature_hashing_sql())
+def text_feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurizer (Weinberger et al. 2009):
+    sparse (doc_id, feature_id, weight) term-frequency vectors in a
+    fixed 1024-dim hashed space — no vocabulary build, no dictionary
+    broadcast, sign bit making collisions cancel in expectation.
+    Exact integers end-to-end (md5 hex fold identical in both
+    engines)."""
+    return text.feature_hashing(_docs(spark, sf_dir))
+
+
 @register("docs_quality_filter", text.quality_filter_sql())
 def docs_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style combined rule filter with per-rule audit

@@ -1085,3 +1085,43 @@ def test_containment_pairs_asymmetric_and_complete(spark):
             if ppm >= dedup.CONTAINMENT_THRESHOLD_PPM:
                 want[(s, d)] = ppm
     assert got == want
+
+
+def test_feature_hashing_matches_python_model(spark):
+    """Hand-model pin of the signed hashing trick: feature ids, signs,
+    accumulation, and the zero-weight drop all match a pure-Python md5
+    model; repeated tokens accumulate tf-with-sign; the space is
+    dim-bounded."""
+    import hashlib
+
+    from rdfind_spark.functions.text import FEATURE_HASH_DIM, feature_hashing
+
+    texts = ["Alpha beta beta GAMMA", "alpha alpha", ""]
+    df = _docs(spark, texts)
+    got = {
+        (r.doc_id, r.feature_id): r.weight
+        for r in feature_hashing(df).collect()
+    }
+
+    def model(text):
+        import re
+
+        out = {}
+        # regex split, not str.split(): an empty text yields the ['']
+        # token in BOTH engines (the corpus-wide tokenizer convention
+        # the oracle board pins), and the model must reproduce it
+        for t in re.split(r"\s+", text.lower().strip()):
+            h = hashlib.md5(t.encode()).hexdigest()
+            fid = int(h[:8], 16) % FEATURE_HASH_DIM
+            out[fid] = out.get(fid, 0) + (1 if h[8] in "01234567" else -1)
+        return {k: v for k, v in out.items() if v != 0}
+
+    want = {
+        (i, fid): w
+        for i, t in enumerate(texts)
+        for fid, w in model(t).items()
+    }
+    assert got == want
+    assert all(0 <= fid < FEATURE_HASH_DIM for _, fid in got)
+    # doc 1: "alpha alpha" accumulates tf 2 on one feature
+    assert sorted(abs(w) for (d, _), w in got.items() if d == 1) == [2]
