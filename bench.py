@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "knn_lsh_multiprobe",
     "warehouse_waiting_suppliers",
     "dedup_funnel",
+    "dedup_containment",
+    "warehouse_returned_items",
+    "warehouse_small_qty_revenue",
+    "text_feature_hashing",
 ]
 # Debut-round exception: graph_kcore_decrement is the deliberately
 # slower physical strategy of the already-benched graph_kcore (forced
@@ -108,6 +112,10 @@ HEAVY_QUERIES = {
     "dedup_jaccard_prefix",
     "dedup_minhash_estimate",
     "dedup_funnel",
+    # joined r10 (~21s single-run at sf0.1): heavies_subtotal grows by
+    # exactly this one entry vs BENCH_r09 — subtract it for the
+    # like-for-like round-over-round trend
+    "dedup_containment",
     "knn_ivf_pq_trained",
     "association_rules",
 }
