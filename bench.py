@@ -23,12 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Benchmark the queries that dominate real workloads; census one-liners
 # add noise without information. Keep flagship first (cache warm-up is
-# NOT shared: each query reads parquet fresh).  Rounds 8-9 each dropped
-# a batch of sub-second entries (0.3-0.7s, pure session overhead at
-# sf0.1 — tracked nothing) to keep the worst-case JSON line inside the
-# driver's ~2 KB tail capture as the list grows; their correctness
-# evidence lives on the driver board, not here.  New registrations get
-# one debut round in the list before the same rule applies to them.
+# NOT shared: each query reads parquet fresh).  Rounds 8-10 each dropped
+# a batch of ~1s entries (pure session overhead at sf0.1 — tracked
+# nothing; r10 batch: knn_bruteforce, docs_dsir_weights,
+# docs_quality_filter, multimodal_frame_stats, multimodal_bmp_stats,
+# warehouse_revenue_by_nation, embedding_rp_reduce,
+# warehouse_market_share, all 0.8-1.2s in BENCH_r09) to keep the
+# worst-case JSON line inside the driver's ~2 KB tail capture as the
+# list grows; their correctness evidence lives on the driver board,
+# not here.  New registrations get one debut round in the list before
+# the same rule applies to them.
 BENCH_QUERIES = [
     "cind_minimal",
     "cind_small_to_large",
@@ -42,13 +46,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "knn_bruteforce",
     "knn_ivf",
     "knn_ivf_trained",
     "knn_ivf_pq",
     "knn_ivf_pq_trained",
     "knn_hard_negatives",
-    "docs_dsir_weights",
     "knn_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_ivf_neardup",
@@ -58,13 +60,8 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "text_tfidf_keywords",
     "text_bpe_vocab",
-    "embedding_rp_reduce",
-    "warehouse_market_share",
-    "docs_quality_filter",
-    "warehouse_revenue_by_nation",
     "graph_pagerank",
     "graph_components",
-    "multimodal_frame_stats",
     "docs_dup_ngram_fraction",
     "dedup_pair_triangles",
     "text_bpe_encode",
@@ -73,7 +70,6 @@ BENCH_QUERIES = [
     "docs_dup_spans",
     "dedup_jaccard_prefix",
     "dedup_minhash_estimate",
-    "multimodal_bmp_stats",
     "warehouse_supplier_census",
     "graph_kcore",
     "docs_keyword_search",
