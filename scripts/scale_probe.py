@@ -72,14 +72,20 @@ def main() -> int:
     lmscore = "--lmscore" in sys.argv[1:]
     prefix = "--prefix-jaccard" in sys.argv[1:]
     kcore = "--kcore" in sys.argv[1:]
+    funnel = "--funnel" in sys.argv[1:]
+    mh_est = "--minhash-est" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
         if a not in ("--staged", "--dedup", "--ann", "--triangles",
                      "--cosine", "--spans", "--lmscore", "--prefix-jaccard",
-                     "--kcore", "--half-base")
+                     "--kcore", "--funnel", "--minhash-est", "--half-base")
     ]
+    if funnel:
+        return _funnel_probe([int(a) for a in args] or [1, 2, 4])
+    if mh_est:
+        return _minhash_est_probe([int(a) for a in args] or [1, 2, 4])
     if kcore:
         return _kcore_probe([int(a) for a in args] or [1, 2, 4])
     if prefix:
@@ -353,6 +359,120 @@ def _prefix_jaccard_probe(ns) -> int:
         while it.hasNext():
             it.next()._2().unpersist(False)
         spark.sparkContext._jvm.System.gc()
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _copied_docs(spark, base, n: int):
+    """N disjoint copies of the documents table, every token prefixed
+    per copy (the --dedup convention: shingle spaces and normalized
+    texts disjoint across copies)."""
+    from rdfind_spark.functions.text import tokens_col
+
+    def _prefixed(i: int):
+        pfx = F.lit(f"c{i}|")
+        return F.array_join(
+            F.transform(tokens_col(F.col("text")), lambda t: F.concat(pfx, t)),
+            " ",
+        ).alias("text")
+
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            _prefixed(i),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(n)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def _probe_cleanup(spark) -> None:
+    spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
+def _funnel_probe(ns) -> int:
+    """Disjoint-copy ladder for the sequential dedup funnel.  Exactness
+    of the check differs by stage: stage 1 (exact md5) is prefix-stable
+    — dup classes replicate per copy — so its three counters must scale
+    EXACTLY xN, as must stage 2's docs_in (= stage-1 kept).  Stage 2's
+    kept count comes from MinHash-LSH components, whose signatures the
+    per-copy prefixes perturb (the documented --dedup LSH caveat: a
+    borderline pair may be caught in one copy and legitimately missed
+    in another), so it is checked to a 1% band rather than exactly."""
+    from rdfind_spark.functions.dedup import dedup_funnel
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    dedup_funnel(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        docs = _copied_docs(spark, base, n)
+        t0 = time.time()
+        rows = {r.stage: r for r in dedup_funnel(docs).collect()}
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(
+            f"# funnel {n}x: {dt:.1f}s "
+            f"s1={rows[1].docs_in}/{rows[1].docs_kept} "
+            f"s2={rows[2].docs_in}/{rows[2].docs_kept}",
+            flush=True,
+        )
+        _probe_cleanup(spark)
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            for col in ("docs_in", "docs_kept", "docs_removed"):
+                assert getattr(rows[1], col) == n * getattr(r1[1], col), (
+                    n, col)
+            assert rows[2].docs_in == n * r1[2].docs_in
+            want = n * r1[2].docs_kept
+            assert abs(rows[2].docs_kept - want) <= max(1, want // 100), (
+                f"{n}x stage-2 kept {rows[2].docs_kept} vs ~{want}"
+            )
+        print("# stage 1 exact xN; stage 2 kept within the 1% LSH band")
+    return 0
+
+
+def _minhash_est_probe(ns) -> int:
+    """Disjoint-copy ladder for the MinHash estimator calibration
+    table: its row set is the EXACT-Jaccard qualifying pair set
+    (prefix-stable), so the row count must scale exactly xN; the
+    per-pair signature-agreement values may legitimately differ across
+    copies (prefixed shingles hash differently), so only the row count
+    is the proportionality check."""
+    from rdfind_spark.functions.dedup import minhash_estimate_eval
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    minhash_estimate_eval(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        docs = _copied_docs(spark, base, n)
+        t0 = time.time()
+        rows = minhash_estimate_eval(docs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# minhash-est {n}x: {dt:.1f}s pairs={rows}", flush=True)
+        _probe_cleanup(spark)
     if 1 in results:
         r1 = results[1][1]
         for n, (dt, rows) in results.items():
