@@ -74,18 +74,22 @@ def main() -> int:
     kcore = "--kcore" in sys.argv[1:]
     funnel = "--funnel" in sys.argv[1:]
     mh_est = "--minhash-est" in sys.argv[1:]
+    containment = "--containment" in sys.argv[1:]
     half = "--half-base" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
         if a not in ("--staged", "--dedup", "--ann", "--triangles",
                      "--cosine", "--spans", "--lmscore", "--prefix-jaccard",
-                     "--kcore", "--funnel", "--minhash-est", "--half-base")
+                     "--kcore", "--funnel", "--minhash-est", "--containment",
+                     "--half-base")
     ]
     if funnel:
         return _funnel_probe([int(a) for a in args] or [1, 2, 4])
     if mh_est:
         return _minhash_est_probe([int(a) for a in args] or [1, 2, 4])
+    if containment:
+        return _containment_probe([int(a) for a in args] or [1, 2, 4])
     if kcore:
         return _kcore_probe([int(a) for a in args] or [1, 2, 4])
     if prefix:
@@ -472,6 +476,38 @@ def _minhash_est_probe(ns) -> int:
         dt = time.time() - t0
         results[n] = (dt, rows)
         print(f"# minhash-est {n}x: {dt:.1f}s pairs={rows}", flush=True)
+        _probe_cleanup(spark)
+    if 1 in results:
+        r1 = results[1][1]
+        for n, (dt, rows) in results.items():
+            assert rows == n * r1, f"{n}x pairs {rows} != {n}*{r1}"
+        print("# output scales exactly proportionally")
+    return 0
+
+
+def _containment_probe(ns) -> int:
+    """Disjoint-copy ladder for the directed containment join: shingle
+    spaces disjoint across copies, every within-copy directed pair
+    replicates per copy, so the pair count must scale exactly xN
+    (containment is an exact integer-ppm measure over prefix-stable
+    shingle sets — no LSH wobble)."""
+    from rdfind_spark.functions.dedup import containment_pairs
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    containment_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).write.format("noop").mode("overwrite").save()
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = {}
+    for n in ns:
+        docs = _copied_docs(spark, base, n)
+        t0 = time.time()
+        rows = containment_pairs(docs).count()
+        dt = time.time() - t0
+        results[n] = (dt, rows)
+        print(f"# containment {n}x: {dt:.1f}s pairs={rows}", flush=True)
         _probe_cleanup(spark)
     if 1 in results:
         r1 = results[1][1]

@@ -422,3 +422,20 @@ def test_lsh_knn_broadcasts_query_set_not_corpus(spark, sf_dir):
                 f"{fn.__name__}: broadcast build side must carry the "
                 "query-set bound, not the raw corpus projection:\n" + sub
             )
+
+
+def test_containment_only_forced_broadcast_is_hot_set(spark, sf_dir):
+    """The containment join's single forced broadcast must be the
+    hot-shingle exclusion set (bounded by the df > cap filter — small
+    by Zipf at any scale); the corpus-sized arrs/sizes joins carry no
+    hint and must degrade to shuffle joins when auto-broadcast is
+    off."""
+    from rdfind_spark.functions.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _without_auto_broadcast(spark):
+        p = plan_of(containment_pairs(docs), "simple")
+    subs = _broadcast_subtrees(p)
+    assert len(subs) == 1, f"expected exactly the hot-set broadcast:\n{p}"
+    assert "shingle" in subs[0] and (">" in subs[0] or "df" in subs[0]), subs[0]
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
