@@ -439,3 +439,66 @@ def test_containment_only_forced_broadcast_is_hot_set(spark, sf_dir):
     assert len(subs) == 1, f"expected exactly the hot-set broadcast:\n{p}"
     assert "shingle" in subs[0] and (">" in subs[0] or "df" in subs[0]), subs[0]
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_returned_items_filters_push_and_aggregate_before_decoration(
+    spark, sf_dir
+):
+    """Q10 shape pins: the returnflag filter reaches the lineitem scan
+    and the date window the orders scan (PushedFilters), the fact
+    aggregates to customer keys BELOW the customer join (no
+    customer-wide fact join), and the top-20 plans as a TakeOrdered."""
+    from rdfind_spark.functions.warehouse import returned_item_revenue
+
+    df = returned_item_revenue(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_returnflag" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
+    # the aggregate sits below the customer join: trees print top-down,
+    # so the revenue HashAggregate must appear INSIDE (textually after)
+    # the first c_name-carrying join line, never above it
+    simple = plan_of(df, "simple")
+    agg_pos = simple.find("HashAggregate")
+    cust_join_pos = simple.find("c_name")
+    assert 0 <= cust_join_pos < agg_pos, simple
+    assert "o_custkey" in simple[agg_pos : agg_pos + 200], simple
+
+
+def test_small_qty_class_semijoin_below_aggregate(spark, sf_dir):
+    """Q17 shape pins: the part-class filter pushes to the part scan,
+    the class restriction joins the fact BEFORE the per-part mean
+    aggregate (the aggregate never sees out-of-class rows), and the
+    lineitem scan reads only the needed columns."""
+    from rdfind_spark.functions.warehouse import small_qty_revenue
+
+    df = small_qty_revenue(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    p = plan_of(df)
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("p_size" in f for f in pushed), pushed
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li_schema = [s for s in schemas if "l_partkey" in s]
+    assert li_schema and all(
+        "l_returnflag" not in s and "l_shipdate" not in s for s in li_schema
+    ), schemas
+    simple = plan_of(df, "simple")
+    # the class join must sit in the INPUT subtree of every aggregate
+    # (trees print top-down): a class semi-join BELOW the means
+    # aggregate means a BroadcastHashJoin still appears after the last
+    # HashAggregate line
+    last_agg = simple.rfind("HashAggregate")
+    assert last_agg >= 0, simple
+    assert "BroadcastHashJoin" in simple[last_agg:], simple
