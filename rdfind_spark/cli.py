@@ -261,6 +261,7 @@ _CORPUS_OP_NAMES = (
     "search",
     "containment",
     "feature-hash",
+    "gif-stats",
 )
 
 
@@ -308,6 +309,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "search": lambda d: corpus_stats.keyword_search(d),
         "containment": lambda d: dedup.containment_pairs(d),
         "feature-hash": lambda d: text.feature_hashing(d),
+        "gif-stats": lambda d: multimodal.gif_image_stats(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -866,3 +866,151 @@ def test_session_window_stream_state_spans_micro_batches(spark, sf_dir, tmp_path
         if s <= edge and e > edge
     ]
     assert crossing, "no session crossed a chunk boundary - fixture too weak"
+
+
+def _lzw_encode_model(indices, min_code_size, clear_every=None):
+    """Independent REAL (compressing) LZW encoder for the property
+    test: builds the dictionary like any classic GIF writer, while the
+    emitted code width tracks a SIMULATED decoder state (next_code /
+    early-change growth), which is the spec's synchronization rule.
+    Shares no code with multimodal._lzw_decode."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = []
+    state = {"w": min_code_size + 1, "n": eoi + 1, "first": True}
+
+    def emit(code):
+        for i in range(state["w"]):
+            bits.append((code >> i) & 1)
+        if code == clear:
+            state.update(w=min_code_size + 1, n=eoi + 1, first=True)
+        elif code != eoi:
+            if state["first"]:
+                state["first"] = False
+            elif state["n"] < 4096:
+                state["n"] += 1
+                if state["n"] == (1 << state["w"]) and state["w"] < 12:
+                    state["w"] += 1
+
+    emit(clear)
+    table = {(i,): i for i in range(clear)}
+    next_e = eoi + 1
+    buf = ()
+    emitted = 0
+    for s in indices:
+        cand = buf + (int(s),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        emitted += 1
+        if next_e < 4096:
+            table[cand] = next_e
+            next_e += 1
+        buf = (int(s),)
+        if clear_every and emitted % clear_every == 0:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_e = eoi + 1
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    out = bytearray((len(bits) + 7) // 8)
+    for pos, bit in enumerate(bits):
+        out[pos >> 3] |= bit << (pos & 7)
+    return bytes(out)
+
+
+def test_lzw_decode_matches_independent_compressing_encoder():
+    """The GIF decoder is a FULL LZW (dictionary growth, KwKwK,
+    early-change widths, clear resets), not a subset matched to the
+    engine's own literal writer: streams from an independent
+    compressing encoder — including the KwKwK shape (aaaa...),
+    mid-stream clears, and multi-width growth — must decode back to
+    the input exactly."""
+    import random
+
+    from rdfind_spark.functions.multimodal import _lzw_decode
+
+    rng = random.Random(7)
+    cases = [
+        ([0] * 50, 2, None),                       # pure KwKwK runs
+        ([0, 1] * 40, 2, None),                    # alternation
+        ([i % 7 for i in range(500)], 3, None),    # cyclic, width growth
+        ([rng.randrange(8) for _ in range(2000)], 3, None),
+        ([rng.randrange(4) for _ in range(800)], 2, 37),   # clears
+        ([rng.randrange(200) for _ in range(3000)], 8, None),
+        ([3], 2, None),                            # single pixel
+    ]
+    for indices, b, ce in cases:
+        data = _lzw_encode_model(indices, b, clear_every=ce)
+        assert _lzw_decode(data, b) == indices, (b, ce, len(indices))
+
+
+def test_parse_gif_decodes_compressed_payload_and_skips_extensions():
+    """A GIF whose pixel data went through the REAL compressing
+    encoder (not the engine's literal writer) must parse to the same
+    channel sums; an 89a graphic-control extension before the image
+    descriptor is walked over; interlace/local-table/garbage raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from rdfind_spark.functions import multimodal as m
+
+    pal = m._gif_palette(8)
+    idx = [(5 * k + 3) % 8 for k in range(m.GIF_W * m.GIF_H)]
+    lzw = _lzw_encode_model(idx, 3)
+    lsd = struct.pack("<HH", m.GIF_W, m.GIF_H) + bytes([0xF2, 0, 0])
+    desc = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, m.GIF_W, m.GIF_H)
+        + b"\x00"
+    )
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # 89a graphic control
+    blocks = bytes([3]) + b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    ) + b"\x00"
+    payload = b"GIF89a" + lsd + pal + gce + desc + blocks + b"\x3b"
+    w, h, n, sr, sg, sb = m.parse_gif(payload)
+    assert (w, h, n) == (m.GIF_W, m.GIF_H, 8)
+    for got, (nme, mult, add) in zip((sr, sg, sb), m._GIF_CHANNELS):
+        assert got == sum((mult * i + add) % 256 for i in idx), nme
+
+    interlaced = payload.replace(desc, desc[:-1] + b"\x40", 1)
+    with _pytest.raises(NotImplementedError):
+        m.parse_gif(interlaced)
+    local_table = payload.replace(desc, desc[:-1] + b"\x80", 1)
+    with _pytest.raises(NotImplementedError):
+        m.parse_gif(local_table)
+    with _pytest.raises(ValueError):
+        m.parse_gif(b"JFIF not a gif")
+
+
+def test_gif_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
+    """attach_gif -> REAL LZW decode over real parquet docs must equal
+    both the Python formula sums and the DuckDB rendering of
+    gif_image_stats_sql — the same three-way check a registry entry
+    gets (planned round-11 registration; COVERAGE.md round-11 plan)."""
+    import duckdb
+
+    from rdfind_spark.functions import multimodal as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+    got = {
+        r.doc_id: (r.width, r.height, r.n_colors, r.sum_r, r.sum_g, r.sum_b)
+        for r in m.gif_image_stats(docs).collect()
+    }
+    assert len(got) == 25
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        "LIMIT 25"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(m.gif_image_stats_sql()).fetchall()
+    }
+    assert got == want
