@@ -468,3 +468,54 @@ def test_ntriples_round_trip_agrees_with_grammar_model(spark, objs):
         r.subj: r.obj for r in _parsed_quads(ntriples_lines(df)).collect()
     }
     assert sparked == modeled
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=3, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=7,
+    ),
+    st.sampled_from([250_000, 500_000, 800_000, 1_000_000]),
+)
+def test_containment_prefix_cut_complete_on_random_corpora(
+    spark, texts, threshold_ppm
+):
+    """Completeness of the probe-side prefix cut under hypothesis:
+    on random tiny corpora over a 7-token vocabulary (dense overlap,
+    many boundary scores) and across thresholds including the exact
+    1.0 edge, the prefix-filtered Spark result must equal a
+    brute-force Python model of the same hybrid measure (cold common
+    count over full distinct-shingle size).  The integer prefix bound
+    c - ceil(c*t) + 1 is the arithmetic under test — an off-by-one
+    drops a qualifying pair."""
+    from rdfind_spark.functions.dedup import (
+        NGRAM_K,
+        containment_pairs,
+        _shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.src_id, r.dst_id): r.containment_ppm
+        for r in containment_pairs(df, threshold_ppm=threshold_ppm).collect()
+    }
+    sh = _shingles(df, NGRAM_K).collect()
+    sets: dict = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    for s, ss in sets.items():
+        for d, ds in sets.items():
+            if s == d:
+                continue
+            ppm = len(ss & ds) * 1_000_000 // len(ss)
+            if ppm >= threshold_ppm:
+                want[(s, d)] = ppm
+    assert got == want
