@@ -886,10 +886,24 @@ def _lzw_encode_literal(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices, palette: bytes, width: int, height: int) -> bytes:
+def _interlace_order(height: int) -> list:
+    """GIF's 4-pass interlace row schedule: the logical row index of
+    each row IN FILE ORDER (pass 1: every 8th from 0, pass 2: every
+    8th from 4, pass 3: every 4th from 2, pass 4: every 2nd from 1)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif(
+    indices, palette: bytes, width: int, height: int,
+    interlace: bool = False,
+) -> bytes:
     """Byte-valid GIF87a writer: logical screen descriptor with a
     global color table, one image descriptor, literal-LZW pixel data
-    in ≤255-byte sub-blocks, trailer."""
+    in ≤255-byte sub-blocks, trailer.  ``interlace=True`` writes the
+    rows in the 4-pass schedule and sets the descriptor flag."""
     import struct
 
     n = len(palette) // 3
@@ -898,7 +912,17 @@ def encode_gif(indices, palette: bytes, width: int, height: int) -> bytes:
     lsd = struct.pack("<HH", width, height) + bytes(
         [0x80 | 0x70 | (bits - 1), 0, 0]
     )
-    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    desc = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0x40 if interlace else 0x00])
+    )
+    if interlace:
+        indices = [
+            indices[y * width + x]
+            for y in _interlace_order(height)
+            for x in range(width)
+        ]
     min_code = max(2, bits)
     lzw = _lzw_encode_literal(indices, min_code)
     blocks = bytearray([min_code])
@@ -914,11 +938,14 @@ def parse_gif(payload: bytes):
     """Real GIF parse with pure stdlib: header (87a/89a), logical
     screen descriptor + global color table, extension blocks SKIPPED
     by sub-block walking (89a graphic control etc.), image descriptor,
-    LZW-decompressed pixel indices mapped through the palette.
-    Returns (width, height, n_colors, sum_r, sum_g, sum_b).
-    Interlaced images and local color tables raise
-    NotImplementedError (same loud-limit discipline as the other
-    walkers); truncated or ungrammatical payloads raise ValueError."""
+    LZW-decompressed pixel indices mapped through the palette —
+    INCLUDING 4-pass interlaced row reassembly (the channel sums are
+    permutation-blind, so the returned ``row_moment`` =
+    Σ (y+1)·index over LOGICAL rows makes a wrong or missing reorder
+    observable).  Returns (width, height, n_colors, sum_r, sum_g,
+    sum_b, row_moment).  Local color tables raise NotImplementedError
+    (same loud-limit discipline as the other walkers); truncated or
+    ungrammatical payloads raise ValueError."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -952,8 +979,7 @@ def parse_gif(payload: bytes):
     pos += 9
     if ipacked & 0x80:
         raise NotImplementedError("GIF local color tables not supported")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF not supported")
+    interlaced = bool(ipacked & 0x40)
     min_code = payload[pos]
     pos += 1
     data = bytearray()
@@ -966,13 +992,26 @@ def parse_gif(payload: bytes):
         raise ValueError(
             f"LZW stream decoded {len(indices)} pixels, need {iw * ih}"
         )
+    indices = indices[: iw * ih]
+    if interlaced:
+        logical = [0] * (iw * ih)
+        for file_row, y in enumerate(_interlace_order(ih)):
+            logical[y * iw : (y + 1) * iw] = indices[
+                file_row * iw : (file_row + 1) * iw
+            ]
+        indices = logical
     sums = [0, 0, 0]
-    for idx in indices[: iw * ih]:
+    row_moment = 0
+    for p, idx in enumerate(indices):
         if idx >= n_colors:
             raise ValueError("pixel index beyond the color table")
         for c in range(3):
             sums[c] += palette[3 * idx + c]
-    return (int(iw), int(ih), int(n_colors), sums[0], sums[1], sums[2])
+        row_moment += (p // iw + 1) * idx
+    return (
+        int(iw), int(ih), int(n_colors),
+        sums[0], sums[1], sums[2], int(row_moment),
+    )
 
 
 def attach_gif(documents: DataFrame) -> DataFrame:
@@ -1019,6 +1058,7 @@ GIF_STATS_SCHEMA = StructType(
         StructField("sum_r", LongType()),
         StructField("sum_g", LongType()),
         StructField("sum_b", LongType()),
+        StructField("row_moment", LongType()),
     ]
 )
 
@@ -1032,10 +1072,10 @@ def gif_stats(blobs: DataFrame) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, n, sr, sg, sb = parse_gif(bytes(payload))
+                    w, h, n, sr, sg, sb, rm = parse_gif(bytes(payload))
                 except (NotImplementedError, ValueError):
                     continue
-                out.append((doc_id, w, h, n, sr, sg, sb))
+                out.append((doc_id, w, h, n, sr, sg, sb, rm))
             yield pd.DataFrame(
                 out, columns=[f.name for f in GIF_STATS_SCHEMA.fields]
             )
@@ -1061,6 +1101,8 @@ def gif_image_stats_sql() -> str:
        CAST({GIF_W} AS INTEGER) AS width,
        CAST({GIF_H} AS INTEGER) AS height,
        CAST({1 << GIF_PALETTE_BITS} AS INTEGER) AS n_colors,
-       {sums}
+       {sums},
+       CAST(SUM((y + 1) * ((doc_id * 7 + 3 * x + 5 * y) % 8))
+            AS BIGINT) AS row_moment
 FROM documents, range({GIF_W}) tx(x), range({GIF_H}) ty(y)
 GROUP BY doc_id"""

@@ -973,19 +973,50 @@ def test_parse_gif_decodes_compressed_payload_and_skips_extensions():
         for i in range(0, len(lzw), 255)
     ) + b"\x00"
     payload = b"GIF89a" + lsd + pal + gce + desc + blocks + b"\x3b"
-    w, h, n, sr, sg, sb = m.parse_gif(payload)
+    w, h, n, sr, sg, sb, rm = m.parse_gif(payload)
     assert (w, h, n) == (m.GIF_W, m.GIF_H, 8)
     for got, (nme, mult, add) in zip((sr, sg, sb), m._GIF_CHANNELS):
         assert got == sum((mult * i + add) % 256 for i in idx), nme
+    want_rm = sum(
+        (k // m.GIF_W + 1) * i for k, i in enumerate(idx)
+    )
+    assert rm == want_rm
 
-    interlaced = payload.replace(desc, desc[:-1] + b"\x40", 1)
-    with _pytest.raises(NotImplementedError):
-        m.parse_gif(interlaced)
     local_table = payload.replace(desc, desc[:-1] + b"\x80", 1)
     with _pytest.raises(NotImplementedError):
         m.parse_gif(local_table)
     with _pytest.raises(ValueError):
         m.parse_gif(b"JFIF not a gif")
+
+
+def test_parse_gif_reassembles_interlaced_rows():
+    """REAL 4-pass interlace support: an interlaced encoding of the
+    same image must parse to the IDENTICAL stats tuple — including
+    row_moment, which is row-order sensitive by construction, so a
+    missing or wrong reorder (reading file order as logical order)
+    provably changes the answer."""
+    from rdfind_spark.functions import multimodal as m
+
+    pal = m._gif_palette(8)
+    # rows deliberately non-uniform so any row permutation moves the
+    # moment: row y is constant value (y * 3 + 1) % 8
+    idx = [
+        (y * 3 + 1) % 8 for y in range(m.GIF_H) for _ in range(m.GIF_W)
+    ]
+    plain = m.parse_gif(m.encode_gif(idx, pal, m.GIF_W, m.GIF_H))
+    inter = m.parse_gif(
+        m.encode_gif(idx, pal, m.GIF_W, m.GIF_H, interlace=True)
+    )
+    assert inter == plain
+    # the guard that makes the test meaningful: decoding the
+    # interlaced FILE order as if it were logical order must differ
+    file_order_idx = [
+        idx[y * m.GIF_W + x]
+        for y in m._interlace_order(m.GIF_H)
+        for x in range(m.GIF_W)
+    ]
+    naive = m.parse_gif(m.encode_gif(file_order_idx, pal, m.GIF_W, m.GIF_H))
+    assert naive[6] != plain[6], "fixture failed to exercise the reorder"
 
 
 def test_gif_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
@@ -999,7 +1030,10 @@ def test_gif_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
     got = {
-        r.doc_id: (r.width, r.height, r.n_colors, r.sum_r, r.sum_g, r.sum_b)
+        r.doc_id: (
+            r.width, r.height, r.n_colors,
+            r.sum_r, r.sum_g, r.sum_b, r.row_moment,
+        )
         for r in m.gif_image_stats(docs).collect()
     }
     assert len(got) == 25
