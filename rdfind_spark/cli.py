@@ -262,6 +262,7 @@ _CORPUS_OP_NAMES = (
     "containment",
     "feature-hash",
     "gif-stats",
+    "png-stats",
 )
 
 
@@ -310,6 +311,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "containment": lambda d: dedup.containment_pairs(d),
         "feature-hash": lambda d: text.feature_hashing(d),
         "gif-stats": lambda d: multimodal.gif_image_stats(d),
+        "png-stats": lambda d: multimodal.png_image_stats(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

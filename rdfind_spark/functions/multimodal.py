@@ -4,10 +4,12 @@ metadata, decoded / feature-extracted through Arrow-batched
 
 ``decode_image`` really decodes binary NetPBM (P5/P6) with pure
 numpy — no codec library needed — and ``image_stats`` runs that decode
-through the Arrow batch path; compressed formats (JPEG/PNG) stay a
-clearly-marked NotImplementedError because their codecs are not in
-this container (plug PIL/libvips into ``decode_image`` in a real
-deployment).  Everything Spark-side is real and tested: the binary
+through the Arrow batch path.  Two genuinely COMPRESSED formats decode
+with pure stdlib too: GIF (a full hand-written LZW, below) and PNG
+(stdlib zlib inflate + the spec's five row filters).  JPEG stays a
+clearly-marked NotImplementedError because its codec (DCT + Huffman)
+is not in this container (plug PIL/libvips into ``decode_image`` in a
+real deployment).  Everything Spark-side is real and tested: the binary
 column schema, the metadata struct, the mapInPandas batch shape, and a
 deterministic feature extractor whose output is reproducible in SQL
 (so the driver oracle verifies the whole Arrow path end-to-end).
@@ -1105,4 +1107,314 @@ def gif_image_stats_sql() -> str:
        CAST(SUM((y + 1) * ((doc_id * 7 + 3 * x + 5 * y) % 8))
             AS BIGINT) AS row_moment
 FROM documents, range({GIF_W}) tx(x), range({GIF_H}) ty(y)
+GROUP BY doc_id"""
+
+
+# --- PNG: DEFLATE via stdlib zlib + the five row filters -------------------
+#
+# PNG's compression is DEFLATE — which Python's stdlib zlib implements —
+# so unlike JPEG (whose entropy coder + DCT genuinely need a codec
+# library) a REAL PNG decode is pure stdlib: chunk walk (IHDR / PLTE /
+# IDAT / IEND, with CRC verification), zlib inflate, then the spec's
+# per-row filter reconstruction (None / Sub / Up / Average / Paeth).
+# Supported: 8-bit greyscale (color type 0), truecolor (2), and
+# palette (3), non-interlaced.  Adam7 interlacing and 16-bit depths
+# raise NotImplementedError (loud-limit discipline); JPEG remains the
+# one image format this container genuinely cannot decode.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_W = 7
+PNG_H = 4
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the per-row filters: ``raw`` is the inflated stream
+    (one filter-type byte + ``width*bpp`` filtered bytes per row);
+    returns the reconstructed scanlines concatenated."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel stream truncated")
+        ftype = raw[pos]
+        pos += 1
+        row = raw[pos : pos + stride]
+        if len(row) < stride:
+            raise ValueError("PNG scanline truncated")
+        pos += stride
+        base = y * stride
+        prev = base - stride
+        for i in range(stride):
+            x = row[i]
+            a = out[base + i - bpp] if i >= bpp else 0
+            b = out[prev + i] if y > 0 else 0
+            if ftype == 0:
+                r = x
+            elif ftype == 1:
+                r = x + a
+            elif ftype == 2:
+                r = x + b
+            elif ftype == 3:
+                r = x + ((a + b) >> 1)
+            elif ftype == 4:
+                c = out[prev + i - bpp] if (y > 0 and i >= bpp) else 0
+                r = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[base + i] = r & 0xFF
+    return out
+
+
+def parse_png(payload: bytes):
+    """Real PNG parse, pure stdlib: signature, chunk walk with CRC
+    verification, IHDR, optional PLTE, concatenated-IDAT zlib inflate,
+    per-row filter reconstruction.  Returns (width, height, bit_depth,
+    color_type, sum_r, sum_g, sum_b, row_moment) — row_moment =
+    Σ (y+1)·first_channel keeps row order observable (the GIF
+    convention).  16-bit depths, Adam7 interlace, and color types
+    4/6 (alpha — the stats here are opaque-pixel sums) raise
+    NotImplementedError; structural damage raises ValueError."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("PNG chunk header truncated")
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if color == 0:
+        bpp = 1
+    elif color == 2:
+        bpp = 3
+    elif color == 3:
+        bpp = 1
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+    else:
+        raise NotImplementedError(
+            f"PNG color type {color} (alpha) not supported"
+        )
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, width, height, bpp)
+    sums = [0, 0, 0]
+    row_moment = 0
+    for p in range(width * height):
+        if color == 2:
+            r, g, b = px[3 * p], px[3 * p + 1], px[3 * p + 2]
+        elif color == 3:
+            idx = px[p]
+            if 3 * idx + 2 >= len(plte):
+                raise ValueError("pixel index beyond the palette")
+            r, g, b = plte[3 * idx], plte[3 * idx + 1], plte[3 * idx + 2]
+        else:
+            r = g = b = px[p]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        row_moment += (p // width + 1) * (
+            px[bpp * p] if color != 2 else px[3 * p]
+        )
+    return (
+        int(width), int(height), int(depth), int(color),
+        sums[0], sums[1], sums[2], int(row_moment),
+    )
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, color_type: int = 2,
+    palette: bytes | None = None, filter_type: int = 0,
+) -> bytes:
+    """Byte-valid PNG writer (8-bit, non-interlaced): applies
+    ``filter_type`` to every row (the spec's five types, so the
+    decoder's reconstruction arithmetic can be exercised per type),
+    deflates, and wraps in CRC'd chunks."""
+    import struct
+    import zlib
+
+    bpp = 3 if color_type == 2 else 1
+    stride = width * bpp
+    assert len(pixels) == height * stride
+
+    def flt(y: int) -> bytes:
+        base = y * stride
+        prev = base - stride
+        row = bytearray([filter_type])
+        for i in range(stride):
+            x = pixels[base + i]
+            a = pixels[base + i - bpp] if i >= bpp else 0
+            b = pixels[prev + i] if y > 0 else 0
+            if filter_type == 0:
+                v = x
+            elif filter_type == 1:
+                v = x - a
+            elif filter_type == 2:
+                v = x - b
+            elif filter_type == 3:
+                v = x - ((a + b) >> 1)
+            elif filter_type == 4:
+                c = pixels[prev + i - bpp] if (y > 0 and i >= bpp) else 0
+                v = x - _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown filter type {filter_type}")
+            row.append(v & 0xFF)
+        return bytes(row)
+
+    raw = b"".join(flt(y) for y in range(height))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    parts = [PNG_SIG, chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        assert palette is not None
+        parts.append(chunk(b"PLTE", palette))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def attach_png(documents: DataFrame) -> DataFrame:
+    """Byte-valid truecolor PNG per document (Arrow-batched writer —
+    DEFLATE output is content-dependent, the GIF/attach convention).
+    Pixel content stays SQL-reproducible:
+    channel(x, y) = (doc_id*K + Ax*x + Ay*y) % 256 per _PNG_CHANNELS;
+    the row filter cycles through all five spec types by doc_id so the
+    corpus itself exercises every reconstruction path."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = bytearray()
+                for y in range(PNG_H):
+                    for x in range(PNG_W):
+                        for _, k, ax, ay in _PNG_CHANNELS:
+                            px.append((d * k + ax * x + ay * y) % 256)
+                rows.append(
+                    (
+                        doc_id,
+                        encode_png(
+                            bytes(px), PNG_W, PNG_H,
+                            filter_type=d % 5,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        _make,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+_PNG_CHANNELS = (("r", 13, 7, 3), ("g", 29, 5, 11), ("b", 47, 1, 17))
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("row_moment", LongType()),
+    ]
+)
+
+
+def png_stats(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-image decode stats via the real PNG
+    parse, Arrow-batched (mapInPandas, shuffle-free)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vals = parse_png(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                out.append((doc_id, *vals))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+            )
+
+    return blobs.mapInPandas(_stats, PNG_STATS_SCHEMA)
+
+
+def png_image_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end PNG path: documents → byte-valid truecolor PNGs
+    (row filter cycling through all five spec types by doc_id) →
+    zlib inflate + filter reconstruction → channel sums and the
+    row-order moment.  A wrong Paeth predictor, filter inverse,
+    stride, or CRC handling breaks the oracle hash."""
+    return png_stats(attach_png(documents))
+
+
+def png_image_stats_sql() -> str:
+    sums = ",\n       ".join(
+        f"CAST(SUM((doc_id * {k} + {ax} * x + {ay} * y) % 256) "
+        f"AS BIGINT) AS sum_{name}"
+        for name, k, ax, ay in _PNG_CHANNELS
+    )
+    k0, ax0, ay0 = _PNG_CHANNELS[0][1:]
+    return f"""SELECT doc_id,
+       CAST({PNG_W} AS INTEGER) AS width,
+       CAST({PNG_H} AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(2 AS INTEGER) AS color_type,
+       {sums},
+       CAST(SUM((y + 1) * ((doc_id * {k0} + {ax0} * x + {ay0} * y) % 256))
+            AS BIGINT) AS row_moment
+FROM documents, range({PNG_W}) tx(x), range({PNG_H}) ty(y)
 GROUP BY doc_id"""

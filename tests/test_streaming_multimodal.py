@@ -1048,3 +1048,106 @@ def test_gif_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
         for r in con.execute(m.gif_image_stats_sql()).fetchall()
     }
     assert got == want
+
+
+def test_png_filters_hand_checked_and_round_trip():
+    """PNG filter reconstruction pinned two ways: (1) a hand-computed
+    Sub/Up/Average/Paeth fixture — the filtered bytes are written out
+    by hand from the spec and wrapped in a valid PNG, so the decoder's
+    arithmetic is checked against the SPEC, not against the engine's
+    own encoder; (2) encoder round-trips across all five filter types,
+    gray/truecolor/palette color types."""
+    import struct
+    import zlib
+
+    from rdfind_spark.functions import multimodal as m
+
+    # (1) hand fixture: 3x2 grayscale, logical pixels
+    #     row0: 10 20 30 / row1: 40 60 90
+    # filter Sub on row0:   10, 20-10=10, 30-20=10
+    # filter Paeth on row1: a,b,c for i=0 -> (0,10,0) paeth=10 -> 40-10=30
+    #   i=1: a=40,b=20,c=10 p=50 pa=10 pb=30 pc=40 -> a -> 60-40=20
+    #   i=2: a=60,b=30,c=20 p=70 pa=10 pb=40 pc=50 -> a -> 90-60=30
+    raw = bytes([1, 10, 10, 10]) + bytes([4, 30, 20, 30])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        m.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, depth, color, sr, sg, sb, rm = m.parse_png(payload)
+    assert (w, h, depth, color) == (3, 2, 8, 0)
+    assert sr == sg == sb == 10 + 20 + 30 + 40 + 60 + 90
+    assert rm == 1 * (10 + 20 + 30) + 2 * (40 + 60 + 90)
+
+    # a corrupted CRC must be loud, not wrong
+    broken = bytearray(payload)
+    broken[-5] ^= 0xFF  # inside IEND's CRC
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        m.parse_png(bytes(broken))
+
+    # (2) round-trip across filter types and color types
+    px_rgb = bytes((7 * i + 3) % 256 for i in range(3 * 5 * 4))
+    for f in range(5):
+        got = m.parse_png(m.encode_png(px_rgb, 5, 4, filter_type=f))
+        assert got == m.parse_png(m.encode_png(px_rgb, 5, 4, filter_type=0))
+    pal = bytes((i * 37) % 256 for i in range(3 * 8))
+    px_idx = bytes(i % 8 for i in range(5 * 4))
+    gp = m.parse_png(
+        m.encode_png(px_idx, 5, 4, color_type=3, palette=pal, filter_type=2)
+    )
+    want = [0, 0, 0]
+    for i in px_idx:
+        for c in range(3):
+            want[c] += pal[3 * i + c]
+    assert list(gp[4:7]) == want
+
+    # loud limits
+    adam7 = payload.replace(
+        chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)),
+        chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 1)),
+    )
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        m.parse_png(adam7)
+    with _pytest.raises(ValueError):
+        m.parse_png(b"not a png at all")
+
+
+def test_png_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
+    """attach_png (row filter cycling through all five spec types by
+    doc_id) -> zlib inflate + reconstruction over real parquet docs
+    must equal the DuckDB rendering of png_image_stats_sql — the same
+    three-way check a registry entry gets (planned round-11
+    registration)."""
+    import duckdb
+
+    from rdfind_spark.functions import multimodal as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+    got = {
+        r.doc_id: (
+            r.width, r.height, r.bit_depth, r.color_type,
+            r.sum_r, r.sum_g, r.sum_b, r.row_moment,
+        )
+        for r in m.png_image_stats(docs).collect()
+    }
+    assert len(got) == 25
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet') LIMIT 25"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(m.png_image_stats_sql()).fetchall()
+    }
+    assert got == want
