@@ -522,14 +522,51 @@ def attach_audio(documents: DataFrame) -> DataFrame:
     )
 
 
+def _mulaw_table():
+    """G.711 mu-law byte → linear 16-bit table (ITU-T G.711 / the
+    classic ulaw2linear: bias 0x84, 3-bit segment, 4-bit mantissa).
+    Pinned byte-for-byte against the CPython ``audioop`` C
+    implementation in the tests."""
+    import numpy as np
+
+    out = np.empty(256, np.int32)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_table():
+    """G.711 A-law byte → linear 16-bit table (0x55 XOR, segmented
+    expansion); audioop-pinned like the mu-law twin."""
+    import numpy as np
+
+    out = np.empty(256, np.int32)
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
 def parse_wav(payload: bytes):
     """Real RIFF/WAVE parse with pure stdlib + numpy: walk the chunk
     list (any order, unknown chunks skipped, odd sizes padded to word
-    boundaries per the RIFF spec), read fmt geometry, decode PCM
-    samples.  Returns (rate, n_channels, bits, n_samples, amp_sum).
-    Compressed (non-PCM) audio raises NotImplementedError — same
-    documented env limitation as JPEG/PNG (no codec libraries in this
-    container; plug e.g. soundfile/ffmpeg in a real deployment)."""
+    boundaries per the RIFF spec), read fmt geometry, decode samples —
+    linear PCM (8/16-bit) AND the two G.711 telephony codings (A-law
+    format 6, mu-law format 7, expanded through exact 256-entry
+    tables pinned against CPython's audioop).  Returns (rate,
+    n_channels, bits, n_samples, amp_sum) with amp_sum over the
+    DECODED linear amplitudes.  Other compressed formats raise
+    NotImplementedError — the documented env limitation (no codec
+    libraries in this container; plug e.g. soundfile/ffmpeg in a real
+    deployment)."""
     import struct
 
     import numpy as np
@@ -551,12 +588,17 @@ def parse_wav(payload: bytes):
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, rate = struct.unpack("<HHI", fmt[:8])
     bits = struct.unpack("<H", fmt[14:16])[0]
-    if audio_format != 1:
+    if audio_format in (6, 7):  # G.711 A-law / mu-law — pure formulas
+        if bits != 8:
+            raise ValueError(f"G.711 with {bits}-bit samples")
+        table = _alaw_table() if audio_format == 6 else _mulaw_table()
+        samples = table[np.frombuffer(data, np.uint8)].astype(np.int64)
+    elif audio_format != 1:
         raise NotImplementedError(
             f"compressed WAV (format {audio_format}) not supported in "
             "this container"
         )
-    if bits == 8:
+    elif bits == 8:
         samples = np.frombuffer(data, np.uint8).astype(np.int64)
     elif bits == 16:
         samples = np.frombuffer(data, "<i2").astype(np.int64)

@@ -1151,3 +1151,38 @@ def test_png_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
         for r in con.execute(m.png_image_stats_sql()).fetchall()
     }
     assert got == want
+
+
+def test_g711_tables_match_audioop_and_wav_decode():
+    """The G.711 mu-law/A-law expansion tables must match CPython's C
+    implementation (audioop) byte-for-byte across all 256 codes — an
+    independent model, not our own formulas re-run — and a real WAV
+    whose fmt chunk declares format 7 (mu-law) / 6 (A-law) must decode
+    through parse_wav with amp_sum over the EXPANDED linear samples."""
+    import struct
+
+    audioop = pytest.importorskip("audioop")  # removed in py3.13
+    from rdfind_spark.functions import multimodal as m
+
+    mt, at = m._mulaw_table(), m._alaw_table()
+    for b in range(256):
+        assert mt[b] == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert at[b] == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+    def wav(fmt_code, data):
+        fmt = struct.pack("<IHHIIHH", 16, fmt_code, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    data = bytes(range(0, 256, 8))  # 32 codes
+    rate, ch, bits, n, amp = m.parse_wav(wav(7, data))
+    assert (rate, ch, bits, n) == (8000, 1, 8, 32)
+    assert amp == sum(int(mt[b]) for b in data)
+    rate, ch, bits, n, amp = m.parse_wav(wav(6, data))
+    assert amp == sum(int(at[b]) for b in data)
+    # other compressed formats stay loud
+    with pytest.raises(NotImplementedError):
+        m.parse_wav(wav(85, data))  # MP3-in-WAV
