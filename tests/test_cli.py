@@ -352,3 +352,36 @@ def test_cli_graph_warehouse_stream_families(spark, sf_dir, tmp_path):
         "user_id", "session_start", "session_end", "n_events"
     }
     assert sw.count() > 0
+
+
+def test_cli_corpus_codec_ops(spark, tmp_path):
+    """The round-10 codec/featurizer corpus ops are reachable through
+    the CLI and produce their documented schemas."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [f"alpha beta w{i}" for i in range(6)],
+            "source": ["s"] * 6,
+            "lang": ["en"] * 6,
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    docs.to_parquet(str(src), index=False)
+    out = tmp_path / "codec"
+    for op, cols in (
+        ("gif-stats", {"doc_id", "width", "height", "n_colors",
+                       "sum_r", "sum_g", "sum_b", "row_moment"}),
+        ("png-stats", {"doc_id", "width", "height", "bit_depth",
+                       "color_type", "sum_r", "sum_g", "sum_b",
+                       "row_moment"}),
+        ("feature-hash", {"doc_id", "feature_id", "weight"}),
+    ):
+        assert main([
+            "corpus", str(src), "--op", op,
+            "--parquet", str(out / op), "--master", "local[4]",
+        ]) == 0
+        got = spark.read.parquet(str(out / op))
+        assert set(got.columns) == cols, op
+        assert got.count() > 0, op
