@@ -330,6 +330,19 @@ def _cmd_graph(args: argparse.Namespace) -> int:
     ``programs/*.scala``)."""
     from rdfind_spark.functions import graph
 
+    # --max-rounds is a convergence bound, so it only applies to the
+    # iterate-to-fixed-point ops (kcore peels, components label
+    # propagation).  pagerank runs a FIXED iteration count (its result
+    # is defined by the recurrence depth, not a convergence test) and
+    # degrees is a single aggregation — accepting the flag there would
+    # silently do nothing, so reject it loudly (and before any session
+    # spin-up) instead.
+    if args.max_rounds is not None and args.op in ("degrees", "pagerank"):
+        raise SystemExit(
+            f"--max-rounds does not apply to --op {args.op}: it bounds "
+            "fixed-point iteration (kcore/components only); pagerank "
+            "depth is pinned by the oracle recurrence"
+        )
     spark = _build_session(args)
     triples = _load_triples(
         spark, args.input, getattr(args, "tab_separated", False)
@@ -337,14 +350,25 @@ def _cmd_graph(args: argparse.Namespace) -> int:
     if args.op == "degrees":
         out = graph.degree_distribution(triples)
     elif args.op == "components":
-        out = graph.graph_components(triples)
+        out = graph.graph_components(
+            triples,
+            max_iters=(
+                args.max_rounds
+                if args.max_rounds is not None
+                else graph.COMPONENTS_MAX_ROUNDS
+            ),
+        )
     elif args.op == "pagerank":
         out = graph.pagerank(triples)
     else:
         out = graph.k_core(
             triples,
             k=args.k,
-            max_rounds=args.max_rounds,
+            max_rounds=(
+                args.max_rounds
+                if args.max_rounds is not None
+                else graph.KCORE_MAX_ROUNDS
+            ),
             strategy=args.strategy,
         )
     _emit(out, args)
@@ -499,8 +523,11 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=("auto", "restrict", "decrement"),
                    help="k-core peel strategy (auto = survivor-ratio "
                         "criterion, see functions/graph.py)")
-    p.add_argument("--max-rounds", type=int, default=14,
-                   help="peel/iteration bound (loud raise past it)")
+    p.add_argument("--max-rounds", type=int, default=None,
+                   help="fixed-point iteration bound (loud raise past "
+                        "it); kcore/components only — rejected for "
+                        "pagerank/degrees, which have no convergence "
+                        "loop (defaults: kcore 14, components 12)")
     p.set_defaults(fn=_cmd_graph)
 
     for family, helptext in (

@@ -22,6 +22,8 @@ downstream joins treat (doc_id → features) like any other table.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib as _zlib
 from typing import Iterator
 
 import pandas as pd
@@ -37,6 +39,20 @@ from pyspark.sql.types import (
 )
 
 N_FEATURES = 8
+
+# Everything a malformed/truncated payload can raise out of the pure-
+# Python codec walkers.  The parsers aim to turn structural damage into
+# ValueError themselves, but arbitrary corpus bytes can still hit a raw
+# index (IndexError), a short struct read (struct.error), or a corrupt
+# DEFLATE stream (zlib.error) — the per-row skip contract of the
+# *_stats operators must survive all of them, not fail the Spark job.
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    _struct.error,
+    _zlib.error,
+)
 
 
 def attach_blobs(documents: DataFrame) -> DataFrame:
@@ -213,7 +229,7 @@ def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
                 b = bytes(p)
                 try:
                     resized = encode_netpbm(_nn_resize(decode_image(b), width, height))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     resized = (
                         (b * (target // max(len(b), 1) + 1))[:target] if b else b
                     )
@@ -284,7 +300,7 @@ def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     decoded = list(iter_netpbm_frames(bytes(p)))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 for i in range(0, len(decoded), every_n):
                     ids.append(doc_id)
@@ -449,7 +465,7 @@ def image_stats(blobs: DataFrame) -> DataFrame:
                             0,
                         )
                     )
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     rows.append((doc_id, None, None, None, None, 1))
             yield pd.DataFrame(
                 rows,
@@ -635,7 +651,7 @@ def audio_stats(clips: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rate, ch, bits, n, s = parse_wav(bytes(payload))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 out.append((doc_id, rate, ch, bits, n, s))
             yield pd.DataFrame(
@@ -792,7 +808,7 @@ def bmp_stats(blobs: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     w, h, bits, sb, sg, sr = parse_bmp(bytes(payload))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 out.append((doc_id, w, h, bits, sb, sg, sr))
             yield pd.DataFrame(
@@ -994,6 +1010,8 @@ def parse_gif(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
     width, height = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
     if not packed & 0x80:
@@ -1011,13 +1029,19 @@ def parse_gif(payload: bytes):
             raise ValueError("GIF trailer before any image descriptor")
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos] != 0:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension sub-blocks truncated")
+                if payload[pos] == 0:
+                    break
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block == 0x2C:
             break
         raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if pos + 10 > len(payload):
+        raise ValueError("GIF image descriptor truncated")
     _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos)
     ipacked = payload[pos + 8]
     pos += 9
@@ -1027,7 +1051,11 @@ def parse_gif(payload: bytes):
     min_code = payload[pos]
     pos += 1
     data = bytearray()
-    while payload[pos] != 0:
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF image sub-blocks truncated")
+        if payload[pos] == 0:
+            break
         ln = payload[pos]
         data.extend(payload[pos + 1 : pos + 1 + ln])
         pos += 1 + ln
@@ -1117,7 +1145,7 @@ def gif_stats(blobs: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     w, h, n, sr, sg, sb, rm = parse_gif(bytes(payload))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 out.append((doc_id, w, h, n, sr, sg, sb, rm))
             yield pd.DataFrame(
@@ -1238,12 +1266,16 @@ def parse_png(payload: bytes):
         if pos + 8 > len(payload):
             raise ValueError("PNG chunk header truncated")
         ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         data = payload[pos + 8 : pos + 8 + ln]
         crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         pos += 12 + ln
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR is {len(data)} bytes, not 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = data
@@ -1272,7 +1304,10 @@ def parse_png(payload: bytes):
         raise NotImplementedError(
             f"PNG color type {color} (alpha) not supported"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     px = _png_unfilter(raw, width, height, bpp)
     sums = [0, 0, 0]
     row_moment = 0
@@ -1424,7 +1459,7 @@ def png_stats(blobs: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     vals = parse_png(bytes(payload))
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 out.append((doc_id, *vals))
             yield pd.DataFrame(

@@ -332,6 +332,17 @@ def test_cli_graph_warehouse_stream_families(spark, sf_dir, tmp_path):
         "--parquet", str(out / "deg"), "--master", "local[4]",
     ]) == 0
     assert spark.read.parquet(str(out / "deg")).count() > 0
+    # round-10 advice: --max-rounds only bounds the fixed-point ops;
+    # passing it with pagerank/degrees must be a loud SystemExit (no
+    # silent no-op), raised before any session spin-up
+    import pytest as _pytest
+
+    for op in ("pagerank", "degrees"):
+        with _pytest.raises(SystemExit, match="max-rounds"):
+            main([
+                "graph", f"tpch:{sf_dir}", "--op", op,
+                "--max-rounds", "5", "--master", "local[4]",
+            ])
     assert main([
         "warehouse", sf_dir, "--op", "waiting-suppliers",
         "--parquet", str(out / "wait"), "--master", "local[4]",

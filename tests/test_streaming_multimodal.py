@@ -1186,3 +1186,78 @@ def test_g711_tables_match_audioop_and_wav_decode():
     # other compressed formats stay loud
     with pytest.raises(NotImplementedError):
         m.parse_wav(wav(85, data))  # MP3-in-WAV
+
+
+def test_parse_gif_png_truncation_sweep_is_loud_not_fatal():
+    """Round-10 advice: arbitrary corpus bytes must never escape the
+    DECODE_ERRORS contract.  Every strict prefix of a valid GIF and a
+    valid PNG — which lands the walkers mid-header, mid-sub-block,
+    mid-chunk, mid-CRC — must raise ValueError/NotImplementedError
+    (the parsers' own documented contract), never IndexError or
+    struct.error."""
+    import struct
+
+    from rdfind_spark.functions import multimodal as m
+
+    pal = m._gif_palette(8)
+    idx = [(5 * k + 3) % 8 for k in range(m.GIF_W * m.GIF_H)]
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gif = m.encode_gif(idx, pal, m.GIF_W, m.GIF_H)
+    # splice an extension block in so the sub-block walk is also swept
+    gif = gif[: 13 + len(pal)] + gce + gif[13 + len(pal):]
+    png = m.encode_png(
+        bytes((7 * i + 3) % 256 for i in range(3 * m.PNG_W * m.PNG_H)),
+        m.PNG_W, m.PNG_H, color_type=2, filter_type=4,
+    )
+    for name, parse, payload in (
+        ("gif", m.parse_gif, gif),
+        ("png", m.parse_png, png),
+    ):
+        whole = parse(payload)  # the untruncated fixture is valid
+        for cut in range(len(payload)):
+            try:
+                got = parse(payload[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            except Exception as exc:  # noqa: BLE001 - the point
+                raise AssertionError(
+                    f"{name} prefix {cut}: {type(exc).__name__}: {exc}"
+                ) from exc
+            # a prefix may parse only when the cut removed nothing the
+            # decode needs (e.g. the GIF trailer byte) — then the
+            # result must be byte-for-byte the full answer, never a
+            # silently-wrong partial one
+            assert got == whole, f"{name} prefix {cut} parsed wrong"
+    # struct.error itself stays inside the walkers' safety net too
+    assert struct.error in m.DECODE_ERRORS and IndexError in m.DECODE_ERRORS
+
+
+def test_gif_png_stats_skip_malformed_payloads(spark):
+    """The *_stats operators' per-row skip contract over a corpus with
+    damaged blobs: good rows decode, truncated/garbage rows are
+    dropped, the job never fails (round-10 advice)."""
+    from rdfind_spark.functions import multimodal as m
+
+    pal = m._gif_palette(8)
+    idx = [(5 * k + 3) % 8 for k in range(m.GIF_W * m.GIF_H)]
+    gif = m.encode_gif(idx, pal, m.GIF_W, m.GIF_H)
+    png = m.encode_png(
+        bytes((7 * i + 3) % 256 for i in range(3 * m.PNG_W * m.PNG_H)),
+        m.PNG_W, m.PNG_H, color_type=2, filter_type=2,
+    )
+    rows = [
+        (1, bytearray(gif)),
+        (2, bytearray(gif[: len(gif) // 2])),   # truncated mid-stream
+        (3, bytearray(b"GIF89a\x07")),            # dies in the header
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    assert [r.doc_id for r in m.gif_stats(df).collect()] == [1]
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(png[:30])),                 # truncated IHDR
+        (3, bytearray(m.PNG_SIG + b"\x00\x00")),  # chunk header cut
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    assert [r.doc_id for r in m.png_stats(df).collect()] == [1]
