@@ -106,3 +106,77 @@ def test_cind_minimal_matches_oracle_under_skew(spark, zipf_path):
     ref = normalize(res.fetchall(), cols, strict=True)
     assert len(got) > 5000
     assert got == ref
+
+
+def test_zipf_triples_derivation_parity(spark, sf_dir):
+    """sources/skew.py renders ONE block spec to two dialects; the
+    derived triple multisets must be byte-identical, or the registered
+    cind_zipf_skew oracle is checking a different fixture than the
+    Spark engine runs on."""
+    from rdfind_spark.sources.skew import zipf_triples, zipf_triples_sql
+
+    srows = sorted(tuple(r) for r in zipf_triples(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(zipf_triples_sql()).fetchall())
+    assert len(srows) > 30_000
+    assert srows == drows
+
+
+def test_cind_zipf_skew_query_matches_oracle_and_mask_path_agrees(
+    spark, sf_dir, monkeypatch
+):
+    """The round-11 registered query end-to-end at sf0.001, twice:
+    once on the default thresholds (widths ~60-300, cold path) and once
+    with HOT_LINE_K forced to 50 so all 43 hub/class lines go hot and
+    the celebrity captures (12+ hot-line memberships >= min_overlap=10)
+    populate the deep part-2 class — both runs must equal the DuckDB
+    oracle, which is path-independent.  At sf0.01 the driver's board
+    check repeats this with the REAL thresholds engaged (43 hot lines,
+    widths 748-1250 > HOT_LINE_K=512, measured)."""
+    from check_oracle import normalize
+
+    from rdfind_spark import oracle
+    from rdfind_spark.operators import cind as cind_mod
+    from rdfind_spark.operators.cind import discover_cinds
+    from rdfind_spark.sources.skew import zipf_triples, zipf_triples_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    res = con.execute(
+        oracle.cind_sql(10, minimal=True, triples_sql=zipf_triples_sql())
+    )
+    cols = [d[0] for d in res.description]
+    ref = normalize(res.fetchall(), cols, strict=True)
+    assert len(ref) > 5000
+
+    got = normalize(
+        [
+            [r[c] for c in CIND_COLS]
+            for r in discover_cinds(
+                zipf_triples(spark, sf_dir), 10, minimal=True
+            ).collect()
+        ],
+        CIND_COLS,
+        strict=True,
+    )
+    assert got == ref
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 50)
+    hot = normalize(
+        [
+            [r[c] for c in CIND_COLS]
+            for r in discover_cinds(
+                zipf_triples(spark, sf_dir), 10, minimal=True
+            ).collect()
+        ],
+        CIND_COLS,
+        strict=True,
+    )
+    assert hot == ref
