@@ -967,3 +967,114 @@ SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
        COUNT(*) AS n_terms_hit
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {top_k}"""
+
+
+# --------------------------------------------- hybrid RRF rerank
+
+RRF_K = 60              # the standard reciprocal-rank-fusion damping
+RRF_SCALE = 1_000_000_000  # integer fixed-point for 1/(k + rank)
+FUSE_DEPTH = 100        # candidates taken from each retrieval system
+FUSE_TOP_K = 25
+
+
+def hybrid_rrf_search(
+    documents: DataFrame,
+    terms=SEARCH_TERMS,
+    depth: int = FUSE_DEPTH,
+    top_k: int = FUSE_TOP_K,
+) -> DataFrame:
+    """Cross-encoder-free reranking (round-10 verdict task 3b): fuse
+    the BM25 keyword ranking with the corpus-LM fluency ranking by
+    reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009),
+
+        rrf(d) = Σ_systems  RRF_SCALE DIV (RRF_K + rank_system(d))
+
+    — the standard production shape for hybrid retrieval when no
+    learned reranker is available: rank positions are comparable
+    across systems even though raw BM25 scores and LM ppm scores are
+    not.  Both legs are this package's integer-exact rankers
+    (``keyword_search``, ``lm_score_stats``), so the fusion stays
+    bit-identical to the SQL twin; a document missing from one leg
+    contributes 0 from it and reports rank -1.
+
+    Scale: each leg ends in its own deterministic top-``depth``
+    (score DESC, doc_id) — a top-k heap, not a global sort — and the
+    rank windows + full-outer join below run on those two
+    ``depth``-row lists only (driver-size, broadcast), so the fusion
+    itself costs nothing at any corpus size."""
+    kw = keyword_search(documents, terms=terms, top_k=depth)
+    kw_r = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("kw_rank"),
+    )
+    lm = (
+        lm_score_stats(documents)
+        .orderBy(F.desc("lm_score_ppm"), F.asc("doc_id"))
+        .limit(depth)
+    )
+    lm_r = lm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lm_score_ppm"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lm_rank"),
+    )
+    fused = kw_r.join(lm_r, on="doc_id", how="full_outer")
+    contrib = (
+        F.coalesce(
+            F.expr(f"{RRF_SCALE} DIV ({RRF_K} + kw_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"{RRF_SCALE} DIV ({RRF_K} + lm_rank)"), F.lit(0)
+        )
+    ).cast("long")
+    return (
+        fused.select(
+            "doc_id",
+            contrib.alias("rrf_score"),
+            F.coalesce("kw_rank", F.lit(-1)).cast("int").alias("kw_rank"),
+            F.coalesce("lm_rank", F.lit(-1)).cast("int").alias("lm_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def hybrid_rrf_search_sql(
+    terms=SEARCH_TERMS,
+    depth: int = FUSE_DEPTH,
+    top_k: int = FUSE_TOP_K,
+) -> str:
+    kw_sql = keyword_search_sql(terms=terms, top_k=depth)
+    lm_sql = lm_score_stats_sql()
+    return f"""WITH kw AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS kw_rank
+  FROM ({kw_sql})
+),
+lm_top AS (
+  SELECT doc_id, lm_score_ppm FROM ({lm_sql})
+  ORDER BY lm_score_ppm DESC, doc_id LIMIT {depth}
+),
+lm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lm_score_ppm DESC, doc_id) AS INT)
+           AS lm_rank
+  FROM lm_top
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, lm.doc_id) AS doc_id, kw_rank, lm_rank
+  FROM kw FULL OUTER JOIN lm ON kw.doc_id = lm.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE({RRF_SCALE} // ({RRF_K} + kw_rank), 0)
+          + COALESCE({RRF_SCALE} // ({RRF_K} + lm_rank), 0) AS BIGINT)
+         AS rrf_score,
+       CAST(COALESCE(kw_rank, -1) AS INT) AS kw_rank,
+       CAST(COALESCE(lm_rank, -1) AS INT) AS lm_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {top_k}"""

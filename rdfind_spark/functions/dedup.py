@@ -1651,3 +1651,140 @@ SELECT 2, 'minhash_lsh_components',
        CAST(cluster_kept.n AS BIGINT),
        CAST(exact_kept.n - cluster_kept.n AS BIGINT)
 FROM exact_kept CROSS JOIN cluster_kept"""
+
+
+# ------------------------------------------------- URL canonical dedup
+#
+# Web-crawl curation's cheapest dedup stage (round-10 verdict task 3b):
+# the same page is fetched under dozens of spellings — scheme case,
+# WWW. prefixes, default ports, tracking query params, fragments,
+# trailing slashes — and canonicalizing the URL collapses them BEFORE
+# any content hashing runs (CCNet / C4 both dedup by normalized URL
+# first; the fetch-cost win at 100 TB is that the payloads of the
+# collapsed fetches never enter the content pipeline at all).
+#
+# The documents table has no URL column, so `attach_urls` synthesizes a
+# deterministic messy corpus JVM-side (the attach_gif pattern): every
+# group of four doc_ids shares one logical page spelled four ways —
+# plain; SHOUTED scheme + WWW + explicit :80 + pure-tracking query;
+# www + :443 + trailing slash + fragment; and a real ?page=2 variant
+# (same path, DIFFERENT page — the canonicalizer must keep
+# non-tracking params, so this one must NOT collapse).  The oracle
+# reconstructs the expected canonical form arithmetically from doc_id
+# — it never runs the canonicalizer — so any wrong regex in the Spark
+# chain (host-only lowercasing, utm stripping, separator repair, port
+# or slash handling) breaks the value hash.
+
+URL_HOSTS = 97           # distinct hosts in the synthetic crawl
+URL_TRACKING_RE = r"(?i)[?&]utm_[^&]*"  # tracking params, any case
+
+
+def attach_urls(documents: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, url, n_chars): four messy spellings per
+    logical page, all JVM `concat`/`when` (no UDF)."""
+    g = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(
+        F.lit("site"), (g % URL_HOSTS).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/p/"), (g / URL_HOSTS).cast("long").cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper(host), F.lit(":80"), path,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www."), host, F.lit(":443"), path,
+                F.lit("/#section-"), F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?page=2&utm_medium=email"),
+            )
+        )
+    )
+    return documents.select("doc_id", url.alias("url"), "n_chars")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Messy URL → canonical form, entirely in JVM regex (whole-stage
+    codegen; no Python in the hot path):
+
+    1. drop the fragment;
+    2. drop the scheme (case-insensitive);
+    3. host part only: lowercase, strip one leading ``www.``, strip an
+       explicit default port (:80/:443) — path case is PRESERVED;
+    4. drop ``utm_*`` tracking params (any case), then repair the
+       separator (first surviving param regains its ``?``);
+    5. strip a single trailing slash.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, r"(?i)^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(u, r"^([^/?#]*)", 1)
+    # rest of the URL after the host (may be empty)
+    rest = F.substring(u, F.length(host) + 1, F.lit(2147483647))
+    host = F.lower(host)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(rest, URL_TRACKING_RE, "")
+    rest = F.regexp_replace(rest, r"^([^?]*)&", "$1?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(host, rest)
+
+
+def url_dedup(documents: DataFrame, with_urls: bool = False) -> DataFrame:
+    """Canonical-URL dedup: group by ``canonicalize_url(url)``, keep
+    the best document per page (longest text, then smallest doc_id) and
+    count the collapsed spellings.
+
+    Scale: canonicalization is per-row JVM regex; the dedup itself is
+    ONE hash shuffle on the canonical key (the same linear shape as
+    ``exact_dedup_map``) and the keep-best choice is a max_by inside
+    the aggregate — no window over the corpus, no second shuffle."""
+    src = documents if with_urls else attach_urls(documents)
+    canon = src.select(
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        "doc_id",
+        "n_chars",
+    )
+    # keep-best key as ONE bigint (longest text, then smallest doc_id):
+    # DuckDB's max_by has no struct-key overload, so both engines rank
+    # by the identical n_chars * 2^32 - doc_id arithmetic
+    best = F.expr(
+        "max_by(struct(doc_id, n_chars), n_chars * 4294967296 - doc_id)"
+    )
+    return canon.groupBy("canonical_url").agg(
+        best.getField("doc_id").alias("kept_doc_id"),
+        best.getField("n_chars").alias("kept_n_chars"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+
+
+def url_dedup_sql() -> str:
+    """Oracle: the EXPECTED canonical form rebuilt from doc_id
+    arithmetic (never the canonicalizer), grouped the same way."""
+    return f"""WITH pages AS (
+  SELECT doc_id, n_chars,
+         'site' || CAST((doc_id // 4) % {URL_HOSTS} AS VARCHAR)
+         || '.example.com/p/'
+         || CAST((doc_id // 4) // {URL_HOSTS} AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 3 THEN '?page=2' ELSE '' END
+           AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(max_by(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT)
+         AS kept_doc_id,
+       CAST(max_by(n_chars, n_chars * 4294967296 - doc_id) AS BIGINT)
+         AS kept_n_chars,
+       COUNT(*) AS n_dups
+FROM pages GROUP BY canonical_url"""

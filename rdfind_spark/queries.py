@@ -587,6 +587,35 @@ def docs_keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.keyword_search(_docs(spark, sf_dir))
 
 
+@register("docs_hybrid_search", corpus_stats.hybrid_rrf_search_sql())
+def docs_hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-free hybrid reranking (round-11 registration;
+    round-10 verdict task 3b): reciprocal-rank fusion (Cormack et al.
+    2009) of the BM25 keyword leg and the corpus-LM fluency leg,
+    rrf = Σ 1e9 DIV (60 + rank), all-integer so both engines agree
+    bit-for-bit.  Each leg ends in its own deterministic top-100
+    (a top-k heap, not a global sort); the fusion windows + full-outer
+    join run on those bounded lists only, so the rerank costs nothing
+    at corpus scale.  Docs missing from a leg report rank -1."""
+    return corpus_stats.hybrid_rrf_search(_docs(spark, sf_dir))
+
+
+@register("docs_url_dedup", dedup.url_dedup_sql())
+def docs_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup stage (round-11 registration;
+    round-10 verdict task 3b): a deterministic messy synthetic crawl
+    (four spellings per logical page — scheme case, WWW., default
+    ports, utm_* tracking params, fragments, trailing slashes; the
+    ?page=2 variant must NOT collapse) is canonicalized entirely in
+    JVM regex and deduped by ONE hash shuffle on the canonical key,
+    keeping the longest document per page.  The oracle reconstructs
+    the expected canonical string arithmetically from doc_id — it
+    never runs the canonicalizer — so any wrong regex in the chain
+    (host-only lowercasing, separator repair, port/slash handling)
+    breaks the value hash."""
+    return dedup.url_dedup(_docs(spark, sf_dir))
+
+
 @register("docs_cube_counts", corpus_stats.docs_cube_counts_sql())
 def docs_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang × source) census with CUBE subtotals in one grouping-sets
@@ -1539,6 +1568,8 @@ _BOARD_PRIORITY = [
     "multimodal_gif_stats",
     "multimodal_png_stats",
     "cind_zipf_skew",
+    "docs_url_dedup",
+    "docs_hybrid_search",
     # --- slots 36-50: the r9 cohort, first 15 not re-covered at r10,
     #     in r9-board order
     "text_redact",

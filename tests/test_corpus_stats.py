@@ -439,3 +439,90 @@ def test_bpe_trainer_releases_all_loop_checkpoints(spark):
     assert rows  # the training actually ran its loop
     leaked = persisted_ids() - before
     assert not leaked, f"BPE loop leaked checkpoint RDD blocks: {leaked}"
+
+
+def test_hybrid_rrf_fusion_hand_checked(spark):
+    """RRF arithmetic + missing-leg handling pinned by hand: a doc on
+    both legs sums both reciprocal contributions; a doc on one leg
+    gets rank -1 and 0 from the other; ordering is (rrf DESC,
+    doc_id)."""
+    # doc0: has the terms AND is fluent (both legs); doc1: terms only
+    # (gibberish bigrams rank it low but corpus is small, so force the
+    # lm leg to a depth of 1); doc2: fluent repeated text, no terms
+    docs = _docs(
+        spark,
+        [
+            "spark window merge spark window merge",
+            "spark qzx vbn qzx spark merge",
+            "the cat sat on the mat the cat sat on the mat",
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["kw_rank"], r["lm_rank"])
+        for r in corpus_stats.hybrid_rrf_search(
+            docs, depth=2, top_k=10
+        ).collect()
+    }
+    # keyword leg: docs 0 and 1 only (depth 2); lm leg: top-2 fluent
+    assert set(out) >= {0, 1}
+    for doc_id, (score, kw_rank, lm_rank) in out.items():
+        want = 0
+        if kw_rank != -1:
+            want += 10**9 // (60 + kw_rank)
+        if lm_rank != -1:
+            want += 10**9 // (60 + lm_rank)
+        assert score == want, (doc_id, out[doc_id])
+    # both-leg docs must outrank single-leg docs at equal best rank
+    kw_ranks = {d: r[1] for d, r in out.items() if r[1] != -1}
+    assert sorted(kw_ranks.values()) == [1, 2]
+
+
+def test_url_canonicalize_hand_vectors(spark):
+    """The canonicalizer against hand-written spec vectors — including
+    the cases the synthetic crawl never produces (bare host, non-utm
+    param order, mid-path 'www', non-default port kept)."""
+    from rdfind_spark.functions.dedup import canonicalize_url
+
+    vectors = [
+        ("https://Site.Example.com/A/B", "site.example.com/A/B"),
+        ("HTTP://WWW.HOST.COM:80/x?utm_a=1", "host.com/x"),
+        ("https://www.host.com:443/x/#frag", "host.com/x"),
+        ("https://host.com/x?utm_a=1&page=2&utm_b=3", "host.com/x?page=2"),
+        ("https://host.com/x?page=2&utm_medium=email", "host.com/x?page=2"),
+        # non-default port is data, not noise
+        ("https://host.com:8080/x", "host.com:8080/x"),
+        # 'www' inside the path must survive; host lowercase only
+        ("https://HOST.com/WWW/Page/", "host.com/WWW/Page"),
+        ("host.com", "host.com"),
+        ("https://host.com/", "host.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in vectors]
+
+
+def test_url_dedup_groups_and_keep_best(spark):
+    """Grouping semantics over the synthetic crawl: v0/v1/v2 collapse
+    (n_dups=3), v3 stays its own page (n_dups=1), and the kept doc is
+    the longest text with doc_id as the tie-break."""
+    from rdfind_spark.functions.dedup import url_dedup
+
+    rows = [
+        (i, "x" * n, "en", "web", n)
+        for i, n in enumerate([10, 30, 30, 5, 7, 7, 7, 9])
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["canonical_url"]: (r["kept_doc_id"], r["kept_n_chars"], r["n_dups"])
+        for r in url_dedup(docs).collect()
+    }
+    assert len(out) == 4  # 2 groups x (base page + ?page=2 page)
+    # group 0: docs 0,1,2 collapse; 30-char tie -> smaller doc_id (1)
+    assert out["site0.example.com/p/0"] == (1, 30, 3)
+    assert out["site0.example.com/p/0?page=2"] == (3, 5, 1)
+    # group 1: docs 4,5,6 all 7 chars -> doc 4
+    assert out["site1.example.com/p/0"] == (4, 7, 3)
+    assert out["site1.example.com/p/0?page=2"] == (7, 9, 1)
