@@ -23,16 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Benchmark the queries that dominate real workloads; census one-liners
 # add noise without information. Keep flagship first (cache warm-up is
-# NOT shared: each query reads parquet fresh).  Rounds 8-10 each dropped
+# NOT shared: each query reads parquet fresh).  Rounds 8-11 each dropped
 # a batch of ~1s entries (pure session overhead at sf0.1 — tracked
-# nothing; r10 batch: knn_bruteforce, docs_dsir_weights,
-# docs_quality_filter, multimodal_frame_stats, multimodal_bmp_stats,
-# warehouse_revenue_by_nation, embedding_rp_reduce,
-# warehouse_market_share, all 0.8-1.2s in BENCH_r09) to keep the
-# worst-case JSON line inside the driver's ~2 KB tail capture as the
-# list grows; their correctness evidence lives on the driver board,
-# not here.  New registrations get one debut round in the list before
-# the same rule applies to them.
+# nothing) to keep the worst-case JSON line inside the driver's ~2 KB
+# tail capture as the list grows; their correctness evidence lives on
+# the driver board, not here.  New registrations get one debut round
+# in the list before the same rule applies to them.  The cumulative
+# drop ledger lives in DROPPED_QUERIES below — tests/test_bench_format
+# pins that no dropped entry is ever a min-of-2 heavy (round-10
+# verdict task 7: heavy trend lines must never silently vanish).
 BENCH_QUERIES = [
     "cind_minimal",
     "cind_small_to_large",
@@ -72,20 +71,47 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "warehouse_supplier_census",
     "graph_kcore",
-    "docs_keyword_search",
     "knn_lsh_multiprobe",
     "warehouse_waiting_suppliers",
     "dedup_funnel",
     "dedup_containment",
-    "warehouse_returned_items",
-    "warehouse_small_qty_revenue",
-    "text_feature_hashing",
+    # --- round-11 debuts
+    "cind_zipf_skew",
+    "multimodal_gif_stats",
+    "multimodal_png_stats",
+    "docs_url_dedup",
+    "docs_hybrid_search",
 ]
 # Debut-round exception: graph_kcore_decrement is the deliberately
 # slower physical strategy of the already-benched graph_kcore (forced
 # decrement-peel, registered so the driver's oracle check pins
 # strategy agreement); benching both strategies of one operator would
 # double-count it, so the restrict twin stays the measured entry.
+
+# Cumulative drop ledger: every query that has EVER appeared in a
+# BENCH_r*.json but is no longer in BENCH_QUERIES (reconstructed from
+# the committed artifacts; all were ~0.6-2.5s at sf0.1 when dropped —
+# session overhead, not operator signal).  The r11 batch: the three
+# r10 debuts past their debut round (warehouse_returned_items 0.7s,
+# warehouse_small_qty_revenue 0.8s, text_feature_hashing 1.4s in
+# BENCH_r10) and docs_keyword_search (1.2s — its BM25 leg now runs
+# INSIDE the benched docs_hybrid_search, so the timing signal is
+# retained there).
+DROPPED_QUERIES = {
+    # dropped r8-r10 (first-benched round in the artifact trail)
+    "docs_dsir_weights", "docs_export_train", "docs_pack_sequences",
+    "docs_quality_filter", "embedding_rp_reduce", "events_asof_join",
+    "events_hourly_counts", "events_moving_window", "events_range_join",
+    "events_sessionize", "events_transitions", "knn_bruteforce",
+    "multimodal_audio_stats", "multimodal_bmp_stats",
+    "multimodal_features", "multimodal_frame_stats", "text_bigrams",
+    "text_skipgram_cooc", "warehouse_big_spenders", "warehouse_custdist",
+    "warehouse_market_share", "warehouse_revenue_by_nation",
+    "warehouse_sales_opportunity",
+    # r11 batch
+    "warehouse_returned_items", "warehouse_small_qty_revenue",
+    "text_feature_hashing", "docs_keyword_search",
+}
 
 # Min-of-2 set: the 7 heavies plus the next tier (10-20s single runs
 # whose one bad draw on a ±40% VM reads as a fake regression next
@@ -114,6 +140,11 @@ HEAVY_QUERIES = {
     "dedup_containment",
     "knn_ivf_pq_trained",
     "association_rules",
+    # joined r11 (71.1s single-run at sf0.1 — the hot-mask/salted
+    # decomposition under real hub skew, the engine's 100×-scale
+    # path; same composition rule: heavies_subtotal grows by exactly
+    # this entry vs BENCH_r10 — subtract it for like-for-like)
+    "cind_zipf_skew",
 }
 
 

@@ -53,3 +53,18 @@ def test_oversized_bench_list_degrades_to_heavies_not_overflow():
     assert set(d["queries"]) == HEAVY
     assert d["queries_elided"] == 90
     assert d["heavies_subtotal"] == round(50.0 * len(HEAVY), 1)
+
+
+def test_dropped_entries_never_include_heavies():
+    """Round-10 verdict task 7: the tail-capture byte cap is paid by
+    dropping ~1s entries, never a min-of-2 heavy — a heavy leaving the
+    list would silently end its cross-round trend line.  The ledger
+    also must not contradict the live list."""
+    from bench import DROPPED_QUERIES
+
+    assert DROPPED_QUERIES & HEAVY_QUERIES == set(), (
+        DROPPED_QUERIES & HEAVY_QUERIES
+    )
+    assert DROPPED_QUERIES & set(BENCH_QUERIES) == set(), (
+        DROPPED_QUERIES & set(BENCH_QUERIES)
+    )
