@@ -18,7 +18,9 @@ A14-A17).  This module reproduces that surface on Spark::
          dedup-clusters,quality,quality-filter,redact,span-dedup,mix,
          tfidf,bigrams,pmi,index,percentiles,vocab,dsir,bpe,
          bpe-encode,lm-score,dup-spans,cosine-pairs,audio-stats,
-         jaccard-prefix,minhash-calibration,bmp-stats,search}
+         jaccard-prefix,minhash-calibration,bmp-stats,search,
+         containment,feature-hash,gif-stats,png-stats,jpeg-stats,
+         url-dedup,hybrid-search}
         (beyond-reference curation)
 
 INPUT is one or more N-Triples/N-Quads paths (glob + ``.gz`` native), or
@@ -263,6 +265,9 @@ _CORPUS_OP_NAMES = (
     "feature-hash",
     "gif-stats",
     "png-stats",
+    "jpeg-stats",
+    "url-dedup",
+    "hybrid-search",
 )
 
 
@@ -312,6 +317,9 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         "feature-hash": lambda d: text.feature_hashing(d),
         "gif-stats": lambda d: multimodal.gif_image_stats(d),
         "png-stats": lambda d: multimodal.png_image_stats(d),
+        "jpeg-stats": lambda d: multimodal.jpeg_image_stats(d),
+        "url-dedup": lambda d: dedup.url_dedup(d),
+        "hybrid-search": lambda d: corpus_stats.hybrid_rrf_search(d),
     }
     spark = _build_session(args)
     docs = spark.read.parquet(*args.input)

@@ -4,12 +4,14 @@ metadata, decoded / feature-extracted through Arrow-batched
 
 ``decode_image`` really decodes binary NetPBM (P5/P6) with pure
 numpy — no codec library needed — and ``image_stats`` runs that decode
-through the Arrow batch path.  Two genuinely COMPRESSED formats decode
-with pure stdlib too: GIF (a full hand-written LZW, below) and PNG
-(stdlib zlib inflate + the spec's five row filters).  JPEG stays a
-clearly-marked NotImplementedError because its codec (DCT + Huffman)
-is not in this container (plug PIL/libvips into ``decode_image`` in a
-real deployment).  Everything Spark-side is real and tested: the binary
+through the Arrow batch path.  Three genuinely COMPRESSED formats
+decode with pure stdlib too: GIF (a full hand-written LZW), PNG
+(stdlib zlib inflate + the spec's five row filters), and baseline
+JPEG (hand-written canonical Huffman + IDCT, round 11 — see the JPEG
+section at the bottom).  Only non-baseline JPEG variants
+(progressive, subsampled chroma, 12-bit, arithmetic-coded) remain
+loud NotImplementedError limits.  Everything Spark-side is real and
+tested: the binary
 column schema, the metadata struct, the mapInPandas batch shape, and a
 deterministic feature extractor whose output is reproducible in SQL
 (so the driver oracle verifies the whole Arrow path end-to-end).
@@ -116,10 +118,11 @@ def decode_image(payload: bytes):
     """Decode a binary NetPBM payload (P5 grayscale / P6 RGB, maxval
     <= 255) into an (height, width, channels) uint8 numpy array — pure
     numpy header parse + frombuffer, no codec library needed, so THIS
-    path is real and tested.  Compressed formats (JPEG/PNG/...) still
-    raise NotImplementedError: their codecs are not in this
-    environment; plug PIL/libvips into this function in a real
-    deployment."""
+    path is real and tested.  Non-NetPBM magics raise
+    NotImplementedError from THIS function; the compressed formats
+    have their own dedicated decoders below (parse_gif, parse_png,
+    parse_jpeg — all pure stdlib), and a real deployment would plug
+    PIL/libvips here for anything beyond them."""
     import numpy as np
 
     width, height, channels, pos = _parse_netpbm_header(payload)
@@ -741,8 +744,8 @@ def parse_bmp(payload: bytes):
     bottom-up (positive height) OR top-down (negative height) row
     order, BGR in-file channel order.  Returns (width, height,
     bits_per_pixel, sum_b, sum_g, sum_r).  Compressed or paletted
-    BMPs raise NotImplementedError — the same documented container
-    limitation as JPEG/PNG (no codec libraries here)."""
+    BMPs raise NotImplementedError (loud-limit discipline, like the
+    unsupported sub-variants of the GIF/PNG/JPEG decoders below)."""
     import struct
 
     import numpy as np
@@ -843,9 +846,8 @@ GROUP BY doc_id"""
 
 # --- GIF: a REAL compressed format, decoded with zero codec libraries ------
 #
-# Every prior walker (NetPBM, WAV, BMP) reads UNCOMPRESSED payloads;
-# JPEG/PNG stay NotImplementedError because their codecs aren't in this
-# container.  GIF sits in between: its pixel data is LZW-compressed,
+# Every prior walker (NetPBM, WAV, BMP) reads UNCOMPRESSED payloads.
+# GIF is different: its pixel data is LZW-compressed,
 # and LZW is small enough to implement exactly (GIF89a spec appendix F
 # / Welch 1984) — so the engine gets one genuinely compressed image
 # format end-to-end with pure stdlib + numpy.  The decoder below is a
@@ -1189,8 +1191,8 @@ GROUP BY doc_id"""
 # per-row filter reconstruction (None / Sub / Up / Average / Paeth).
 # Supported: 8-bit greyscale (color type 0), truecolor (2), and
 # palette (3), non-interlaced.  Adam7 interlacing and 16-bit depths
-# raise NotImplementedError (loud-limit discipline); JPEG remains the
-# one image format this container genuinely cannot decode.
+# raise NotImplementedError (loud-limit discipline).  Baseline JPEG
+# fell too in round 11 — see the JPEG section at the bottom.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PNG_W = 7
@@ -1494,4 +1496,618 @@ def png_image_stats_sql() -> str:
        CAST(SUM((y + 1) * ((doc_id * {k0} + {ax0} * x + {ay0} * y) % 256))
             AS BIGINT) AS row_moment
 FROM documents, range({PNG_W}) tx(x), range({PNG_H}) ty(y)
+GROUP BY doc_id"""
+
+
+# --- JPEG: baseline (SOF0), pure stdlib — the last image format -----------
+#
+# Round-11 close of the one remaining codec stub (round-10 verdict
+# task 6).  Baseline JPEG needs no codec LIBRARY, only codec CODE:
+# the entropy layer is canonical Huffman (Annex C/F of ITU T.81), the
+# transform is an 8x8 DCT, and both are small enough to hand-write
+# like the GIF LZW above.  The decoder is TABLE-DRIVEN and
+# spec-general: markers are walked, quant + Huffman tables are read
+# from DQT/DHT segments (not assumed), byte-stuffed entropy data is
+# bit-read MSB-first, DC prediction + run-length AC per F.2.2, then
+# dequantize -> inverse zigzag -> IDCT -> level shift -> integer
+# YCbCr->RGB.  Loud limits (NotImplementedError): progressive /
+# extended SOFs (SOF1/SOF2/...), chroma subsampling other than 4:4:4,
+# restart intervals (DRI), 12-bit precision, arithmetic coding — each
+# adds codec surface without adding Spark-side plumbing coverage.
+#
+# Oracle exactness: `attach_jpeg` writes images CONSTANT per 8x8
+# block with q[0]=8, so quantization is lossless by construction
+# (DC = 8*(v-128), quantized exactly v-128; AC quantizes to zero) and
+# the decode returns every block's (Y, Cb, Cr) bit-exactly.  The
+# color transform is integer fixed-point (floor + clamp), so the SQL
+# oracle reproduces the whole pixel pipeline in closed form from
+# doc_id arithmetic — it never parses a byte.  The IDCT itself runs
+# in float64 but its error on DC-only blocks is ~1e-13, eight orders
+# below the 0.5 rounding margin, so the constant-block path is exact
+# deterministically.
+
+JPEG_W = 16
+JPEG_H = 16  # 2x2 blocks of 8x8 per component, 4:4:4 -> 4 MCUs
+# per-block component value formulas (SQL-reproducible):
+#   v(doc_id, bx, by) = (doc_id * a + b * bx + c * by) % 256
+_JPEG_COMPONENTS = (("y", 7, 13, 29), ("cb", 11, 17, 23), ("cr", 5, 19, 31))
+# fixed-point YCbCr -> RGB (JFIF full-range), floor(x + .5) rounding:
+#   R = (1e6*Y + 1402000*(Cr-128) + 5e5) // 1e6, clamped to [0, 255]
+#   G = (1e6*Y - 344136*(Cb-128) - 714136*(Cr-128) + 5e5) // 1e6
+#   B = (1e6*Y + 1772000*(Cb-128) + 5e5) // 1e6
+_YCC_SCALE = 1_000_000
+
+
+def _ycc_to_rgb(y: int, cb: int, cr: int) -> tuple:
+    r = (_YCC_SCALE * y + 1_402_000 * (cr - 128) + 500_000) // _YCC_SCALE
+    g = (
+        _YCC_SCALE * y - 344_136 * (cb - 128) - 714_136 * (cr - 128)
+        + 500_000
+    ) // _YCC_SCALE
+    b = (_YCC_SCALE * y + 1_772_000 * (cb - 128) + 500_000) // _YCC_SCALE
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def _zigzag_order() -> list:
+    """The spec's zigzag scan as (row, col) pairs, generated from the
+    diagonal-walk rule rather than risked as a 64-literal table."""
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2:  # odd anti-diagonals walk top-right -> bottom-left
+            rng = reversed(list(rng))
+        out.extend((r, s - r) for r in rng)
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# Fixture Huffman tables (written into DHT, read back generically):
+# canonical codes with all 12 DC categories at length 4 and all 162
+# AC (run, size) symbols at length 8 — valid Kraft (12/16, 162/256),
+# no all-ones code.  NOT the Annex K typical tables: the decoder does
+# not care (it builds whatever DHT declares), and fixed-length codes
+# make the fixture bitstream auditable by hand.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Annex C canonical code assignment: {symbol: (code, length)}."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Annex F.2.2.3 MINCODE/MAXCODE/VALPTR decoding tables."""
+
+    def __init__(self, bits: list, vals: list):
+        self.vals = vals
+        self.mincode, self.maxcode, self.valptr = {}, {}, {}
+        code, i = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = i
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                i += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            else:
+                self.maxcode[ln] = -1
+            code <<= 1
+
+    def decode(self, reader) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | reader.bit()
+            ln += 1
+            if ln > 16:
+                raise ValueError("JPEG Huffman code longer than 16 bits")
+            if self.maxcode[ln] >= 0 and code <= self.maxcode[ln]:
+                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+class _BitReader:
+    """MSB-first entropy-data reader with 0xFF00 stuffing removal; a
+    bare marker inside the scan is structural damage (ValueError)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy data truncated at 0xFF")
+                if self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside JPEG scan")
+                self.pos += 1
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _idct_block(coef):
+    """coef: 8x8 dequantized coefficients -> 8x8 pixel ints (level
+    shifted +128, clamped)."""
+    import numpy as np
+
+    c = _dct_matrix()
+    px = c.T @ coef @ c
+    out = np.floor(px + 128.5).astype(np.int64)
+    return np.clip(out, 0, 255)
+
+
+def _fdct_block(pixels):
+    """8x8 pixel ints -> 8x8 DCT coefficients (level shifted -128)."""
+    import numpy as np
+
+    c = _dct_matrix()
+    return c @ (np.asarray(pixels, dtype=np.float64) - 128.0) @ c.T
+
+
+def parse_jpeg(payload: bytes):
+    """Decode a baseline (SOF0) JPEG: marker walk, DQT/DHT table read,
+    Huffman + DC-prediction + AC run-length entropy decode, dequantize,
+    inverse zigzag, IDCT, level shift, integer YCbCr->RGB.  Returns
+    (width, height, n_components, sum_r, sum_g, sum_b, row_moment)
+    with row_moment = sum over pixels of (row + 1) * R.  4:4:4 or
+    grayscale only; progressive / subsampled / 12-bit / restart-marked
+    payloads raise NotImplementedError, structural damage ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    sof = None
+    scan = None
+    comps_scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1 : pos + 2]
+        if not marker:
+            raise ValueError("JPEG truncated inside a marker")
+        m = marker[0]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG segment length truncated")
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("JPEG segment overruns payload")
+        seg = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                if p + 65 > len(seg):
+                    raise ValueError("DQT table truncated")
+                qt[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                if p + 17 > len(seg):
+                    raise ValueError("DHT header truncated")
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("DHT values truncated")
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(
+                    bits, vals
+                )
+                p += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("SOF0 truncated")
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("SOF0 component specs truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (only 4:4:4 supported)"
+                    )
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{m:02x})"
+            )
+        elif m == 0xDD:
+            raise NotImplementedError("JPEG restart intervals (DRI)")
+        elif m == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            comps_scan = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                comps_scan.append((cs, tds >> 4, tds & 15))
+            # entropy data runs to the next real marker (stuffed 0xFF00
+            # and RST markers belong to the scan)
+            end = pos
+            while end < len(payload) - 1:
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                ) and not (0xD0 <= payload[end + 1] <= 0xD7):
+                    break
+                end += 1
+            scan = payload[pos:end]
+            pos = end
+        # other segments (APPn, COM) are skipped
+    if sof is None or scan is None or comps_scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    w, h, comps = sof
+    if w % 8 or h % 8:
+        raise NotImplementedError(
+            "partial-MCU JPEG dimensions (w/h not multiples of 8)"
+        )
+    if len(comps) not in (1, 3) or len(comps_scan) != len(comps):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (1 or 3 supported)"
+        )
+    bw, bh = w // 8, h // 8
+    reader = _BitReader(bytes(scan))
+    planes = [
+        np.zeros((h, w), dtype=np.int64) for _ in comps
+    ]
+    pred = [0] * len(comps)
+    quant = []
+    dec_dc = []
+    dec_ac = []
+    for ci, (cid, tq) in enumerate(comps):
+        scan_entry = next(
+            (s for s in comps_scan if s[0] == cid), None
+        )
+        if scan_entry is None:
+            raise ValueError(f"component {cid} missing from SOS")
+        _, td, ta = scan_entry
+        if tq not in qt or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG references an undeclared table")
+        quant.append(qt[tq])
+        dec_dc.append(huff_dc[td])
+        dec_ac.append(huff_ac[ta])
+    zz = ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(len(comps)):
+                t = dec_dc[ci].decode(reader)
+                if t > 11:
+                    raise ValueError(f"DC category {t} out of range")
+                diff = _extend(reader.receive(t), t)
+                pred[ci] += diff
+                coef_z = [0] * 64
+                coef_z[0] = pred[ci] * quant[ci][0]
+                k = 1
+                while k < 64:
+                    rs = dec_ac[ci].decode(reader)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coef_z[k] = _extend(reader.receive(s), s) * quant[ci][k]
+                    k += 1
+                coef = np.zeros((8, 8))
+                for i, (r_, c_) in enumerate(zz):
+                    coef[r_, c_] = coef_z[i]
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = _idct_block(coef)
+    if len(comps) == 1:
+        ys = planes[0]
+        rgb = [(int(v),) * 3 for v in ys.ravel()]
+    else:
+        rgb = [
+            _ycc_to_rgb(int(y), int(cb), int(cr))
+            for y, cb, cr in zip(
+                planes[0].ravel(), planes[1].ravel(), planes[2].ravel()
+            )
+        ]
+    sums = [0, 0, 0]
+    row_moment = 0
+    for p, (r, g, b) in enumerate(rgb):
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        row_moment += (p // w + 1) * r
+    return (
+        int(w), int(h), int(len(comps)),
+        sums[0], sums[1], sums[2], int(row_moment),
+    )
+
+
+def encode_jpeg(planes, width: int, height: int, quant=None) -> bytes:
+    """Byte-valid baseline JPEG writer (the fixture/test encoder):
+    ``planes`` is a list of 1 (gray) or 3 (YCbCr) ``height``×``width``
+    integer arrays.  Runs the REAL forward path — level shift, FDCT,
+    quantize, zigzag, DC diff + AC run-length, canonical Huffman,
+    byte stuffing — with the fixture tables above declared in DHT."""
+    import struct
+
+    import numpy as np
+
+    nc = len(planes)
+    if width % 8 or height % 8:
+        raise ValueError("encoder requires whole-MCU dimensions")
+    if quant is None:
+        quant = [8] + [16] * 63
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(quant))  # DQT table 0 (shared)
+    comps = bytes()
+    for ci in range(nc):
+        comps += bytes([ci + 1, 0x11, 0])
+    seg(0xC0, struct.pack(">BHHB", 8, height, width, nc) + comps)
+    seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bitbuf = []
+
+    def put(code: int, ln: int):
+        for i in range(ln - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def category(v: int) -> int:
+        return abs(v).bit_length()
+
+    pred = [0] * nc
+    zz = ZIGZAG
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(nc):
+                block = np.asarray(planes[ci], dtype=np.int64)[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ]
+                coef = _fdct_block(block)
+                q = np.array(
+                    [[0] * 8 for _ in range(8)], dtype=np.int64
+                )
+                for i, (r_, c_) in enumerate(zz):
+                    q[r_, c_] = int(np.floor(coef[r_, c_] / quant[i] + 0.5))
+                dc = int(q[0, 0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = category(diff)
+                if t > 11:
+                    raise ValueError("DC difference out of range")
+                code, ln = dc_codes[t]
+                put(code, ln)
+                if t:
+                    mag = diff if diff >= 0 else diff + (1 << t) - 1
+                    put(mag, t)
+                # AC in zigzag order
+                run = 0
+                last_nz = 0
+                zz_vals = [int(q[r_, c_]) for r_, c_ in zz]
+                for k in range(63, 0, -1):
+                    if zz_vals[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = zz_vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        put(code, ln)
+                        run -= 16
+                    s = category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    put(code, ln)
+                    mag = v if v >= 0 else v + (1 << s) - 1
+                    put(mag, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]
+                    put(code, ln)
+    # pad to a byte boundary with 1s, then byte-stuff
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i : i + 8]:
+            byte = (byte << 1) | b
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def attach_jpeg(documents: DataFrame) -> DataFrame:
+    """Build a byte-valid baseline JPEG per document through the REAL
+    encoder (FDCT + Huffman), with content CONSTANT per 8x8 block so
+    quantization is lossless (q[0]=8 divides the constant-block DC
+    exactly; AC quantizes to zero) and the oracle can reconstruct
+    every decoded pixel from doc_id arithmetic:
+    v_comp(bx, by) = (doc_id * a + b*bx + c*by) % 256 per
+    _JPEG_COMPONENTS."""
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                planes = []
+                for _, a, b, c in _JPEG_COMPONENTS:
+                    plane = np.zeros((JPEG_H, JPEG_W), dtype=np.int64)
+                    for by in range(JPEG_H // 8):
+                        for bx in range(JPEG_W // 8):
+                            plane[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = (d * a + b * bx + c * by) % 256
+                    planes.append(plane)
+                rows.append((doc_id, encode_jpeg(planes, JPEG_W, JPEG_H)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        _make,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_components", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("row_moment", LongType()),
+    ]
+)
+
+
+def jpeg_stats(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-image decode stats via the real baseline
+    JPEG parse, Arrow-batched (mapInPandas, shuffle-free); malformed
+    payloads are skipped per the DECODE_ERRORS contract."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vals = parse_jpeg(bytes(payload))
+                except DECODE_ERRORS:
+                    continue
+                out.append((doc_id, *vals))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_STATS_SCHEMA.fields]
+            )
+
+    return blobs.mapInPandas(_stats, JPEG_STATS_SCHEMA)
+
+
+def jpeg_image_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end JPEG path: documents → byte-valid baseline JPEGs →
+    REAL Huffman + IDCT decode → integer color transform → channel
+    sums.  A wrong Huffman table build, bit order, DC prediction,
+    zigzag, dequantization, or color rounding breaks the oracle
+    hash."""
+    return jpeg_stats(attach_jpeg(documents))
+
+
+def jpeg_image_stats_sql() -> str:
+    """Expected stats in closed form: per (doc_id, bx, by) block the
+    component values are the _JPEG_COMPONENTS formulas; RGB follows
+    the same integer fixed-point transform as the decoder; each block
+    contributes 64 identical pixels with row weight 8*(64*by + 36)."""
+    comps = {
+        name: f"((doc_id * {a} + {b} * bx + {c} * by) % 256)"
+        for name, a, b, c in _JPEG_COMPONENTS
+    }
+    y, cb, cr = comps["y"], comps["cb"], comps["cr"]
+    s = _YCC_SCALE
+    r = (
+        f"LEAST(255, GREATEST(0, ({s} * {y} + 1402000 * ({cr} - 128)"
+        f" + 500000) // {s}))"
+    )
+    g = (
+        f"LEAST(255, GREATEST(0, ({s} * {y} - 344136 * ({cb} - 128)"
+        f" - 714136 * ({cr} - 128) + 500000) // {s}))"
+    )
+    b = (
+        f"LEAST(255, GREATEST(0, ({s} * {y} + 1772000 * ({cb} - 128)"
+        f" + 500000) // {s}))"
+    )
+    return f"""SELECT doc_id,
+       CAST({JPEG_W} AS INTEGER) AS width,
+       CAST({JPEG_H} AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(SUM(64 * ({r})) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * ({g})) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * ({b})) AS BIGINT) AS sum_b,
+       CAST(SUM(({r}) * 8 * (64 * by + 36)) AS BIGINT) AS row_moment
+FROM documents, range({JPEG_W // 8}) tbx(bx), range({JPEG_H // 8}) tby(by)
 GROUP BY doc_id"""

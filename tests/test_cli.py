@@ -376,6 +376,7 @@ def test_cli_corpus_codec_ops(spark, tmp_path):
             "text": [f"alpha beta w{i}" for i in range(6)],
             "source": ["s"] * 6,
             "lang": ["en"] * 6,
+            "n_chars": [len(f"alpha beta w{i}") for i in range(6)],
         }
     )
     src = tmp_path / "docs.parquet"
@@ -388,6 +389,12 @@ def test_cli_corpus_codec_ops(spark, tmp_path):
                        "color_type", "sum_r", "sum_g", "sum_b",
                        "row_moment"}),
         ("feature-hash", {"doc_id", "feature_id", "weight"}),
+        # round-11 additions
+        ("jpeg-stats", {"doc_id", "width", "height", "n_components",
+                        "sum_r", "sum_g", "sum_b", "row_moment"}),
+        ("url-dedup", {"canonical_url", "kept_doc_id", "kept_n_chars",
+                       "n_dups"}),
+        ("hybrid-search", {"doc_id", "rrf_score", "kw_rank", "lm_rank"}),
     ):
         assert main([
             "corpus", str(src), "--op", op,

