@@ -502,3 +502,40 @@ def test_small_qty_class_semijoin_below_aggregate(spark, sf_dir):
     last_agg = simple.rfind("HashAggregate")
     assert last_agg >= 0, simple
     assert "BroadcastHashJoin" in simple[last_agg:], simple
+
+
+def test_url_dedup_single_shuffle_all_jvm(spark, sf_dir):
+    """docs_url_dedup's scale posture: canonicalization is per-row JVM
+    regex (no Python eval anywhere in the plan) and the dedup is ONE
+    hash shuffle on the canonical key — the linear exact-dedup shape."""
+    from rdfind_spark.functions.dedup import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(url_dedup(docs), mode="simple")
+    assert "EvalPython" not in p, "canonicalizer must stay JVM-side"
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_zipf_triples_derivation_is_shuffle_free(spark, sf_dir):
+    """cind_zipf_skew's fixture derivation must add NO shuffle of its
+    own (narrow projections of orders, k-expansion via broadcast range
+    cross joins) — all shuffle work belongs to the CIND engine being
+    measured, not the fixture."""
+    from rdfind_spark.sources.skew import zipf_triples
+
+    p = plan_of(zipf_triples(spark, sf_dir), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "EvalPython" not in p
+
+
+def test_hybrid_rrf_legs_end_in_topk_heaps(spark, sf_dir):
+    """docs_hybrid_search: each retrieval leg must end in a
+    TakeOrderedAndProject (a distributed top-k heap), never a global
+    Sort of the corpus, and the fusion is a full-outer join of the two
+    bounded lists."""
+    from rdfind_spark.functions.corpus_stats import hybrid_rrf_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(hybrid_rrf_search(docs), mode="formatted")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "FullOuter" in p
