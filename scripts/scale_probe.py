@@ -63,6 +63,7 @@ def _session():
 
 
 def main() -> int:
+    zipf = "--zipf" in sys.argv[1:]
     staged = "--staged" in sys.argv[1:]
     dedup = "--dedup" in sys.argv[1:]
     ann = "--ann" in sys.argv[1:]
@@ -82,7 +83,7 @@ def main() -> int:
         if a not in ("--staged", "--dedup", "--ann", "--triangles",
                      "--cosine", "--spans", "--lmscore", "--prefix-jaccard",
                      "--kcore", "--funnel", "--minhash-est", "--containment",
-                     "--half-base")
+                     "--half-base", "--zipf")
     ]
     if funnel:
         return _funnel_probe([int(a) for a in args] or [1, 2, 4])
@@ -122,7 +123,17 @@ def main() -> int:
         triple_view(spark, "/root/testdata/sf0.001"), 10, minimal=True
     ).write.format("noop").mode("overwrite").save()
 
-    base = triple_view(spark, sf_dir)
+    if zipf:
+        # the cind_zipf_skew fixture (sources/skew.py): per-copy value
+        # prefixes keep copies fully disjoint while PRESERVING each
+        # copy's hub-line widths, so the ladder scales the number of
+        # hot lines (43 -> 43N) without touching their shape — the
+        # mask path's cost model under horizontal growth
+        from rdfind_spark.sources.skew import zipf_triples
+
+        base = zipf_triples(spark, sf_dir)
+    else:
+        base = triple_view(spark, sf_dir)
     if half:
         # deterministic ~half-size base: same ladder, half the working
         # set per copy count — 8× of half-base matches 4× of full-base,
