@@ -224,6 +224,21 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.maxPlanStringLength", "1000000")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Generated-class retention across the ~47-query session (r11
+        # optimization round, guide §1/§7): the codegen class cache is
+        # 100 entries by DEFAULT, so by query ~40 the classes the
+        # warmup (and the early heavies) JIT-compiled have been evicted
+        # and late queries re-pay janino compilation + full C2 warmup
+        # ON TIMED DATA — measured: cind_zipf_skew 271.7s as bench
+        # query #43 vs 65.7s as query #7 of a short session on the same
+        # tree (same machine, same hour).  Session-lifetime retention
+        # (not per-query state) is also how a long-lived cluster app
+        # behaves; both knobs are data-scale-independent.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Default 240 MB of JIT code cache silently flushes compiled
+        # code under the same churn (UseCodeCacheFlushing prints no
+        # warning); give the 47-query session room to keep hot code.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -301,7 +316,14 @@ def main() -> int:
     # sf0.1 costs (~440s with the round-7 min-of-2 widening), so
     # starvation needs real VM weather.
     heavy = HEAVY_QUERIES
-    repeat_budget_s = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "520"))
+    # 520 → 900 (r11 optimization round): cind_zipf_skew joined the
+    # heavy set at ~90s calm / ~270s in a bad host phase, and the old
+    # budget made the repeat self-censoring exactly when it matters —
+    # a bad first draw (271.7s observed) exceeded the remaining budget,
+    # so the one query that most needed its min-of-2 second draw was
+    # the one denied it.  900 covers the full r11 heavy-set repeat at
+    # calm-weather costs (~500s) plus one bad-phase heavy draw.
+    repeat_budget_s = float(os.environ.get("SPARK_GRAFT_REPEAT_BUDGET", "900"))
     timings: dict[str, float] = {}
     runs_per_query: dict[str, int] = {}
 
