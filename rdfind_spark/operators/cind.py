@@ -472,8 +472,24 @@ def _cold_pair_counts_with_hot_masks(
     )
     # A pair can be emitted by BOTH sources (its totals agree, see
     # docstring) — dedupe here on the fixed-width hash keys, while no
-    # capture strings are attached yet.
-    return part1.unionByName(part2).dropDuplicates(pkey)
+    # capture strings are attached yet.  The two sources orient pairs
+    # differently (part1: hash-lex from the plain cold join — or
+    # (tb, hash)-lex in the overflow branch; part2: (tb, hash)-lex from
+    # the salted triangle join), so the SAME unordered pair can arrive
+    # with swapped key columns and dropDuplicates alone would keep both
+    # rows (observed: 1,818 duplicate celebrity pairs on the Zipf
+    # fixture at sf0.01).  Normalize every row to hash-lex orientation
+    # first — overlap is symmetric, so the swap is payload-free.
+    both = part1.unionByName(part2)
+    swap = F.struct("a_h1", "a_h2") > F.struct("b_h1", "b_h2")
+    normalized = both.select(
+        F.when(swap, F.col("b_h1")).otherwise(F.col("a_h1")).alias("a_h1"),
+        F.when(swap, F.col("b_h2")).otherwise(F.col("a_h2")).alias("a_h2"),
+        F.when(swap, F.col("a_h1")).otherwise(F.col("b_h1")).alias("b_h1"),
+        F.when(swap, F.col("a_h2")).otherwise(F.col("b_h2")).alias("b_h2"),
+        "overlap",
+    )
+    return normalized.dropDuplicates(pkey)
 
 
 def _salted_pair_counts(

@@ -180,3 +180,59 @@ def test_cind_zipf_skew_query_matches_oracle_and_mask_path_agrees(
         strict=True,
     )
     assert hot == ref
+
+
+def test_overlap_table_unique_per_unordered_pair(spark, sf_dir, monkeypatch):
+    """Regression (r11): part1 (hash-lex orientation from the cold
+    join) and part2 (the deep hot-only class, (tb, hash)-lex from the
+    salted triangle join) can emit the SAME unordered pair in opposite
+    orientations; before the normalize-before-dropDuplicates fix in
+    ``_cold_pair_counts_with_hot_masks`` the overlap table kept both
+    rows (1,818 duplicate pairs observed on the sf0.01 zipf fixture).
+    Pin: with HOT_LINE_K forced low enough that the deep part-2 class
+    populates (the same config the parity test above proves engages
+    it), every unordered pair appears exactly once, in hash-lex
+    orientation."""
+    from rdfind_spark.operators import cind as cind_mod
+    from rdfind_spark.operators.cind import build_capture_tables
+    from rdfind_spark.sources.skew import zipf_triples
+
+    monkeypatch.setattr(cind_mod, "HOT_LINE_K", 50)
+    _, dcap_h, freq_h, frequent, capf = build_capture_tables(
+        zipf_triples(spark, sf_dir), 10
+    )
+    try:
+        hot_values = [
+            (r.jv1, r.jv2)
+            for r in capf.groupBy("jv1", "jv2")
+            .agg(F.count("*").alias("line_k"))
+            .filter(F.col("line_k") > cind_mod.HOT_LINE_K)
+            .select("jv1", "jv2")
+            .collect()
+        ]
+        assert len(hot_values) >= 10  # deep-class config, not the cold path
+        ov = cind_mod._cold_pair_counts_with_hot_masks(capf, hot_values, 10)
+        sa = F.struct(
+            F.col("a_h1").alias("h1"), F.col("a_h2").alias("h2")
+        )
+        sb = F.struct(
+            F.col("b_h1").alias("h1"), F.col("b_h2").alias("h2")
+        )
+        lo = F.least(sa, sb)
+        hi = F.greatest(sa, sb)
+        dups = (
+            ov.groupBy(lo.alias("lo"), hi.alias("hi"))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+        assert (
+            ov.filter(
+                F.struct("a_h1", "a_h2") >= F.struct("b_h1", "b_h2")
+            ).count()
+            == 0
+        )
+    finally:
+        for df in (dcap_h, capf, freq_h, frequent):
+            df.unpersist()
