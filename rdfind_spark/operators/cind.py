@@ -818,8 +818,17 @@ def build_capture_tables(
     )
     # Recover the strings of the (result-sized) frequent captures with
     # one more streaming pass over the raw candidates — a broadcast
-    # semi-restriction plus a partial-aggregated first(): no wide
-    # shuffle touches strings.
+    # semi-restriction plus a partial-aggregated dedup: no wide
+    # shuffle touches strings.  The dedup is a group-by-all-columns
+    # distinct, NOT first()-aggregates keyed on the hashes: a first()
+    # over a string column carries a var-length aggregation buffer,
+    # which HashAggregate cannot hold, so Catalyst silently planned
+    # SortAggregate — both aggregation passes were sorting the full
+    # restricted stream (r11 plan audit; guide §1.2 "per-task work").
+    # Group keys may be strings, so the distinct hash-aggregates, with
+    # the same <=1-row-per-capture-per-partition partial-agg shuffle.
+    # ((code, v1, v2) determines support through freq_h, so this is
+    # one row per capture, exactly as before.)
     frequent = (
         cand.select(
             "code",
@@ -829,13 +838,8 @@ def build_capture_tables(
             F.hash("code", "v1", "v2").alias("h2"),
         )
         .join(F.broadcast(freq_h), on=["h1", "h2"])
-        .groupBy("h1", "h2", "support")
-        .agg(
-            F.first("code").alias("code"),
-            F.first("v1").alias("v1"),
-            F.first("v2").alias("v2"),
-        )
         .select(*CAPTURE_KEY, "support")
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if not with_capf:
@@ -884,9 +888,11 @@ def frequent_capture_supports(
     count in a single fused aggregation, measured faster than an
     explicit distinct()+groupBy chain; (2) strings restored by a second
     hash-only scan broadcast-joined to the (result-sized) frequent
-    supports, with first(code/v1/v2) recovered under map-side partial
-    aggregation — at most one string tuple per capture per map
-    partition rides the shuffle.
+    supports, deduped by a group-by-all-columns distinct — at most one
+    string tuple per capture per map partition rides the shuffle, and
+    the dedup hash-aggregates (a first()-style recovery carries string
+    aggregation buffers, which forces SortAggregate on both passes —
+    r11 plan audit).
 
     Honest-cost note (noop-write A/B at sf0.1, min of 2 alternating):
     this plan ~13s; the two-shuffle distinct+groupBy variant ~14s;
@@ -918,13 +924,8 @@ def frequent_capture_supports(
             F.hash("code", "v1", "v2").alias("h2"),
         )
         .join(F.broadcast(freq_h), on=["h1", "h2"])
-        .groupBy("h1", "h2", "support")
-        .agg(
-            F.first("code").alias("code"),
-            F.first("v1").alias("v1"),
-            F.first("v2").alias("v2"),
-        )
         .select(*CAPTURE_KEY, "support")
+        .distinct()
     )
 
 
