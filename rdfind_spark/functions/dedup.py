@@ -1133,7 +1133,14 @@ def dedup_clusters(
         .distinct()
         .transform(materialize)
     )
-    labels, _ = _min_label_components(edges, max_iters)
+    from rdfind_spark.util import loop_shuffle_partitions
+
+    # Loop-stage sizing (the pagerank rule, util.loop_shuffle_partitions):
+    # the label loop's state is candidate-pair-sized, far below the
+    # session's shuffle.partitions sizing; edges is materialized, so
+    # the count is a cache scan.
+    with loop_shuffle_partitions(documents.sparkSession, edges.count()):
+        labels, _ = _min_label_components(edges, max_iters)
     return (
         documents.select("doc_id")
         .join(labels, on="doc_id", how="left")

@@ -185,9 +185,14 @@ def graph_components(
     Returns (node, component_id) for every NON-HUB node; nodes whose
     every neighbor was a hub become their own singleton component."""
     from rdfind_spark.functions.dedup import _min_label_components
+    from rdfind_spark.util import loop_shuffle_partitions
 
     kept, sym = hub_pruned_sym_edges(triples, max_degree)
-    labels, _ = _min_label_components(sym, max_iters)
+    # Loop-stage sizing (the pagerank rule, see loop_shuffle_partitions):
+    # the label tables are edge-endpoint-sized fixed-width rows; sym is
+    # already materialized, so the count is a cache scan.
+    with loop_shuffle_partitions(triples.sparkSession, sym.count()):
+        labels, _ = _min_label_components(sym, max_iters)
     return kept.join(
         labels.withColumnRenamed("doc_id", "node"), on="node", how="left"
     ).select("node", F.coalesce("cluster_id", "node").alias("component_id"))
@@ -679,9 +684,18 @@ def k_core(
             and n_alive * 100 > n_nodes * KCORE_DECREMENT_SURVIVOR_PCT
             else "restrict"
         )
-    if strategy == "decrement":
-        return _k_core_decrement(sym, deg, k, max_rounds)
-    return _k_core_restrict(sym, alive0, n_alive, k, max_rounds)
+    from rdfind_spark.util import loop_shuffle_partitions
+
+    # Loop-stage sizing (the pagerank rule): per-round state is bounded
+    # by the symmetrized edge set, far below what the session's
+    # shuffle.partitions was sized for.  The peel loops run eagerly
+    # inside (per-round materialize), so the pin covers all the heavy
+    # stages; only the result-sized final aggregate executes under the
+    # caller's conf.
+    with loop_shuffle_partitions(triples.sparkSession, sym.count()):
+        if strategy == "decrement":
+            return _k_core_decrement(sym, deg, k, max_rounds)
+        return _k_core_restrict(sym, alive0, n_alive, k, max_rounds)
 
 
 def _k_core_restrict(

@@ -358,6 +358,13 @@ def _cold_pair_counts_with_hot_masks(
             ]
         )
     )
+    # masks feeds THREE consumers (the ma/mb broadcasts and the deep
+    # popcount probe) whose plans differ only in aliases — too different
+    # for Spark's exchange reuse, so without this the hot-membership
+    # aggregate re-scans capf once per consumer (r11 stage profile: two
+    # extra full capf scans per query).  It is broadcast-sized by
+    # construction (only hot-line captures), so pinning it is cheap.
+    masks = materialize(masks)
     cold = capf.join(
         F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"], how="left_anti"
     )
@@ -374,12 +381,22 @@ def _cold_pair_counts_with_hot_masks(
             cold, overflow, cold_floor, sketches
         ).withColumnRenamed("overlap", "cold_overlap")
     else:
-        a = cold.select(
+        # One exchange, not two: the self-join's sides differ only in
+        # the a_/b_ aliases, so repartition the SHARED pruned relation
+        # first and alias above it — the two exchange subtrees are then
+        # byte-identical and Spark's exchange reuse turns the second
+        # scan+shuffle of cold into a ReusedExchange (an alias-only
+        # Project is not pushed through the repartition: ColumnPruning
+        # only moves projects that drop columns).
+        cold_r = cold.select("jv1", "jv2", "h1", "h2").repartition(
+            n_pair, "jv1", "jv2"
+        )
+        a = cold_r.select(
             "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
-        ).repartition(n_pair, "jv1", "jv2")
-        b = cold.select(
+        )
+        b = cold_r.select(
             "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
-        ).repartition(n_pair, "jv1", "jv2")
+        )
         pairs = a.hint("shuffle_hash").join(
             b.hint("shuffle_hash"), on=["jv1", "jv2"]
         ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))

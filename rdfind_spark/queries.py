@@ -222,11 +222,24 @@ def hash_collisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_small_input: the testdata tables are single-row-group
+    # parquet (one unsplittable scan task), and codegen fuses the
+    # expensive tokenize/shingle/minhash derivation into the scan
+    # stage — one core does it all without the spread (guide §2.5;
+    # no-op on inputs that already scan wide).
+    from rdfind_spark.util import spread_small_input
+
+    return spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from rdfind_spark.util import spread_small_input
+
+    return spread_small_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,8 +249,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long and truncate to microseconds (exactly what DuckDB's implicit
     # TIMESTAMP_NS → TIMESTAMP cast does, so the oracle sees identical
     # instants).  Dispatch on the actual file schema.
+    from rdfind_spark.util import spread_small_input
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = spread_small_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return events.normalize_event_ts(raw)
 
 

@@ -81,6 +81,13 @@ TRIPLE_SPEC: list[tuple[str, tuple[str, ...], str, tuple[str, ...]]] = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NO spread_small_input here (unlike the documents/embeddings/events
+    # loaders): the triple melt's per-row work is cheap concat/cast, so
+    # paying a round-robin shuffle (+ its sort-before-repartition) of
+    # the base strings per melt branch measured NET-SLOWER on the CIND
+    # family (capture_overlaps 42.0→45.6 s min-of-3, slower in every
+    # paired A/B draw), while the heavy aggregation downstream
+    # parallelizes at its own exchanges anyway.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
