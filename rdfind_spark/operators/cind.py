@@ -300,7 +300,9 @@ def capture_overlaps(
             capf, hot_values, min_overlap, sketches, overflow=overflow
         )
     else:
-        ov = _salted_pair_counts(capf, hot_values, min_overlap, sketches)
+        # no hot lines at all — every line is narrow, pairs come from
+        # the grouped line arrays (no self-join, no salting machinery)
+        ov = _grouped_pair_counts(capf, min_overlap, sketches)
     # ov is already unique per pair: the salted path ends in a
     # groupBy(pair), and the decomposition dedupes its part1 ∪ part2
     # union on the fixed-width hash keys before any strings exist — so
@@ -381,34 +383,11 @@ def _cold_pair_counts_with_hot_masks(
             cold, overflow, cold_floor, sketches
         ).withColumnRenamed("overlap", "cold_overlap")
     else:
-        # One exchange, not two: the self-join's sides differ only in
-        # the a_/b_ aliases, so repartition the SHARED pruned relation
-        # first and alias above it — the two exchange subtrees are then
-        # byte-identical and Spark's exchange reuse turns the second
-        # scan+shuffle of cold into a ReusedExchange (an alias-only
-        # Project is not pushed through the repartition: ColumnPruning
-        # only moves projects that drop columns).
-        cold_r = cold.select("jv1", "jv2", "h1", "h2").repartition(
-            n_pair, "jv1", "jv2"
-        )
-        a = cold_r.select(
-            "jv1", "jv2", F.col("h1").alias("a_h1"), F.col("h2").alias("a_h2")
-        )
-        b = cold_r.select(
-            "jv1", "jv2", F.col("h1").alias("b_h1"), F.col("h2").alias("b_h2")
-        )
-        pairs = a.hint("shuffle_hash").join(
-            b.hint("shuffle_hash"), on=["jv1", "jv2"]
-        ).filter(F.struct("a_h1", "a_h2") < F.struct("b_h1", "b_h2"))
-        if sketches is not None:
-            pairs = _apply_sketch_filter(pairs, sketches)
-        ov_cold = (
-            pairs.select(*pkey)
-            .repartition(n_pair, *pkey)
-            .groupBy(*pkey)
-            .agg(F.count("*").alias("cold_overlap"))
-            .filter(F.col("cold_overlap") >= cold_floor)
-        )
+        # Cold lines are all narrow — emit their pairs from grouped
+        # line arrays instead of self-joining (see _grouped_pair_counts).
+        ov_cold = _grouped_pair_counts(
+            cold, cold_floor, sketches
+        ).withColumnRenamed("overlap", "cold_overlap")
     ma = masks.select(
         F.col("h1").alias("a_h1"),
         F.col("h2").alias("a_h2"),
@@ -507,6 +486,63 @@ def _cold_pair_counts_with_hot_masks(
         "overlap",
     )
     return normalized.dropDuplicates(pkey)
+
+
+def _grouped_pair_counts(
+    capf: DataFrame,
+    min_overlap: int,
+    sketches: DataFrame | None = None,
+) -> DataFrame:
+    """Pair overlap counts for a capture table whose join lines are all
+    narrow (<= HOT_LINE_K captures — the cold side of the hot/cold
+    decomposition, or everything when no line is hot): group each line
+    into a sorted capture array and EMIT its C(k,2) pairs directly with
+    a higher-order transform, instead of self-joining the table.
+
+    vs the self-join shape this replaces (guide §1.2 — fix the
+    algorithm before the constants): the join shuffled the table twice
+    (both aliased sides), built and probed a per-partition hash table
+    over millions of rows, and re-derived each line's pair set through
+    probe + struct(a) < struct(b) filtering; here ONE exchange groups
+    the line (complete-mode aggregate — the child repartition already
+    satisfies the distribution), and pair emission is pure codegen over
+    the array.  The sorted array makes the orientation globally
+    (h1, h2)-lexicographic — exactly the struct< canonicalization of
+    the join it replaces, so every downstream consumer (mask add,
+    part1/part2 dedup, restore) sees identical keys.  Line width is
+    bounded by HOT_LINE_K by construction, so the per-row explosion is
+    <= ~130k pairs — a streaming generate, never a task-melting hub
+    (those route through the mask/salt machinery before this runs)."""
+    n_pair = _pair_parallelism(capf)
+    lines = (
+        capf.select("jv1", "jv2", "h1", "h2")
+        .repartition(n_pair, "jv1", "jv2")
+        .groupBy("jv1", "jv2")
+        .agg(F.sort_array(F.collect_list(F.struct("h1", "h2"))).alias("caps"))
+        .filter(F.size("caps") >= 2)
+    )
+    pairs = lines.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(caps, (x, i) -> "
+                "transform(slice(caps, i + 2, size(caps) - 1 - i), y -> "
+                "named_struct('a_h1', x.h1, 'a_h2', x.h2, "
+                "'b_h1', y.h1, 'b_h2', y.h2))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    if sketches is not None:
+        pairs = _apply_sketch_filter(pairs, sketches)
+    pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
+    ov = (
+        pairs.select(*pkey)
+        .repartition(n_pair, *pkey)
+        .groupBy(*pkey)
+        .agg(F.count("*").alias("overlap"))
+    )
+    if min_overlap > 1:
+        ov = ov.filter(F.col("overlap") >= min_overlap)
+    return ov
 
 
 def _salted_pair_counts(

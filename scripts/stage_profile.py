@@ -70,6 +70,17 @@ def main() -> int:
         with urllib.request.urlopen(url) as r:
             return json.loads(r.read())
 
+    def _job_of_stage() -> dict[int, str]:
+        url = f"{ui}/api/v1/applications/{app_id}/jobs"
+        with urllib.request.urlopen(url) as r:
+            jobs = json.loads(r.read())
+        out: dict[int, str] = {}
+        for j in jobs:
+            label = (j.get("description") or j.get("name") or "")[:60]
+            for sid in j.get("stageIds", []):
+                out[sid] = f"job{j['jobId']}:{label}"
+        return out
+
     for name in names:  # untimed JIT warmup
         try:
             queries[name](spark, "/root/testdata/sf0.001").write.format(
@@ -81,7 +92,8 @@ def main() -> int:
 
     for name in names:
         before_ids = {s["stageId"] for s in _stages()}
-        spark.sparkContext.setJobDescription(name)
+        # no setJobDescription here: the per-job default name (callsite)
+        # is what lets the stage table distinguish the engine's jobs
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -90,6 +102,7 @@ def main() -> int:
         _clear()
         stages = [s for s in _stages() if s["stageId"] not in before_ids]
         stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+        jobmap = _job_of_stage()
         print(f"\n=== {name}: wall {wall:.1f}s, {len(stages)} stages ===")
         print(
             f"{'stg':>4} {'tasks':>5} {'run_s':>7} {'cpu_s':>7} {'in_MB':>7} "
@@ -107,7 +120,8 @@ def main() -> int:
                 f"{s.get('shuffleReadBytes', 0) / 1e6:>7.1f} "
                 f"{s.get('shuffleWriteBytes', 0) / 1e6:>7.1f} "
                 f"{s.get('jvmGcTime', 0) / 1000.0:>5.1f}  "
-                f"{s['name'].split(chr(10))[0][:70]}"
+                f"{jobmap.get(s['stageId'], '?')} | "
+                f"{s['name'].split(chr(10))[0][:46]}"
             )
         sys.stdout.flush()
     spark.stop()

@@ -58,18 +58,28 @@ def test_census_runs_in_wholestage_codegen(spark, sf_dir):
     assert "*(" in p, "census should run inside WholeStageCodegen spans"
 
 
-def test_pair_join_is_not_broadcast(spark, sf_dir):
-    """The pair self-join must be a shuffled hash join: Catalyst's size
-    estimate after explode+distinct is far below reality and would
-    broadcast-build the entire capture table on the driver (see
-    capture_overlaps docstring)."""
+def test_pair_stage_groups_lines_no_self_join(spark, sf_dir):
+    """Narrow-line pair generation must be the grouped-line array
+    emission (r11: sort_array(collect_list) + higher-order pair
+    explode), NOT a self-join of the capture table: the join shape
+    shuffled the table twice and probed a corpus-sized hash relation —
+    and under Catalyst's post-explode size underestimates it could
+    even broadcast-build the entire capture table on the driver (the
+    hazard the previous ShuffledHashJoin pin guarded).  With no hot
+    lines (this fixture), NO join of two capture-table-sized
+    relations may remain in the pair plan; the only joins are the
+    result-sized broadcast restore joins."""
     from rdfind_spark.operators.cind import capture_overlaps
 
     dcap = distinct_captures(capture_candidates(triple_view(spark, sf_dir)))
     freq = frequent_captures(capture_supports(dcap), 10)
     ov = capture_overlaps(pruned_captures(dcap, freq), freq, min_overlap=10)
     p = plan_of(ov, mode="simple")
-    assert "ShuffledHashJoin" in p
+    assert "collect_list(" in p, p[:2000]
+    assert "ShuffledHashJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_traversal_dispatch(spark):
