@@ -362,29 +362,32 @@ def _cold_pair_counts_with_hot_masks(
     )
     # masks feeds THREE consumers (the ma/mb broadcasts and the deep
     # popcount probe) whose plans differ only in aliases — too different
-    # for Spark's exchange reuse, so without this the hot-membership
-    # aggregate re-scans capf once per consumer (r11 stage profile: two
-    # extra full capf scans per query).  It is broadcast-sized by
-    # construction (only hot-line captures), so pinning it is cheap.
+    # for Spark's exchange reuse, so without pinning it the
+    # hot-membership aggregate re-scans capf once per consumer (r11
+    # stage profile: two extra full capf scans per query).  It is
+    # broadcast-sized by construction (only hot-line captures), so the
+    # checkpoint is cheap.
     masks = materialize(masks)
     cold = capf.join(
-        F.broadcast(hot_df.select("jv1", "jv2")), on=["jv1", "jv2"], how="left_anti"
+        F.broadcast(hot_df.select("jv1", "jv2")),
+        on=["jv1", "jv2"],
+        how="left_anti",
     )
     n_pair = _pair_parallelism(capf)
     pkey = ["a_h1", "a_h2", "b_h1", "b_h2"]
     cold_floor = max(1, min_overlap - n_hot)
     if overflow is not None:
-        # Mask-cap overflow: hot lines beyond MAX_HOT_MASK stay in the
-        # "cold" side but their k² pair product must not land on one
-        # task — enumerate all cold pairs through the salted triangle
-        # join with the overflow lines as its hot set (exact counts,
-        # same semantics as the plain join below).
+        # Mask-cap overflow: hot lines beyond MAX_HOT_MASK stay in
+        # the "cold" side but their k² pair product must not land
+        # on one task — enumerate all cold pairs through the salted
+        # triangle join with the overflow lines as its hot set
+        # (exact counts, same semantics as the plain join below).
         ov_cold = _salted_pair_counts(
             cold, overflow, cold_floor, sketches
         ).withColumnRenamed("overlap", "cold_overlap")
     else:
         # Cold lines are all narrow — emit their pairs from grouped
-        # line arrays instead of self-joining (see _grouped_pair_counts).
+        # line arrays instead of self-joining (_grouped_pair_counts).
         ov_cold = _grouped_pair_counts(
             cold, cold_floor, sketches
         ).withColumnRenamed("overlap", "cold_overlap")
@@ -762,6 +765,24 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
     checkpointing stays cheap at any scale."""
     cinds = materialize(cinds)
     all_cols = cinds.columns
+    # The whole pass (6 probe expansions, 2 killer builds, a distinct,
+    # a final anti-join) runs over the RESULT-SIZED materialized CIND
+    # table; inheriting the session's corpus-sized shuffle.partitions
+    # costs hundreds of near-empty tasks per branch (r11 timeline:
+    # ~18 s wall on a ~50k-row table).  Pin to the measured size (the
+    # loop_shuffle_partitions rule); the count is a cache scan.
+    from rdfind_spark.util import loop_shuffle_partitions
+
+    # materialize INSIDE the pinned scope: shuffle.partitions is read
+    # at physical-planning time of the executing action, so a lazily
+    # returned plan would execute later under the restored session
+    # value — the eager checkpoint (result-sized, cheap) is what makes
+    # the pin actually govern the pass's shuffles.
+    with loop_shuffle_partitions(cinds.sparkSession, cinds.count()):
+        return materialize(_remove_implied_pinned(cinds, all_cols))
+
+
+def _remove_implied_pinned(cinds: DataFrame, all_cols: list) -> DataFrame:
 
     # (a) binary dep implied by unary-dep CIND with same ref
     killers_a = cinds.select(

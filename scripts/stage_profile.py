@@ -81,6 +81,39 @@ def main() -> int:
                 out[sid] = f"job{j['jobId']}:{label}"
         return out
 
+    def _jobs() -> list[dict]:
+        url = f"{ui}/api/v1/applications/{app_id}/jobs"
+        with urllib.request.urlopen(url) as r:
+            return json.loads(r.read())
+
+    def _print_timeline(t_query0: float, before_jobs: set) -> None:
+        """Driver-side critical path: each job's [start, end] relative
+        to query start — serial gaps between jobs are driver/compose
+        time, overlaps are concurrent background jobs."""
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime.strptime(
+                s[:23], "%Y-%m-%dT%H:%M:%S.%f"
+            ).timestamp() + 0  # UI times are GMT; only deltas matter
+
+        jobs = [j for j in _jobs() if j["jobId"] not in before_jobs]
+        jobs.sort(key=lambda j: j["jobId"])
+        if not jobs:
+            return
+        t0 = min(ts(j["submissionTime"]) for j in jobs if "submissionTime" in j)
+        print("  --- job timeline (s rel. to first job) ---")
+        for j in jobs:
+            if "submissionTime" not in j:
+                continue
+            s = ts(j["submissionTime"]) - t0
+            e = ts(j["completionTime"]) - t0 if "completionTime" in j else -1
+            print(
+                f"  job{j['jobId']:>4} {s:>7.1f} -> {e:>7.1f} "
+                f"({e - s:>6.1f}s) tasks={j.get('numTasks', 0):>5} "
+                f"{(j.get('description') or j.get('name') or '')[:60]}"
+            )
+
     for name in names:  # untimed JIT warmup
         try:
             queries[name](spark, "/root/testdata/sf0.001").write.format(
@@ -92,6 +125,7 @@ def main() -> int:
 
     for name in names:
         before_ids = {s["stageId"] for s in _stages()}
+        before_jobs = {j["jobId"] for j in _jobs()}
         # no setJobDescription here: the per-job default name (callsite)
         # is what lets the stage table distinguish the engine's jobs
         t0 = time.time()
@@ -123,6 +157,7 @@ def main() -> int:
                 f"{jobmap.get(s['stageId'], '?')} | "
                 f"{s['name'].split(chr(10))[0][:46]}"
             )
+        _print_timeline(t0, before_jobs)
         sys.stdout.flush()
     spark.stop()
     return 0
