@@ -779,7 +779,15 @@ def remove_implied_cinds(cinds: DataFrame) -> DataFrame:
     # value — the eager checkpoint (result-sized, cheap) is what makes
     # the pin actually govern the pass's shuffles.
     with loop_shuffle_partitions(cinds.sparkSession, cinds.count()):
-        return materialize(_remove_implied_pinned(cinds, all_cols))
+        pinned = _remove_implied_pinned(cinds, all_cols)
+        # introspection-only (no-op unless scripts/dump_plans.py armed
+        # the hook): the checkpoint below collapses the final explain,
+        # so record the pass's own plan — still inside the pin, so the
+        # captured Exchange width is the one that executes.
+        from rdfind_spark.util import capture_plan
+
+        capture_plan("minimality", pinned)
+        return materialize(pinned)
 
 
 def _remove_implied_pinned(cinds: DataFrame, all_cols: list) -> DataFrame:

@@ -132,6 +132,34 @@ def materialize(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+# Plan-capture hook (introspection only, default off): eagerly-executed
+# passes (the pinned minimality pass) truncate their lineage, so the
+# final ``df.explain()`` collapses to a checkpoint scan and the pass's
+# own plan — the committed evidence for its shuffle width — is invisible.
+# scripts/dump_plans.py sets this to a dict before composing a query;
+# ``capture_plan`` then records the formatted plan of the named pass AT
+# COMPOSITION TIME, i.e. under whatever conf pins are active, which is
+# exactly the plan the executing action runs.  ``None`` (the default)
+# costs one ``is None`` check on the hot path and nothing else.
+PLAN_CAPTURE: dict | None = None
+
+
+def capture_plan(label: str, df) -> None:
+    """Record ``df``'s formatted physical plan under ``label`` if the
+    PLAN_CAPTURE hook is armed (see above); no-op otherwise."""
+    if PLAN_CAPTURE is None:
+        return
+    try:
+        spark = df.sparkSession
+        PLAN_CAPTURE[label] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    except Exception as exc:  # noqa: BLE001 — introspection must not fail the query
+        PLAN_CAPTURE[label] = f"ERROR capturing plan: {exc}"
+
+
 def spread_small_input(df):
     """Input-skew guard (guide §2.5 "one huge unsplittable file"):
     repartition a narrow scan to core count right after the read.

@@ -49,6 +49,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    from rdfind_spark import util
+
     queries = entry.queries()
     names = args or list(queries)
     for name in names:
@@ -56,6 +58,10 @@ def main() -> int:
             print(f"!! unknown query {name}", file=sys.stderr)
             continue
         spark.sparkContext.setJobDescription(f"plan:{name}")
+        # arm the introspection hook: eagerly-executed passes (the
+        # pinned minimality pass) checkpoint their output, collapsing
+        # the final explain to a scan — they record their own plan here
+        util.PLAN_CAPTURE = {}
         try:
             df = queries[name](spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(
@@ -69,6 +75,12 @@ def main() -> int:
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} chars)")
+        for label, captured in util.PLAN_CAPTURE.items():
+            cpath = os.path.join(outdir, f"{name}_{label}_{suffix}.txt")
+            with open(cpath, "w") as fh:
+                fh.write(captured)
+            print(f"wrote {cpath} ({len(captured)} chars)")
+        util.PLAN_CAPTURE = None
         spark.catalog.clearCache()
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
