@@ -549,3 +549,20 @@ def test_hybrid_rrf_legs_end_in_topk_heaps(spark, sf_dir):
     p = plan_of(hybrid_rrf_search(docs), mode="formatted")
     assert p.count("TakeOrderedAndProject") >= 2, p
     assert "FullOuter" in p
+
+
+def test_plan_capture_hook_records_only_when_armed(spark):
+    """util.PLAN_CAPTURE (dump_plans introspection): disarmed (None,
+    the default) capture_plan is a no-op; armed, it records the
+    formatted physical plan under the label.  remove_implied_cinds
+    calls this on its pinned pass, so the hook must never raise."""
+    from rdfind_spark import util
+
+    assert util.PLAN_CAPTURE is None  # library default: disarmed
+    util.capture_plan("noop", spark.range(1))  # must not record or raise
+    util.PLAN_CAPTURE = {}
+    try:
+        util.capture_plan("tiny", spark.range(3))
+        assert "Range" in util.PLAN_CAPTURE["tiny"]
+    finally:
+        util.PLAN_CAPTURE = None
