@@ -55,6 +55,25 @@ def test_oversized_bench_list_degrades_to_heavies_not_overflow():
     assert d["heavies_subtotal"] == round(50.0 * len(HEAVY), 1)
 
 
+def test_repeat_order_is_cost_descending_with_top_exemption():
+    """r11 verdict item 2: the min-of-2 repeat pass must order heavies
+    by descending first-run cost so a bad-phase first draw on the most
+    expensive heavy (the entry that most needs its second draw) is
+    repeated FIRST, before cheaper heavies can spend the budget; main()
+    additionally exempts index 0 from the budget check."""
+    from bench import repeat_order_for
+
+    timings = {n: float(i) for i, n in enumerate(BENCH_QUERIES)}
+    # make one mid-list heavy the most expensive — it must come first
+    expensive = sorted(HEAVY)[len(HEAVY) // 2]
+    timings[expensive] = 99999.0
+    order = repeat_order_for(timings, set(BENCH_QUERIES), HEAVY)
+    assert set(order) == HEAVY  # every heavy is scheduled
+    assert order[0] == expensive
+    costs = [timings[n] for n in order]
+    assert costs == sorted(costs, reverse=True)
+
+
 def test_dropped_entries_never_include_heavies():
     """Round-10 verdict task 7: the tail-capture byte cap is paid by
     dropping ~1s entries, never a min-of-2 heavy — a heavy leaving the
