@@ -342,13 +342,36 @@ def containment_pairs(
         )
         .select("shingle", F.col("doc_id").alias("src_id"))
     )
-    cand = (
-        pref.join(
-            cold.select("shingle", F.col("doc_id").alias("dst_id")),
-            on="shingle",
+    # Candidate generation by GROUPED LINE ARRAYS instead of the
+    # prefix×full-posting-list self-join (r12; guide §1.2/§2.4 — the
+    # bipartite twin of the CIND engine's _grouped_pair_counts): tag
+    # prefix entries, group each shingle's postings ONCE (one exchange;
+    # the self-join shuffled the postings twice — pref side + full
+    # side — then built and probed a per-partition hash relation), and
+    # emit src×dst pairs directly from the two per-shingle arrays.
+    # Bounded by construction: hot shingles (df > max_shingle_docs) are
+    # already removed, so |srcs| × |dsts| <= max_shingle_docs² per
+    # group — a streaming generate, never a task-melting hub.
+    tagged = cold.select(
+        "shingle", "doc_id", F.lit(False).alias("is_src")
+    ).unionByName(
+        pref.select(
+            "shingle", F.col("src_id").alias("doc_id"), F.lit(True).alias("is_src")
         )
+    )
+    grouped = (
+        tagged.repartition("shingle")
+        .groupBy("shingle")
+        .agg(
+            F.collect_list(F.when(F.col("is_src"), F.col("doc_id"))).alias("srcs"),
+            F.collect_list(F.when(~F.col("is_src"), F.col("doc_id"))).alias("dsts"),
+        )
+        .filter((F.size("srcs") >= 1) & (F.size("dsts") >= 1))
+    )
+    cand = (
+        grouped.select(F.explode("srcs").alias("src_id"), "dsts")
+        .select("src_id", F.explode("dsts").alias("dst_id"))
         .filter(F.col("src_id") != F.col("dst_id"))
-        .select("src_id", "dst_id")
         .distinct()
     )
     arrs = cold.groupBy("doc_id").agg(

@@ -81,7 +81,6 @@ from rdfind_spark.operators.cind import (
     HOT_LINE_K,
     MAX_HOT_MASK,
     N_SALT,
-    _side,
     build_capture_tables,
     capture_overlaps,
     remove_implied_cinds,
@@ -126,20 +125,6 @@ def _merge_ok(code_a: Column, code_b: Column) -> Column:
     )
 
 
-def _proper_side(ov: DataFrame, dep: str, ref: str) -> DataFrame:
-    """Directional proper-overlap rows: dep side NOT fully included
-    (reference emits these per direction too,
-    ``SmallToLargeTraversalStrategy.scala:90-106``)."""
-    return ov.filter(F.col("overlap") != F.col(f"{dep}_support")).select(
-        F.col(f"{dep}_code").alias("dep_code"),
-        F.col(f"{dep}_v1").alias("dep_v1"),
-        F.col(f"{dep}_v2").alias("dep_v2"),
-        F.col(f"{ref}_code").alias("ref_code"),
-        F.col(f"{ref}_v1").alias("ref_v1"),
-        F.col(f"{ref}_v2").alias("ref_v2"),
-    )
-
-
 _DEP_H = ["dep_h1", "dep_h2"]
 _REF_H = ["ref_h1", "ref_h2"]
 _PAIR_H = _DEP_H + _REF_H
@@ -175,6 +160,64 @@ def _hot_mask_table(capf: DataFrame, hot_values: list) -> DataFrame | None:
             ]
         )
         .transform(lambda d: _materialize(d, "hot_masks"))
+    )
+
+
+def _support_pruned(
+    cands: DataFrame, supports: DataFrame | None
+) -> DataFrame:
+    """Attach the 96-bit dep/ref hashes and apply the two exact support
+    prunes (when a support table is given) BEFORE any instance work —
+    the lattice merges construct refs freely, so most candidates die
+    here:
+
+    (1) a holding candidate needs overlap == dep_support >=
+        min_support, and overlap <= ref_support — so the merged ref
+        must itself be FREQUENT (the merge stages never check ref
+        frequency; measured: the 2/2 class shrinks ~9x);
+    (2) by the same chain ref_support >= dep_support, a directional
+        prune unavailable to the all-at-once engine (its unordered
+        pairs always satisfy one direction).
+
+    Both are inner broadcast joins against the result-sized hash-keyed
+    support table; a dropped candidate provably CANNOT verify, so the
+    verified result set is unchanged.  The same argument makes the
+    prune sound on the 2/2 SEED (see discover_cinds_staged): a true
+    2/2's parents are true 2/1s, and a true 2/1 always survives both
+    prunes, so pruning the seed loses no true 2/2 candidate.  Extra
+    columns on ``cands`` (provenance tags) pass through untouched."""
+    pruned = cands.select(
+        "*",
+        F.xxhash64("dep_code", "dep_v1", "dep_v2").alias("dep_h1"),
+        F.hash("dep_code", "dep_v1", "dep_v2").alias("dep_h2"),
+        F.xxhash64("ref_code", "ref_v1", "ref_v2").alias("ref_h1"),
+        F.hash("ref_code", "ref_v1", "ref_v2").alias("ref_h2"),
+    )
+    if supports is None:
+        return pruned
+    return (
+        pruned.join(
+            F.broadcast(
+                supports.select(
+                    F.col("h1").alias("ref_h1"),
+                    F.col("h2").alias("ref_h2"),
+                    F.col("support").alias("_rsup"),
+                )
+            ),
+            on=_REF_H,
+        )
+        .join(
+            F.broadcast(
+                supports.select(
+                    F.col("h1").alias("dep_h1"),
+                    F.col("h2").alias("dep_h2"),
+                    F.col("support").alias("_dsup"),
+                )
+            ),
+            on=_DEP_H,
+        )
+        .filter(F.col("_rsup") >= F.col("_dsup"))
+        .drop("_rsup", "_dsup")
     )
 
 
@@ -228,50 +271,9 @@ def _verify_candidates(
     ``N_SALT`` ways) so their k² product spreads over ``N_SALT`` join
     keys instead of landing on one task."""
     spark = dep_caps.sparkSession
-    pruned = cands.select(*_CIND_KEY).distinct().select(
-        "*",
-        F.xxhash64("dep_code", "dep_v1", "dep_v2").alias("dep_h1"),
-        F.hash("dep_code", "dep_v1", "dep_v2").alias("dep_h2"),
-        F.xxhash64("ref_code", "ref_v1", "ref_v2").alias("ref_h1"),
-        F.hash("ref_code", "ref_v1", "ref_v2").alias("ref_h2"),
+    pruned = _support_pruned(
+        cands.select(*_CIND_KEY).distinct(), supports
     )
-    if supports is not None:
-        # Two exact support prunes BEFORE any instance work (the lattice
-        # merges construct refs freely, so most candidates die here):
-        # (1) a holding candidate needs overlap == dep_support >=
-        #     min_support, and overlap <= ref_support — so the merged
-        #     ref must itself be FREQUENT (the merge stages never check
-        #     ref frequency; measured: the 2/2 class shrinks ~9x);
-        # (2) by the same chain ref_support >= dep_support, a
-        #     directional prune unavailable to the all-at-once engine
-        #     (its unordered pairs always satisfy one direction).
-        # Both are inner broadcast joins against the result-sized
-        # hash-keyed support table; a dropped candidate provably cannot
-        # verify, so the result set is unchanged.
-        pruned = (
-            pruned.join(
-                F.broadcast(
-                    supports.select(
-                        F.col("h1").alias("ref_h1"),
-                        F.col("h2").alias("ref_h2"),
-                        F.col("support").alias("_rsup"),
-                    )
-                ),
-                on=_REF_H,
-            )
-            .join(
-                F.broadcast(
-                    supports.select(
-                        F.col("h1").alias("dep_h1"),
-                        F.col("h2").alias("dep_h2"),
-                        F.col("support").alias("_dsup"),
-                    )
-                ),
-                on=_DEP_H,
-            )
-            .filter(F.col("_rsup") >= F.col("_dsup"))
-            .drop("_rsup", "_dsup")
-        )
     ch = _materialize(pruned, f"cand:{label}")
     # Hub-safety gate: the hot-line machinery protects against one join
     # value fanning out k_dep × k_ref pairs in a single task — but with
@@ -284,8 +286,14 @@ def _verify_candidates(
     # aggregates over the materialized candidate table.  (After the
     # support prunes the 2/2 class routinely lands here: 4 candidates
     # at sf0.1.)
-    n_dep_caps = ch.select(*_DEP_H).distinct().count()
-    n_ref_caps = ch.select(*_REF_H).distinct().count()
+    # one aggregate job for both counts (was two separate distinct
+    # count jobs — each a full driver barrier over the result-sized
+    # candidate table)
+    _g = ch.select(
+        F.count_distinct("dep_h1", "dep_h2").alias("nd"),
+        F.count_distinct("ref_h1", "ref_h2").alias("nr"),
+    ).collect()[0]
+    n_dep_caps, n_ref_caps = _g.nd, _g.nr
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
@@ -681,7 +689,6 @@ def discover_cinds_staged(
     _bg = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     _mask_fut = _bg.submit(_hot_mask_table, capf, hot_shared)
     freq_u = frequent.filter(F.col("code").isin(list(cc.VALID_UNARY_CODES)))
-    freq_b = frequent.filter(F.col("code").isin(list(cc.VALID_BINARY_CODES)))
 
     def _keys_of(freq_subset: DataFrame) -> DataFrame:
         return freq_subset.select(
@@ -690,7 +697,6 @@ def discover_cinds_staged(
         )
 
     capu = capf.join(F.broadcast(_keys_of(freq_u)), on=["h1", "h2"], how="left_semi")
-    capb = capf.join(F.broadcast(_keys_of(freq_b)), on=["h1", "h2"], how="left_semi")
 
     # ---- stage 1: unary/unary overlaps (skew-hardened shared
     # machinery) — capu is already the hashed capf form it expects; the
@@ -704,21 +710,52 @@ def discover_cinds_staged(
         hot_overflow=hot_overflow,
     )
     ov_uu = _materialize(ov_uu.coalesce(spark.sparkContext.defaultParallelism), "ov_uu")
-    cind11 = _side(ov_uu, "a", "b").unionByName(_side(ov_uu, "b", "a"))
+
+    # ONE directional pass over the materialized overlap table builds
+    # BOTH stage-1 classes (1/1 CINDs and proper overlaps, both
+    # directions) behind a single materialization barrier — cind11 and
+    # the proper side were two separate checkpoint jobs over the same
+    # parent (r12; guide §2.4 "share one pass").  ``is_cind`` tags the
+    # class; the class tables are cheap filters of the checkpointed
+    # union.
+    def _dir_rows(dep: str, ref: str) -> DataFrame:
+        return ov_uu.select(
+            F.col(f"{dep}_code").alias("dep_code"),
+            F.col(f"{dep}_v1").alias("dep_v1"),
+            F.col(f"{dep}_v2").alias("dep_v2"),
+            F.col(f"{ref}_code").alias("ref_code"),
+            F.col(f"{ref}_v1").alias("ref_v1"),
+            F.col(f"{ref}_v2").alias("ref_v2"),
+            F.col(f"{dep}_support").alias("support"),
+            (F.col("overlap") == F.col(f"{dep}_support")).alias("is_cind"),
+        )
+
+    partners = _materialize(
+        _dir_rows("a", "b").unionByName(_dir_rows("b", "a")), "partners"
+    )
+    cind11 = partners.filter("is_cind").select(*_CIND_KEY, "support")
     if ar_filter:
         from rdfind_spark.operators.rules import (
             association_rules,
             filter_ar_implied_cinds,
         )
 
-        cind11 = filter_ar_implied_cinds(
-            cind11, association_rules(triples, min_support, 1.0)
+        cind11 = _materialize(
+            filter_ar_implied_cinds(
+                cind11, association_rules(triples, min_support, 1.0)
+            ),
+            "cind11",
         )
-    cind11 = _materialize(cind11, "cind11")
-    proper11 = _materialize(
-        _proper_side(ov_uu, "a", "b").unionByName(_proper_side(ov_uu, "b", "a")),
-        "proper11",
-    )
+        # the AR filter shrinks the CIND class, so the merge partners
+        # must be rebuilt from the filtered table (reference order:
+        # AR-filtered CINDs no longer generate candidates)
+        partners = cind11.select(*_CIND_KEY).withColumn(
+            "is_cind", F.lit(True)
+        ).unionByName(
+            partners.filter(~F.col("is_cind")).select(*_CIND_KEY).withColumn(
+                "is_cind", F.lit(False)
+            )
+        )
 
     # ---- stage 2: 1/2 — candidate refs from pairs of 1/1 CINDs with
     # the same dep (G6), verified exactly.  The ref pool is augmented
@@ -772,65 +809,43 @@ def discover_cinds_staged(
         F.col("v1").alias("dep_v1"),
         F.col("v2").alias("dep_v2"),
     )
-    partners = cind11.select(*_CIND_KEY).withColumn(
-        "is_cind", F.lit(True)
-    ).unionByName(
-        proper11.select(*_CIND_KEY).withColumn("is_cind", F.lit(False))
-    )
+    partners_m = partners.select(*_CIND_KEY, "is_cind")
     cand21 = _materialize(
-        _merged_dep_candidates(partners, partners, freq_bdep), "cand:21"
+        _merged_dep_candidates(partners_m, partners_m, freq_bdep), "cand:21"
     )
-    hot_masks = _mask_fut.result()
-    _bg.shutdown()
 
-    # ---- one combined evidence join for the 1/2 + 2/1 candidate
-    # classes: both are known before any verification, and each
-    # _verify_candidates call pays fixed costs (two capf semi-join
-    # scans, the hot-mask build, the jv co-occurrence shuffle, a
-    # checkpoint barrier) that dwarf the marginal rows — verifying the
-    # union halves that overhead (measured: two ~15s calls → one ~13s
-    # call at sf0.1).  Only ``exact`` 2/1 candidates verify (the
-    # reference verifies proper × proper merges only); the classes are
-    # split back by dep arity, which determines the class uniquely.
-    cind12_21 = _materialize(
-        _verify_candidates(
-            capf,
-            capf,
-            cand12.unionByName(
-                cand21.filter("exact").select(*_CIND_KEY)
-            ),
-            "12+21",
-            hot_shared,
-            hot_masks=hot_masks,
-            supports=freq_h,
-            hot_overflow=hot_overflow,
-        ),
-        "cind12_21",
+    # ---- stage 4 candidates: 2/2 — 2/1s sharing a dep (G9/G8).  The
+    # seed is the SUPPORT-PRUNED 2/1 candidate class (exact ∪ inferred),
+    # NOT the verified class (r12; guide §1.2 "remove passes"): a true
+    # 2/2 (dep ⊆ r1∧r2) forces (dep ⊆ r1) and (dep ⊆ r2) both true, and
+    # a true 2/1 always survives the support prunes, so seeding from the
+    # pruned-but-unverified class generates every true 2/2 candidate the
+    # old verified seed did.  The extras — candidates with a false
+    # parent — die in the exact verification; extra TRUE 2/2s admitted
+    # by skipping the old J7 pre-prune are non-minimal by J7's own
+    # criterion and their 1/2 killer is in the verified union (same
+    # argument as the consolidated 2/1 merge above), so
+    # ``remove_implied_cinds`` removes them and the post-minimality
+    # contract is unchanged.  What this buys: the 2/2 class no longer
+    # waits on the 1/2+2/1 verification, so ONE combined evidence join
+    # verifies all three classes (the second _verify_candidates call —
+    # measured 3.7-7.7s of fixed cost for a 4-candidate class at
+    # sf0.1 — and the all21 barrier disappear from the serial chain).
+    all21_seed = _materialize(
+        _support_pruned(cand21.select(*_CIND_KEY).distinct(), freq_h)
+        .select(*_CIND_KEY),
+        "all21_seed",
     )
-    unary_dep = F.col("dep_code").isin(list(cc.VALID_UNARY_CODES))
-    cind12 = cind12_21.filter(unary_dep)
-    cind21 = cind12_21.filter(~unary_dep)
-
-    # ---- stage 4: 2/2 — (exact ∪ inferred) 2/1s sharing a dep (G9/G8):
-    # verified exact 2/1s plus the inferred rows read off the cand21
-    # provenance tags — the reference's seed set, with no second merge
-    # join.
-    all21 = _materialize(
-        cind21.select(*_CIND_KEY)
-        .unionByName(cand21.filter("inferred").select(*_CIND_KEY))
-        .distinct(),
-        "all21",
-    )
-    # Trivial refinements again (G8): a 2/2 ref may refine one of the
-    # dep's own unary generalizations (dep_b ⊆ gen(dep_b) is structural,
-    # so no 2/1 row supplies it) — augment the ref pool with each dep's
+    # Trivial refinements (G8): a 2/2 ref may refine one of the dep's
+    # own unary generalizations (dep_b ⊆ gen(dep_b) is structural, so
+    # no 2/1 row supplies it) — augment the ref pool with each dep's
     # generalization captures.
     ident21 = []
     for bcode, gens in cc.GENERALIZATION_MAP.items():
         for ucode, value_index in gens:
             kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
             ident21.append(
-                all21.select(*_DEP_KEY)
+                all21_seed.select(*_DEP_KEY)
                 .distinct()
                 .filter(F.col("dep_code") == bcode)
                 .select(
@@ -839,7 +854,7 @@ def discover_cinds_staged(
                     kept.alias("ref_v1"),
                 )
             )
-    refs22 = all21.select(*_DEP_KEY, "ref_code", "ref_v1")
+    refs22 = all21_seed.select(*_DEP_KEY, "ref_code", "ref_v1")
     for ident in ident21:
         refs22 = refs22.unionByName(ident)
     s1 = refs22.select(
@@ -858,38 +873,37 @@ def discover_cinds_staged(
             F.col("r2_v1").alias("ref_v2"),
         )
     )
-    # J7: drop 2/2 candidates already implied by a 1/2 CIND (same ref,
-    # dep generalization) — their verification could only produce
-    # non-minimal results
-    probes = []
-    for bcode, gens in cc.GENERALIZATION_MAP.items():
-        for ucode, value_index in gens:
-            kept = F.col("dep_v1") if value_index == 1 else F.col("dep_v2")
-            probes.append(
-                cand22.filter(F.col("dep_code") == bcode).select(
-                    "*", F.lit(ucode).alias("g_code"), kept.alias("g_v1")
-                )
-            )
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionByName(p)
-    killers = cind12.select(
-        F.col("dep_code").alias("g_code"),
-        F.col("dep_v1").alias("g_v1"),
-        *_REF_KEY,
-    )
-    bad22 = probe.join(
-        F.broadcast(killers), on=["g_code", "g_v1", *_REF_KEY], how="left_semi"
-    ).select(*_CIND_KEY)
-    cand22 = cand22.join(bad22.distinct(), on=_CIND_KEY, how="left_anti")
-    cind22 = _materialize(
+    hot_masks = _mask_fut.result()
+    _bg.shutdown()
+
+    # ---- ONE combined evidence join for the 1/2 + 2/1 + 2/2 candidate
+    # classes: all three are known before any verification (the 2/2
+    # seed above), and each _verify_candidates call pays fixed costs
+    # (two capf semi-join scans, candidate checkpoint + gate jobs, the
+    # jv co-occurrence shuffle) that dwarf the marginal rows — r11
+    # measured two ~15s calls → one ~13s call when 1/2+2/1 merged; r12
+    # folds 2/2 in as well.  Only ``exact`` 2/1 candidates verify (the
+    # reference verifies proper × proper merges only); the classes are
+    # split back by dep/ref arity, which determines the class uniquely.
+    unary_dep = F.col("dep_code").isin(list(cc.VALID_UNARY_CODES))
+    unary_ref = F.col("ref_code").isin(list(cc.VALID_UNARY_CODES))
+    verified = _materialize(
         _verify_candidates(
-            capb, capb, cand22, "22", hot_shared,
-            hot_masks=hot_masks, supports=freq_h,
+            capf,
+            capf,
+            cand12.unionByName(cand21.filter("exact").select(*_CIND_KEY))
+            .unionByName(cand22),
+            "12+21+22",
+            hot_shared,
+            hot_masks=hot_masks,
+            supports=freq_h,
             hot_overflow=hot_overflow,
         ),
-        "cind22",
+        "cind12_21_22",
     )
+    cind12 = verified.filter(unary_dep)
+    cind21 = verified.filter(~unary_dep & unary_ref)
+    cind22 = verified.filter(~unary_dep & ~unary_ref)
 
     # ---- union + minimality (shared with the all-at-once engine)
     out = (
